@@ -1,0 +1,82 @@
+package graft.core.catalog
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Warehouse directory layout. One warehouse = one "cluster" of topics.
+  *
+  * {{{
+  *   <root>/_catalog/topics/            topic registry (parquet)
+  *   <root>/_index/                     per-file offset index (parquet)
+  *   <root>/logs/<topic>/partition=<p>/ the log segments (parquet)
+  * }}}
+  */
+case class Warehouse(root: String) {
+  def catalogDir: String = s"$root/_catalog/topics"
+  def indexDir: String = s"$root/_index"
+  def logDir(topic: String): String = s"$root/logs/$topic"
+  def partitionDir(topic: String, p: Int): String = s"${logDir(topic)}/partition=$p"
+}
+
+/** Topic lifecycle + metadata — the engine's control plane.
+  *
+  * Replaces the reference's controller-gated topic creation and in-memory
+  * metadata repository (reference: src/main/java/server/internal/Broker.java:87-116
+  * with validation :340-353; src/main/java/metadata/InMemoryTopicMetadataRepository.java:24-89).
+  * Validation rules are ported 1:1: non-empty unique name, >= 1 partition,
+  * 0 <= replicationFactor <= 3. Replication factor is recorded for API parity
+  * but has no physical meaning here (storage redundancy belongs to the
+  * filesystem under Spark).
+  */
+object TopicCatalog {
+  /** Reference: Broker.java:54 (`MAX_REPLICATION_FACTOR = 3`). */
+  val MaxReplicationFactor = 3
+
+  def createTopic(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      numPartitions: Int,
+      replicationFactor: Int = 1): FluxTopic = {
+    if (topic == null || topic.trim.isEmpty)
+      throw new InvalidTopicException("topic name must be non-empty")
+    if (numPartitions < 1)
+      throw new InvalidTopicException(s"numPartitions must be >= 1, got $numPartitions")
+    if (replicationFactor < 0 || replicationFactor > MaxReplicationFactor)
+      throw new InvalidTopicException(
+        s"replicationFactor must be in [0, $MaxReplicationFactor], got $replicationFactor")
+    if (exists(spark, wh, topic))
+      throw new TopicAlreadyExistsException(s"topic '$topic' already exists")
+    val row = Row(topic, numPartitions, replicationFactor, System.currentTimeMillis())
+    spark.createDataFrame(java.util.List.of(row), Schemas.topics)
+      .coalesce(1)
+      .write.mode("append").parquet(wh.catalogDir)
+    FluxTopic(topic, numPartitions, replicationFactor)
+  }
+
+  /** All registered topics. Reference: InMemoryTopicMetadataRepository.getActiveTopics. */
+  def topics(spark: SparkSession, wh: Warehouse): DataFrame =
+    if (dirExists(wh.catalogDir)) spark.read.schema(Schemas.topics).parquet(wh.catalogDir)
+    else spark.createDataFrame(java.util.List.of[Row](), Schemas.topics)
+
+  def exists(spark: SparkSession, wh: Warehouse, topic: String): Boolean =
+    topics(spark, wh).filter(col("topic") === topic).limit(1).count() > 0
+
+  /** Reference: InMemoryTopicMetadataRepository.getPartitionsFor. */
+  def topicInfo(spark: SparkSession, wh: Warehouse, topic: String): FluxTopic = {
+    val rows = topics(spark, wh).filter(col("topic") === topic).collect()
+    if (rows.isEmpty) throw new UnknownTopicException(s"unknown topic '$topic'")
+    val r = rows.head
+    FluxTopic(r.getString(0), r.getInt(1), r.getInt(2))
+  }
+
+  def numPartitions(spark: SparkSession, wh: Warehouse, topic: String): Int =
+    topicInfo(spark, wh, topic).numPartitions
+
+  private[graft] def dirExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.exists(p)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.core.log
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.catalog.{TopicCatalog, Warehouse}
+import graft.core.routing.PartitionRouter
+
+/** Result of one append: per-partition assigned offset ranges. */
+case class AppendResult(
+    topic: String,
+    batchId: Option[Long],
+    ranges: Map[Int, (Long, Long)], // partition -> (baseOffset, endOffset) inclusive
+    records: Long)
+
+/** The produce path: route → assign dense per-partition offsets → append
+  * Parquet segments → index.
+  *
+  * Re-expresses the reference's broker ingest chain
+  * (reference: src/main/java/server/internal/Broker.java:401-419 →
+  * commons/utils/PartitionWriteManager.java:33-84 →
+  * server/internal/storage/Log.java:93-103 → LogSegment.java:135-239):
+  *
+  *   - The per-partition fair lock + AtomicInteger offset counter becomes a
+  *     `row_number()` window over `(topic, partition)` plus the per-partition
+  *     max offset read from the index — single-writer-per-partition falls out
+  *     of the shuffle (each partition value lands in exactly one task).
+  *   - Segment files + 512 KiB flush buffers become immutable Parquet files;
+  *     sizing via `maxRecordsPerFile` replaces the 1 MiB roll threshold.
+  *   - The offset→byte index (IndexEntries.java:17-53) becomes a per-FILE
+  *     offset-range table; Parquet row-group stats (tight, because each file
+  *     is sorted by offset) do the intra-file seeking.
+  *
+  * Readers only see files through the index, and the index row is written
+  * after the data: a crashed append leaves orphan files that are never read,
+  * and a replayed `batchId` is skipped — that is the exactly-once contract
+  * for `foreachBatch` ingestion (SURVEY.md §7.4.2).
+  *
+  * Cross-job appends to the same topic are serialized with a best-effort
+  * warehouse lock file; concurrent appends to DIFFERENT topics proceed in
+  * parallel (the reference locks per partition; our write unit is the job).
+  */
+object LogWriter {
+
+  /** Route records and assign dense, gapless per-partition offsets starting
+    * from the given bases — the pure transform at the core of the produce
+    * path, exposed separately so it can be verified against a SQL oracle
+    * without touching disk.
+    *
+    * @param df      input records
+    * @param explicitPartition explicit-partition column (null when absent)
+    * @param key     routing key column (null when absent)
+    * @param ord     total-order column fixing intra-partition arrival order
+    *                (the reference serializes arrival with a lock; a
+    *                distributed engine needs the order to be data-derived)
+    * @param numPartitions topic partition count
+    * @param bases   partition -> next offset to assign (default all 0)
+    */
+  def assignOffsets(
+      df: DataFrame,
+      explicitPartition: Column,
+      key: Column,
+      ord: Column,
+      numPartitions: Int,
+      bases: Map[Int, Long] = Map.empty): DataFrame = {
+    val routed = df.withColumn(
+      "partition",
+      PartitionRouter.route(explicitPartition, key, ord, numPartitions))
+    val baseExpr =
+      if (bases.isEmpty) lit(0L)
+      else bases.foldLeft(lit(0L)) { case (acc, (p, b)) =>
+        when(col("partition") === p, lit(b)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("partition")).orderBy(ord)
+    routed.withColumn(
+      "offset",
+      (row_number().over(w) - 1).cast("long") + baseExpr)
+  }
+
+  /** Append a batch of records to a topic's log.
+    *
+    * Input columns: `ts` (long millis), `key` (string, nullable), `value`
+    * (string), optional `headers`, optional `explicit_partition` (int), and
+    * an ordering column named by `ordCol`.
+    */
+  def append(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      records: DataFrame,
+      ordCol: String,
+      batchId: Option[Long] = None,
+      conf: ProducerConfig = ProducerConfig()): AppendResult = {
+    val n = TopicCatalog.numPartitions(spark, wh, topic)
+    withTopicLock(wh, topic) {
+      val idx = LogIndex.forTopic(spark, wh, topic)
+      batchId.foreach { id =>
+        if (LogIndex.hasBatch(idx, id))
+          return AppendResult(topic, batchId, Map.empty, 0L)
+      }
+      val bases = LogIndex.nextOffsets(idx)
+      val explicitP =
+        if (records.columns.contains("explicit_partition")) col("explicit_partition")
+        else lit(null).cast("int")
+      val keyCol =
+        if (records.columns.contains("key")) col("key") else lit(null).cast("string")
+      val assigned = assignOffsets(
+        records, explicitP, keyCol, col(ordCol), n, bases)
+        .withColumn("ts",
+          if (records.columns.contains("ts")) col("ts").cast("long")
+          else lit(System.currentTimeMillis()))
+        .withColumn("key", keyCol.cast("string"))
+        .withColumn("headers",
+          if (records.columns.contains("headers")) col("headers")
+          else lit(null).cast(Schemas.headers))
+        .select(col("partition"), col("offset"), col("ts"), col("key"),
+          col("value").cast("string"), col("headers"))
+
+      val logDir = wh.logDir(topic)
+      val before = listFiles(logDir)
+      assigned
+        .repartition(n, col("partition"))
+        .sortWithinPartitions(col("partition"), col("offset"))
+        .write
+        .mode("append")
+        .option("maxRecordsPerFile", conf.maxRecordsPerFile)
+        .option("compression", conf.compression)
+        .partitionBy("partition")
+        .parquet(logDir)
+      val newFiles = (listFiles(logDir) -- before).toSeq.sorted
+
+      // Index the new files. Column pruning keeps this scan to the two
+      // metadata columns (offset + directory-derived partition), so the
+      // indexing pass stays cheap relative to the write even at scale.
+      val ranges: Map[Int, (Long, Long)] = if (newFiles.isEmpty) Map.empty else {
+        val stats = spark.read
+          .option("basePath", logDir)
+          .parquet(newFiles: _*)
+          .select(col("partition"), col("offset"))
+          .withColumn("file", input_file_name())
+          .groupBy(col("file"), col("partition"))
+          .agg(
+            min("offset").as("base_offset"),
+            max("offset").as("end_offset"),
+            count(lit(1)).as("count"))
+        val rows = stats.collect() // one row per new file: metadata-scale
+        val indexRows = rows.map { r =>
+          org.apache.spark.sql.Row(
+            topic, r.getInt(1), r.getString(0), r.getLong(2), r.getLong(3),
+            r.getLong(4), batchId.map(Long.box).orNull)
+        }
+        spark.createDataFrame(
+            java.util.Arrays.asList(indexRows: _*), Schemas.index)
+          .coalesce(1)
+          .write.mode("append").parquet(wh.indexDir)
+        rows.groupBy(_.getInt(1)).map { case (p, rs) =>
+          p -> (rs.map(_.getLong(2)).min, rs.map(_.getLong(3)).max)
+        }
+      }
+      AppendResult(topic, batchId,
+        ranges, ranges.values.map { case (b, e) => e - b + 1 }.sum)
+    }
+  }
+
+  /** Convenience produce path for `Dataset[ProducerRecord]`-shaped input. */
+  def produce(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      records: DataFrame,
+      ordCol: String): AppendResult =
+    append(spark, wh, topic, records, ordCol)
+
+  private def listFiles(dir: String): Set[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) b += f.getPath.toString
+      }
+      b.result()
+    }
+  }
+
+  /** Best-effort cross-job append serialization per topic (SURVEY.md §7.4.1).
+    * Atomic create-no-overwrite of a lock file; waits up to 60 s. */
+  private def withTopicLock[T](wh: Warehouse, topic: String)(body: => T): T = {
+    val lock = new Path(s"${wh.root}/_locks/$topic.lock")
+    val fs = lock.getFileSystem(new Configuration())
+    fs.mkdirs(lock.getParent)
+    val deadline = System.currentTimeMillis() + 60000
+    var acquired = false
+    while (!acquired) {
+      try { fs.create(lock, false).close(); acquired = true }
+      catch { case _: java.io.IOException =>
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(s"timed out acquiring append lock for '$topic'")
+        Thread.sleep(100)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+}

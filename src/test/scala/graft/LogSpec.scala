@@ -1,0 +1,127 @@
+package graft
+
+import graft.core._
+import graft.core.catalog.{TopicCatalog, Warehouse}
+import graft.core.log.{LogIndex, LogReader, LogWriter}
+import org.apache.spark.sql.functions._
+
+class LogSpec extends SparkSpec {
+  import spark.implicits._
+
+  def freshWarehouse(): Warehouse = Warehouse(tmpDir("graft-wh"))
+
+  def someRecords(n: Int, keyed: Boolean = true) = {
+    (0 until n).map { i =>
+      (i.toLong, 1700000000000L + i,
+        if (keyed) s"k${i % 7}" else null,
+        s"v$i")
+    }.toDF("id", "ts", "key", "value")
+  }
+
+  test("topic creation: validation ports 1:1") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "events", 4, 1)
+    assert(TopicCatalog.exists(spark, wh, "events"))
+    assert(TopicCatalog.numPartitions(spark, wh, "events") === 4)
+    intercept[TopicAlreadyExistsException] {
+      TopicCatalog.createTopic(spark, wh, "events", 2)
+    }
+    intercept[InvalidTopicException] { TopicCatalog.createTopic(spark, wh, "", 1) }
+    intercept[InvalidTopicException] { TopicCatalog.createTopic(spark, wh, "x", 0) }
+    intercept[InvalidTopicException] { TopicCatalog.createTopic(spark, wh, "x", 1, 4) }
+    intercept[UnknownTopicException] { TopicCatalog.numPartitions(spark, wh, "nope") }
+  }
+
+  test("append assigns dense gapless per-partition offsets; poll returns them in order") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 4)
+    val res = LogWriter.append(spark, wh, "t", someRecords(1000), "id")
+    assert(res.records === 1000)
+
+    val all = LogReader.scan(spark, wh, "t")
+    assert(all.count() === 1000)
+    // dense + gapless per partition: offsets are exactly 0..count-1
+    val perPart = all.groupBy($"partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("lo"),
+        max("offset").as("hi"), countDistinct("offset").as("d"))
+      .collect()
+    assert(perPart.nonEmpty)
+    perPart.foreach { r =>
+      val (n, lo, hi, d) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo === 0L, "min offset 0")
+      assert(hi === n - 1, "max = n-1")
+      assert(d === n, "distinct = n")
+    }
+    // same key always lands on the same partition (murmur2 routing)
+    val keyParts = all.groupBy($"key").agg(countDistinct($"partition").as("np")).collect()
+    keyParts.foreach(r => assert(r.getLong(1) === 1L))
+
+    // poll a slice: strictly offset-sequential from the requested offset
+    val part = all.filter($"offset" === 0).select("partition").head().getInt(0)
+    val polled = LogReader.poll(spark, wh, "t", part, 3, 10).collect()
+    val offs = polled.map(_.getAs[Long]("offset")).toSeq
+    assert(offs === (3L until 3L + offs.length))
+  }
+
+  test("second append continues offsets from the committed end") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    LogWriter.append(spark, wh, "t", someRecords(100), "id")
+    val ends1 = LogIndex.endOffsets(spark, wh, "t")
+    LogWriter.append(spark, wh, "t", someRecords(100), "id")
+    val all = LogReader.scan(spark, wh, "t")
+    assert(all.count() === 200)
+    val perPart = all.groupBy($"partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("hi"), countDistinct("offset").as("d"))
+      .collect()
+    perPart.foreach { r =>
+      val (n, hi, d) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d === n, "still dense after second append")
+      assert(hi === n - 1, "still gapless after second append")
+    }
+    assert(ends1.values.sum === 100)
+  }
+
+  test("replayed batchId is skipped (exactly-once)") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    val r1 = LogWriter.append(spark, wh, "t", someRecords(50), "id", batchId = Some(7L))
+    val r2 = LogWriter.append(spark, wh, "t", someRecords(50), "id", batchId = Some(7L))
+    assert(r1.records === 50)
+    assert(r2.records === 0)
+    assert(LogReader.scan(spark, wh, "t").count() === 50)
+  }
+
+  test("explicit partition wins over key routing; keyless round-robins in range") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 8)
+    val recs = someRecords(64).withColumn("explicit_partition", lit(3))
+    LogWriter.append(spark, wh, "t", recs, "id")
+    val parts = LogReader.scan(spark, wh, "t").select("partition").distinct().collect()
+    assert(parts.map(_.getInt(0)).toSeq === Seq(3))
+
+    val wh2 = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh2, "t", 4)
+    LogWriter.append(spark, wh2, "t", someRecords(100, keyed = false), "id")
+    val spread = LogReader.scan(spark, wh2, "t")
+      .groupBy("partition").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(spread.keySet === Set(0, 1, 2, 3)) // id % 4 spreads evenly
+    spread.values.foreach(v => assert(v === 25L))
+  }
+
+  test("poll prunes files via the index") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    // 5 appends → ≥5 files in partition 0
+    (0 until 5).foreach { i =>
+      LogWriter.append(spark, wh, "t",
+        someRecords(100).withColumn("explicit_partition", lit(0)), "id")
+    }
+    val idx = LogIndex.forTopic(spark, wh, "t")
+    assert(idx.count() === 5)
+    // polling offsets [250, 260) must touch only the file covering 200-299
+    val polled = LogReader.poll(spark, wh, "t", 0, 250, 10)
+    assert(polled.count() === 10)
+    assert(polled.inputFiles.length === 1)
+  }
+}
