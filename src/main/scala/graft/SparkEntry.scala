@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Oracles, Queries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator (SURVEY.md §2 plus
+  * the training-data pipeline extensions); `oracleSql` carries the DuckDB
+  * equivalent for every SQL-expressible one. Queries without an oracle
+  * (murmur2 routing, LSH/ANN approximations, stubbed multimodal decode) get
+  * the driver's rows-only check; their semantics are covered by ScalaTest
+  * specs instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the full produce-path transform — route +
+    * dense offset assignment over the events table. Driver smoke-checks
+    * rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.ingestOffsets(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // flux-core: log engine semantics
+    "ingest_offsets" -> (Queries.ingestOffsets _),
+    "poll_slice" -> (Queries.pollSlice _),
+    "route_murmur2" -> (Queries.routeMurmur2 _),
+    "headers_last" -> (Queries.headersLast _),
+    "assign_range" -> (Queries.assignRange _),
+    "assign_roundrobin" -> (Queries.assignRoundRobin _),
+    // query layer over log tables
+    "q1_pricing" -> (Queries.q1Pricing _),
+    "q3_shipping" -> (Queries.q3Shipping _),
+    "q5_region" -> (Queries.q5Region _),
+    "q6_forecast" -> (Queries.q6Forecast _),
+    "q_window_rank" -> (Queries.qWindowRank _),
+    "q_events_hourly" -> (Queries.qEventsHourly _),
+    "q_brand_stats" -> (Queries.qBrandStats _),
+    "q_setops" -> (Queries.qSetOps _),
+    "q_semijoin" -> (Queries.qSemiJoin _),
+    "q_antijoin" -> (Queries.qAntiJoin _),
+    "q_rollup" -> (Queries.qRollup _),
+    // training-data pipeline operators
+    "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_fingerprint" -> (Queries.dedupFingerprint _),
+    "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_minhash" -> (Queries.dedupMinhash _),
+    "dedup_simhash" -> (Queries.dedupSimhash _),
+    "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "text_stats" -> (Queries.textStats _),
+    "quality_score" -> (Queries.qualityScore _),
+    "lang_id" -> (Queries.langId _),
+    "fingerprints" -> (Queries.fingerprints _),
+    "token_histogram" -> (Queries.tokenHistogram _),
+    "ann_brute" -> (Queries.annBrute _),
+    "ann_srp" -> (Queries.annSrp _),
+    "ann_ivf" -> (Queries.annIvf _),
+    "multimodal_meta" -> (Queries.multimodalMeta _),
+    "multimodal_decode" -> (Queries.multimodalDecode _))
+
+  /** DuckDB equivalents; keys without an entry get a rows-only check. */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct, and decode/feature steps
+  * run as partition-local transformations over the binary bytes.
+  *
+  * The Spark-side contract — schema, partition-preserving batch shape,
+  * deterministic outputs — is real and tested. The actual media codecs are
+  * STUBBED (this container has no image/audio libraries): `decodeStub`
+  * derives deterministic pseudo-features from the bytes, with the same
+  * signature a libjpeg/ffmpeg-backed implementation would have. Swapping in
+  * a real decoder changes only the lambda body, not the pipeline.
+  */
+object Multimodal {
+
+  /** Metadata struct carried alongside every binary payload. */
+  val mediaMeta: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Wrap a binary column into (content, meta) — the canonical multimodal
+    * column pair. Checksum is xxhash64 for cheap integrity checks. */
+  def withMeta(df: DataFrame, content: Column, mime: String): DataFrame =
+    df.withColumn("content", content.cast("binary"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        length(col("content")).cast("long").as("n_bytes"),
+        xxhash64(col("content")).as("checksum")))
+
+  /** STUB image decode: a real implementation would decode the codec header;
+    * this derives deterministic pseudo-dimensions from the checksum so the
+    * downstream plumbing (schema, nullability, distribution) is exercised
+    * honestly. Runs as a codegen-friendly column expression — a real decoder
+    * would switch to mapPartitions with a reused decoder instance. */
+  def decodeStub(content: Column): Column = {
+    val h = xxhash64(content)
+    struct(
+      (pmod(h, lit(1920L)) + 1).cast("int").as("width"),
+      (pmod(shiftright(h, 16), lit(1080L)) + 1).cast("int").as("height"),
+      lit(3).cast("int").as("channels"))
+  }
+
+  /** STUB feature extraction: 8 deterministic pseudo-features per payload
+    * (a real implementation embeds pixels; the pipeline shape — fixed-width
+    * float array per row — is identical). */
+  def featuresStub(content: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(content, i), lit(1000L)).cast("float") / 1000.0f))
+
+  /** Byte-range sampling — the frame-sample analog: pick `n` evenly spaced
+    * slices of `sliceBytes` from the payload (a real video sampler seeks
+    * keyframes; the partition-local slicing shape is the same). */
+  def sampleSlices(content: Column, n: Int, sliceBytes: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)), i => {
+      val len = length(content)
+      val start = (i * greatest(len - sliceBytes, lit(1)) / lit(math.max(n - 1, 1))) + 1
+      substring(content, start.cast("int"), lit(sliceBytes))
+    })
+
+  /** Resize stub: deterministic target-size recompute of the decode struct. */
+  def resizeStub(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width")
+    val h = decoded.getField("height")
+    val scale = lit(maxSide.toDouble) / greatest(w, h).cast("double")
+    struct(
+      least(w, ceil(w.cast("double") * scale).cast("int")).as("width"),
+      least(h, ceil(h.cast("double") * scale).cast("int")).as("height"),
+      decoded.getField("channels").as("channels"))
+  }
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  *
+  * Written against views named after the parquet tables. Conventions that
+  * keep the driver's column-sorted hash compare exact:
+  *   - aliases match the Spark side character-for-character;
+  *   - double sums go through DECIMAL (exact, associative) then CAST to
+  *     DOUBLE, so aggregation order cannot perturb low bits;
+  *   - counts/lengths are cast to the Spark-side integer width;
+  *   - FP-derived ranks drop the score column and carry deterministic
+  *     tie-breaks.
+  */
+object Oracles {
+
+  private val revenueExpr =
+    "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+      "AS DECIMAL(28,4))) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    "ingest_offsets" ->
+      """SELECT event_id,
+        |  CAST(event_id % 4 AS INTEGER) AS partition,
+        |  CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS BIGINT) AS offset
+        |FROM events""".stripMargin,
+
+    "poll_slice" ->
+      """WITH o AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 4 AS INTEGER) AS partition,
+        |    CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS BIGINT) AS offset
+        |  FROM events)
+        |SELECT event_id, "offset" FROM o
+        |WHERE "partition" = 2 AND "offset" >= 100 AND "offset" < 150
+        |ORDER BY "offset"""".stripMargin,
+
+    "headers_last" ->
+      """SELECT event_id, props AS last_src,
+        |  CAST(2 AS INTEGER) AS n_headers,
+        |  CAST(0 AS INTEGER) AS n_after_remove
+        |FROM events""".stripMargin,
+
+    "assign_range" ->
+      """WITH m AS (
+        |  SELECT r_name AS member, row_number() OVER (ORDER BY r_name) - 1 AS i FROM region),
+        |p AS (SELECT CAST(n_nationkey AS INTEGER) AS partition FROM nation WHERE n_nationkey < 23)
+        |SELECT m.member, p.partition FROM m JOIN p
+        |ON (CASE WHEN p.partition < 15 THEN p.partition // 5
+        |         ELSE 3 + (p.partition - 15) // 4 END) = m.i""".stripMargin,
+
+    "assign_roundrobin" ->
+      """WITH m AS (
+        |  SELECT r_name AS member, row_number() OVER (ORDER BY r_name) - 1 AS i FROM region),
+        |p AS (SELECT CAST(n_nationkey AS INTEGER) AS partition FROM nation WHERE n_nationkey < 23)
+        |SELECT m.member, p.partition FROM m JOIN p ON p.partition % 5 = m.i""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, $revenueExpr AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_region" ->
+      s"""SELECT n_name, $revenueExpr AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |FROM orders
+        |QUALIFY rank <= 3""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_brand_stats" ->
+      """SELECT p_brand,
+        |  count(DISTINCT p_type) AS n_types,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING count(DISTINCT p_type) >= 1""".stripMargin,
+
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT p_brand, p_size, count(*) AS n
+        |FROM part GROUP BY ROLLUP (p_brand, p_size)""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+
+    "dedup_fingerprint" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(list_transform(
+        |    generate_series(0, greatest(length(s) - 3, 0)),
+        |    i -> substr(s, i + 1, 3))) AS shingles
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |        FROM documents)),
+        |inv AS (SELECT id, len(shingles) AS n, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT x.id AS id_a, y.id AS id_b,
+        |    count(*) AS common, any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+        |  GROUP BY x.id, y.id)
+        |SELECT id_a, id_b,
+        |  round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS puncts,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |                        'that','for','on','with','as','was','at','by','be'], w))) AS INTEGER) AS stopwords
+        |FROM documents""".stripMargin,
+
+    "quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS puncts,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |                          'that','for','on','with','as','was','at','by','be'], w))) AS DOUBLE) AS stops,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len >= 50 AND len <= 5000 THEN 1.0
+        |         WHEN len < 50 THEN len / 50.0
+        |         ELSE 5000.0 / len END AS len_score,
+        |    CASE WHEN puncts / greatest(len, 1.0) <= 0.1 THEN 1.0
+        |         ELSE greatest(0.0, 1.0 - (puncts / greatest(len, 1.0) - 0.1) * 5.0) END AS punct_score,
+        |    least(stops / greatest(toks, 1.0) * 5.0, 1.0) AS stop_score
+        |  FROM base)
+        |SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6) AS quality
+        |FROM scored""".stripMargin,
+
+    "lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], w))) AS h_en,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], w))) AS h_de,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['el','la','de','que','y','en','un','es','no','por'], w))) AS h_es,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['le','la','de','et','un','est','pas','que','pour','dans'], w))) AS h_fr,
+        |    len(list_filter(['的','是','不','了','在','人','有','我','他','这'],
+        |      ch -> instr(text, ch) > 0)) AS h_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'zh'
+        |       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'fr'
+        |       WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'es'
+        |       WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM h""".stripMargin,
+
+    "token_histogram" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+
+    "ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |s AS (
+        |  SELECT qid, id,
+        |    list_sum(list_transform(generate_series(1, len(qvec)),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE))) /
+        |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))) *
+        |      list_sum(list_transform(generate_series(1, len(vec)),
+        |      i -> CAST(vec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)))) AS cos
+        |  FROM q, c WHERE qid <> id)
+        |SELECT qid, id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS INTEGER) AS rank
+        |FROM s
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin)
+}

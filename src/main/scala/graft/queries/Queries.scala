@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.log.LogWriter
+import graft.core.groups.{RangeAssignor, RoundRobinAssignor}
+import graft.core.routing.PartitionRouter
+import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+
+/** One named query per implemented operator (SURVEY.md §2 + the pipeline
+  * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
+  * semantics are ANSI-SQL-expressible. The driver hash-compares column-sorted
+  * results, so every computed column is aliased identically on both sides,
+  * doubles are rounded or summed as decimals (exact, associative), and any
+  * top-k ordering carries a deterministic tie-break.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` as long nanos (the session reads TIMESTAMP(NANOS) via
+    * nanosAsLong). */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+
+  // ===================== flux-core: log engine semantics =====================
+
+  /** S3/B9/P1: keyless ingest — deterministic round-robin routing + dense
+    * gapless per-partition offset assignment (the pure transform inside
+    * LogWriter.append). */
+  def ingestOffsets(spark: SparkSession, dir: String): DataFrame =
+    LogWriter.assignOffsets(
+        events(spark, dir).select(col("event_id")),
+        explicitPartition = lit(null).cast("int"),
+        key = lit(null).cast("string"),
+        ord = col("event_id"),
+        numPartitions = 4)
+      .select(col("event_id"), col("partition"), col("offset"))
+
+  /** S6/S7: poll — one partition's offset-ordered slice [100, 150). */
+  def pollSlice(spark: SparkSession, dir: String): DataFrame =
+    ingestOffsets(spark, dir)
+      .filter(col("partition") === 2 && col("offset") >= 100 && col("offset") < 150)
+      .orderBy(col("offset"))
+      .select(col("event_id"), col("offset"))
+
+  /** P1/P2: murmur2 key routing (Kafka-parity hash; no SQL oracle). */
+  def routeMurmur2(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"),
+        PartitionRouter.routeByKey(col("user_id").cast("string"), 8).as("partition"))
+
+  /** C3: header multimap ops — add twice (dup key), lastHeader wins, count. */
+  def headersLast(spark: SparkSession, dir: String): DataFrame = {
+    val withHeaders = events(spark, dir).withColumn("headers",
+      H.addHeader(
+        H.addHeader(lit(null).cast("array<struct<key:string,value:binary>>"),
+          lit("src"), col("event_type")),
+        lit("src"), col("props")))
+    withHeaders.select(
+      col("event_id"),
+      H.lastHeader(col("headers"), "src").cast("string").as("last_src"),
+      H.headerCount(col("headers")).as("n_headers"),
+      size(H.removeHeader(col("headers"), "src")).as("n_after_remove"))
+  }
+
+  /** G2: range assignor — 5 members (region names) × 23 partitions exercises
+    * the base/extra math (base=4, extra=3). */
+  def assignRange(spark: SparkSession, dir: String): DataFrame = {
+    val members = t(spark, dir, "region").select("r_name")
+      .collect().map(_.getString(0)).toSeq.sorted
+    val out = RangeAssignor.assign(members, Map("T" -> 23))
+    val rows = for {
+      (m, topics) <- out.toSeq
+      p <- topics("T")
+    } yield (m, p)
+    spark.createDataFrame(rows).toDF("member", "partition")
+      .select(col("member"), col("partition").cast("int").as("partition"))
+  }
+
+  /** G3: round-robin assignor — cyclic deal of 23 partitions to 5 members. */
+  def assignRoundRobin(spark: SparkSession, dir: String): DataFrame = {
+    val members = t(spark, dir, "region").select("r_name")
+      .collect().map(_.getString(0)).toSeq.sorted
+    val out = RoundRobinAssignor.assign(members, Map("T" -> 23))
+    val rows = for {
+      (m, topics) <- out.toSeq
+      p <- topics("T")
+    } yield (m, p)
+    spark.createDataFrame(rows).toDF("member", "partition")
+      .select(col("member"), col("partition").cast("int").as("partition"))
+  }
+
+  // ===================== query layer over the log tables =====================
+
+  /** Aggregation: TPC-H Q1-shaped pricing summary (decimal-exact sums). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Join + agg + top-k: shipping-priority style (broadcastable dims). */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,4)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-way join: revenue per nation for one region. */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA"))
+    val nation = broadcast(t(spark, dir, "nation"))
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val sup = t(spark, dir, "supplier")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(nation, sup("s_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,4)")).as("revenue"))
+
+  }
+
+  /** Filter + scalar agg with full predicate pushdown. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)"))
+        .as("revenue"))
+
+  /** Window functions: top-3 orders per customer by totalprice. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Event-time tumbling window (batch form of the streaming agg). `ts` is
+    * long nanos here; truncate to the hour. */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("hour", date_trunc("hour",
+        timestamp_micros((col("ts") / 1000).cast("long"))))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+
+  /** Distinct + having-style aggregation. */
+  def qBrandStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("p_type")).as("n_types"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).as("sum_price"))
+      .filter(col("n_types") >= 1)
+
+  /** Set operation: customers with open orders but no filled orders. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(ord.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  /** Semi join: suppliers that shipped at least one lineitem. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    t(spark, dir, "supplier")
+      .join(li, col("s_suppkey") === li("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** Anti join: customers with no in-progress ('P') orders. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").filter(col("o_orderstatus") === "P")
+    t(spark, dir, "customer")
+      .join(ord, col("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Grouping sets (rollup) over part attributes. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .rollup(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("n"))
+
+  // ===================== training-data pipeline operators =====================
+
+  /** Exact dedup: lowest doc_id survives per distinct text. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Exact dedup by 64-bit fingerprint (shuffle carries 8 bytes, not the
+    * document body) — must agree with [[dedupExact]] barring collisions. */
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByFingerprint(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"),
+        col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash-LSH near-dup pairs (approximate; no SQL oracle). */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(spark, dir, "documents"),
+      col("doc_id"), col("text"), shingleSize = 3,
+      numHashes = 64, bands = 16, threshold = 0.8)
+
+  /** SimHash near-dup pairs (approximate; no SQL oracle). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"),
+      col("doc_id"), col("text"), maxHamming = 3)
+
+  /** Embedding near-dup pairs via SRP-LSH + exact cosine (no SQL oracle). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), threshold = 0.35, nBits = 4)
+
+  /** Text statistics: chars, tokens, subwords, punctuation. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("chars"),
+      T.tokenCount(col("text")).as("tokens"),
+      T.punctCount(col("text")).as("puncts"),
+      T.stopwordCount(col("text"), T.EnglishStopwords).as("stopwords"))
+
+  /** Composite quality score in [0,1]. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), T.qualityScore(col("text")).as("quality"))
+
+  /** N-gram-heuristic language ID. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), T.langId(col("text")).as("lang_pred"))
+
+  /** 64-bit content fingerprints (no SQL oracle — engine-specific hash). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), T.fingerprint64(col("text")).as("fp"))
+
+  /** Token frequency: top-20 tokens with deterministic tie-break. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Brute-force exact ANN: top-5 cosine neighbors of the first 5 vectors. */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(queries, corpus, 5)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+  }
+
+  /** SRP-LSH approximate ANN (no SQL oracle; recall tested in specs). */
+  def annSrp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.srpTopK(queries, corpus, 5, nBits = 8, probe = 2)
+  }
+
+  /** IVF approximate ANN (no SQL oracle; recall tested in specs). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(queries, corpus, 5, nCells = 8, nProbe = 3)
+  }
+
+  /** Multimodal plumbing: binary payload + typed metadata. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMeta(t(spark, dir, "documents"),
+        col("text").cast("binary"), "text/plain")
+      .select(col("doc_id"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"))
+
+  /** Multimodal decode/resize/sample stubs (no SQL oracle — stub features). */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = Multimodal.withMeta(t(spark, dir, "documents"),
+      col("text").cast("binary"), "image/fake")
+    withBin.select(
+      col("doc_id"),
+      Multimodal.decodeStub(col("content")).as("decoded"),
+      Multimodal.resizeStub(Multimodal.decodeStub(col("content")), 256).as("resized"),
+      Multimodal.featuresStub(col("content")).as("features"),
+      size(Multimodal.sampleSlices(col("content"), 4, 16)).as("n_slices"))
+  }
+}
