@@ -1,0 +1,122 @@
+package graft.core.groups
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.catalog.{TopicCatalog, Warehouse}
+import graft.core.log.{LogIndex, LogReader}
+
+/** Consumer-group API: subscribe → deterministic assignment → incremental
+  * poll → offset commit.
+  *
+  * The reference's coordinator round (reference:
+  * src/main/java/consumer/FluxConsumer.java:52-128 join → sync → install;
+  * grpc/services/GroupCoordinatorServiceImpl.java:47-148 leader election +
+  * protocol choice) collapses to pure functions here — the driver owns group
+  * membership, so `subscribe` is: negotiate protocol, run the assignor,
+  * install the member's slice. The offset-commit surface the reference left
+  * as a proto stub (SURVEY.md §2.7 Q6, src/main/proto/offset.proto:8-66)
+  * is implemented as a committed-offsets table: last-commit-wins per
+  * (group, topic, partition), read back with a max-by-commit-ts aggregation.
+  */
+object ConsumerGroup {
+
+  val offsetsSchema: StructType = StructType(Seq(
+    StructField("group_id", StringType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false), // next offset to read
+    StructField("commit_ts", LongType, nullable = false)))
+
+  private def offsetsDir(wh: Warehouse): String = s"${wh.root}/_groups/offsets"
+
+  case class Membership(
+      groupId: String,
+      memberId: String,
+      protocol: String,
+      assignment: Map[String, Seq[Int]]) // topic -> partitions
+
+  /** Join + assign in one step: all members' subscriptions are known to the
+    * driver, so the coordinator round is a pure function. Returns every
+    * member's installed slice; deterministic for a fixed member set. */
+  def subscribe(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      members: Seq[Negotiation.Member],
+      topics: Seq[String],
+      previous: Map[String, Map[String, Seq[Int]]] = Map.empty)
+    : Seq[Membership] = {
+    val (leader, protocol) = Negotiation.negotiate(members).getOrElse(
+      throw new IllegalArgumentException(
+        s"group '$groupId': no protocol supported by every member"))
+    val counts = topics.map(t =>
+      t -> TopicCatalog.numPartitions(spark, wh, t)).toMap
+    val assignor = Assignors.byName(protocol)
+    val full = assignor.assign(members.map(_.memberId).sorted, counts, previous)
+    val _ = leader // leader identity is observable via Negotiation.negotiate
+    members.map { m =>
+      Membership(groupId, m.memberId, protocol,
+        full.getOrElse(m.memberId, Map.empty))
+    }
+  }
+
+  /** Committed next-read offsets for a group (last commit wins). */
+  def committed(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      topic: String): Map[Int, Long] = {
+    val dir = offsetsDir(wh)
+    if (!TopicCatalog.dirExists(dir)) return Map.empty
+    spark.read.schema(offsetsSchema).parquet(dir)
+      .filter(col("group_id") === groupId && col("topic") === topic)
+      .groupBy(col("partition"))
+      .agg(max_by(col("offset"), col("commit_ts")).as("offset"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+  }
+
+  /** Append a commit row per partition (immutable log of commits; readers
+    * take the latest — same append-only discipline as the data path). */
+  def commit(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      topic: String,
+      offsets: Map[Int, Long]): Unit = {
+    val now = System.currentTimeMillis()
+    val rows = offsets.toSeq.map { case (p, o) =>
+      Row(groupId, topic, p, o, now)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), offsetsSchema)
+      .coalesce(1)
+      .write.mode("append").parquet(offsetsDir(wh))
+  }
+
+  /** Poll the next `max` records of each assigned partition past the last
+    * commit; returns (records, nextOffsets-to-commit). */
+  def poll(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      membership: Membership,
+      topic: String,
+      max: Long): (DataFrame, Map[Int, Long]) = {
+    val from = committed(spark, wh, groupId, topic)
+    val parts = membership.assignment.getOrElse(topic, Seq.empty)
+    val frames = parts.map { p =>
+      LogReader.poll(spark, wh, topic, p, from.getOrElse(p, 0L), max)
+        .withColumn("partition", lit(p))
+    }
+    val all =
+      if (frames.isEmpty)
+        spark.createDataFrame(java.util.List.of[Row](), graft.core.Schemas.record)
+      else frames.reduce(_ unionByName _)
+    val next = all.groupBy(col("partition"))
+      .agg(org.apache.spark.sql.functions.max(col("offset")).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    (all, from ++ next)
+  }
+}

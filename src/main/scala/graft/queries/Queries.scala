@@ -296,7 +296,7 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.srpTopK(queries, corpus, 5, nBits = 8, probe = 2)
+    Similarity.srpTopK(queries, corpus, 5, nBits = 6, probe = 2)
   }
 
   /** IVF approximate ANN (no SQL oracle; recall tested in specs). */

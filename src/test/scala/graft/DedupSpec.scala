@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and distributed joins"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "another unrelated document mentioning neither foxes nor dogs at all")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    val out = Dedup.exact(docs, $"text", $"doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("fingerprint dedup agrees with exact dedup") {
+    val a = Dedup.exact(docs, $"text", $"doc_id").select("doc_id").as[Long].collect().sorted
+    val b = Dedup.exactByFingerprint(docs, $"text", $"doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, $"doc_id", $"text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup → jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhashDedup drops near-dup losers, keeps the lowest id") {
+    val kept = Dedup.minhashDedup(docs, $"doc_id", $"text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.head === 0L)
+    assert(!kept.contains(3L))
+  }
+
+  test("simhash pairs find exact + near duplicates within hamming 3") {
+    val pairs = Dedup.simhashPairs(docs, $"doc_id", $"text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("ngram jaccard pairs are exact") {
+    val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+        shingleSize = 3, threshold = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(exact.exists(_._3 === 1.0))
+  }
+
+  test("embedding near-dup via SRP-LSH finds planted duplicates") {
+    val base = (0 until 32).map(i => math.sin(i * 1.7).toFloat)
+    val nearly = base.updated(0, base(0) + 0.001f)
+    val other = (0 until 32).map(i => math.cos(i * 3.1 + 1).toFloat)
+    val df = Seq((0L, base), (1L, nearly), (2L, other)).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(df, $"id", $"vec", threshold = 0.99, nBits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("ANN: srp and ivf recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val truth = Similarity.bruteForceTopK(queries, corpus, 10)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val srp = Similarity.srpTopK(queries, corpus, 10, nBits = 6, probe = 2)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, 10, nCells = 8, nProbe = 4)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val srpRecall = (truth & srp).size.toDouble / truth.size
+    val ivfRecall = (truth & ivf).size.toDouble / truth.size
+    assert(srpRecall >= 0.3, s"srp recall $srpRecall")
+    assert(ivfRecall >= 0.4, s"ivf recall $ivfRecall")
+  }
+
+  test("vector expressions: cosine of identical/orthogonal vectors") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 1f), Seq(-1f, -1f), -1.0),
+      (Seq(0f, 0f), Seq(1f, 1f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "expected")
+    df.select(V.cosine($"a", $"b").as("c"), $"expected").collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.core.LivenessConfig
+import graft.core.catalog.{TopicCatalog, Warehouse}
+import graft.core.groups.{ConsumerGroup, Negotiation}
+import graft.core.log.{LogReader, LogWriter}
+import graft.streaming.{Liveness, StreamIngest}
+import org.apache.spark.sql.functions._
+
+class GroupsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def someRecords(n: Int, from: Int = 0) =
+    (from until from + n).map { i =>
+      (i.toLong, 1700000000000L + i, s"k${i % 5}", s"v$i")
+    }.toDF("id", "ts", "key", "value")
+
+  test("consumer group: subscribe, poll, commit, poll again") {
+    val wh = Warehouse(tmpDir("graft-grp"))
+    TopicCatalog.createTopic(spark, wh, "t", 4)
+    LogWriter.append(spark, wh, "t", someRecords(200), "id")
+
+    val members = Seq(
+      Negotiation.Member("m1", Seq("range", "roundrobin")),
+      Negotiation.Member("m2", Seq("range")))
+    val memberships = ConsumerGroup.subscribe(spark, wh, "g1", members, Seq("t"))
+    assert(memberships.map(_.protocol).distinct === Seq("range"))
+    val allParts = memberships.flatMap(_.assignment.getOrElse("t", Nil))
+    assert(allParts.sorted === Seq(0, 1, 2, 3))
+
+    val m1 = memberships.find(_.memberId == "m1").get
+    val (recs1, next1) = ConsumerGroup.poll(spark, wh, "g1", m1, "t", max = 10)
+    val n1 = recs1.count()
+    assert(n1 > 0 && n1 <= 10 * m1.assignment("t").size)
+    ConsumerGroup.commit(spark, wh, "g1", "t", next1)
+
+    // after commit, the same poll returns the NEXT slice (no overlap)
+    val (recs2, _) = ConsumerGroup.poll(spark, wh, "g1", m1, "t", max = 10)
+    val o1 = recs1.select("partition", "offset").as[(Int, Long)].collect().toSet
+    val o2 = recs2.select("partition", "offset").as[(Int, Long)].collect().toSet
+    assert(o1.intersect(o2).isEmpty)
+    assert(ConsumerGroup.committed(spark, wh, "g1", "t") === next1)
+  }
+
+  test("liveness snapshot: silence kills, heartbeat revives semantics") {
+    val cfg = LivenessConfig(heartbeatIntervalMs = 1000, missedThreshold = 3)
+    val now = 100000L
+    val beats = Seq(
+      Liveness.Heartbeat("b1", now - 500, 10, 4),  // fresh
+      Liveness.Heartbeat("b1", now - 900, 9, 4),   // older, ignored
+      Liveness.Heartbeat("b2", now - 5000, 3, 2),  // silent past 3000ms
+      Liveness.Heartbeat("b3", now - 2999, 7, 9)   // just inside
+    ).toDS()
+    val states = Liveness.snapshot(spark, beats, now, cfg).collect()
+      .map(s => s.memberId -> s).toMap
+    assert(states("b1").alive && states("b1").lastSeq === 10)
+    assert(!states("b2").alive)
+    assert(states("b3").alive)
+    val least = Liveness.leastLoaded(Liveness.snapshot(spark, beats, now, cfg))
+    assert(least === Some("b1")) // b2 dead; b1 load 4 < b3 load 9
+  }
+
+  test("streaming ingest: micro-batches append exactly-once with dense offsets") {
+    val wh = Warehouse(tmpDir("graft-stream"))
+    val src = tmpDir("graft-stream-src")
+    val ckpt = tmpDir("graft-stream-ckpt")
+    TopicCatalog.createTopic(spark, wh, "s", 2)
+
+    someRecords(50).write.mode("append").parquet(src)
+    someRecords(50, from = 50).write.mode("append").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val q = StreamIngest.fromParquetDir(spark, wh, "s", src, schema, "id", ckpt,
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+
+    val all = LogReader.scan(spark, wh, "s")
+    assert(all.count() === 100)
+    val perPart = all.groupBy($"partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("hi"),
+        countDistinct("offset").as("d")).collect()
+    perPart.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1), "dense")
+      assert(r.getLong(2) === r.getLong(1) - 1, "gapless")
+    }
+  }
+}

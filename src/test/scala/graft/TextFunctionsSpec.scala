@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("d").select(c).head().get(0)
+
+  test("tokens and counts") {
+    val df = Seq(
+      ("hello world  foo", 3),
+      ("  padded  ", 1),
+      ("", 0),
+      ("single", 1)).toDF("text", "expected")
+    val got = df.select(T.tokenCount($"text").as("n"), $"expected").collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
+
+  test("punctuation counting is set-exact") {
+    val df = Seq("a,b.c!d?e;f:g", "none here").toDF("text")
+    val got = df.select(T.punctCount($"text")).as[Int].collect().toSeq
+    assert(got === Seq(6, 0))
+  }
+
+  test("quality score bounded in [0,1] and favors natural text") {
+    val natural = "The quick brown fox jumps over the lazy dog and runs to the hills. " * 3
+    val junk = ";;;;;!!!???;;;;;....!!!"
+    val df = Seq(natural, junk).toDF("text")
+    val Seq(qNat, qJunk) = df.select(T.qualityScore($"text")).as[Double].collect().toSeq
+    assert(qNat > qJunk)
+    assert(qNat >= 0.0 && qNat <= 1.0 && qJunk >= 0.0 && qJunk <= 1.0)
+  }
+
+  test("langId picks the lexicon with most hits; und when none") {
+    val df = Seq(
+      "the cat sat on the mat and it is happy",
+      "der hund ist nicht zu hause und das ist gut",
+      "el perro es un animal y no es gato",
+      "le chien est pour la maison et pas que",
+      "这是一个人他有我的东西",
+      "zzz qqq xxx").toDF("text")
+    val got = df.select(T.langId($"text")).as[String].collect().toSeq
+    assert(got === Seq("en", "de", "es", "fr", "zh", "und"))
+  }
+
+  test("charShingles produce distinct n-grams over normalized text") {
+    val got = Seq("aab  aab").toDF("t")
+      .select(T.charShingles($"t", 3)).as[Seq[String]].head()
+    assert(got.toSet === Set("aab", "ab ", "b a", " aa"))
+  }
+
+  test("fingerprint64 is deterministic and spreads") {
+    val got = Seq("a", "a", "b", "").toDF("t")
+      .select(T.fingerprint64($"t")).as[Long].collect().toSeq
+    assert(got(0) === got(1))
+    assert(got(0) !== got(2))
+    assert(got(3) === 0xcbf29ce484222325L) // FNV offset basis for empty input
+  }
+
+  test("simhash: similar token sets get close signatures, disjoint get far") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val near = base.updated(0, "changed")
+    val far = (1 to 40).map(i => s"other$i")
+    val df = Seq(base, near, far).toDF("toks")
+    val sigs = df.select(T.simhash64($"toks")).as[Long].collect()
+    assert(T.hamming64(sigs(0), sigs(1)) < T.hamming64(sigs(0), sigs(2)))
+  }
+
+  test("minhash estimates jaccard") {
+    val a = (1 to 100).map(_.toString)
+    val b = (1 to 80).map(_.toString) // true J = 80/100 = 0.8
+    val df = Seq(a, b).toDF("toks")
+    val sigs = df.select(T.minhash($"toks", 128)).as[Seq[Long]].collect()
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - 0.8) < 0.15, s"estimate $est too far from 0.8")
+  }
+
+  test("jaccard column is exact") {
+    val got = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(T.jaccard($"x", $"y")).as[Double].head()
+    assert(got === 0.5)
+  }
+}
