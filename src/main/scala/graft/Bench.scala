@@ -1,9 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.catalog.{TopicCatalog, Warehouse}
+import graft.core.log.{LogReader, LogWriter}
+import graft.queries.Queries
+
+/** Benchmark main: headline operators at SPARK_GRAFT_SF_DIR, one JSON line.
+  *
+  * Two log-engine numbers mirror the reference's only published figures
+  * (BASELINE.md: ≈22.6k records/s producer path, no consumer number):
+  * `ingest_append` = full produce path (route → offset-assign → parquet +
+  * index) and `poll_scan` = sequential offset reads. Queries run through the
+  * noop sink so scans cannot collapse into metadata-only counts.
+  */
 object Bench {
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,15 +35,66 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    import org.apache.spark.sql.functions._
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var ingestRecords = 0L
+    var ingestRate = 0.0
+    var pollRate = 0.0
+
+    // --- log engine: produce path (reference's headline number) ---
+    val whDir = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
+    val wh = Warehouse(whDir)
+    TopicCatalog.createTopic(spark, wh, "events", 8)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts"),
+        col("user_id").cast("string").as("key"), col("props").as("value"))
+    ingestRecords = events.count()
+    results("ingest_append") = time {
+      LogWriter.append(spark, wh, "events", events, "event_id")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    ingestRate = ingestRecords / results("ingest_append")
+
+    // --- log engine: consume path ---
+    results("poll_scan") = time {
+      var p = 0
+      while (p < 8) {
+        var got = 1L
+        var from = 0L
+        while (got > 0) {
+          got = LogReader.poll(spark, wh, "events", p, from, 50000).count()
+          from += 50000
+        }
+        p += 1
+      }
+    }
+    pollRate = ingestRecords / results("poll_scan")
+
+    // --- query layer + pipeline headliners ---
+    val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q1_pricing" -> (Queries.q1Pricing _),
+      "q3_shipping" -> (Queries.q3Shipping _),
+      "q5_region" -> (Queries.q5Region _),
+      "q6_forecast" -> (Queries.q6Forecast _),
+      "q_window_rank" -> (Queries.qWindowRank _),
+      "q_events_hourly" -> (Queries.qEventsHourly _),
+      "dedup_exact" -> (Queries.dedupExact _),
+      "dedup_minhash" -> (Queries.dedupMinhash _),
+      "dedup_simhash" -> (Queries.dedupSimhash _),
+      "text_stats" -> (Queries.textStats _),
+      "lang_id" -> (Queries.langId _),
+      "ann_brute" -> (Queries.annBrute _),
+      "ann_srp" -> (Queries.annSrp _))
+    headline.foreach { case (name, fn) =>
+      results(name) = time(materialize(fn(spark, sfDir)))
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}""")
     spark.stop()
   }
 }

@@ -96,25 +96,25 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** Character n-gram shingles (distinct, order-free) — the standard
-    * near-dup unit for MinHash/Jaccard. */
+  /** Character n-gram shingles (distinct, first-occurrence order) — the
+    * standard near-dup unit for MinHash/Jaccard. Normalization (lower, trim,
+    * whitespace collapse) runs as built-in column ops; the shingling itself
+    * is a one-pass custom expression — the `transform`+`substring`
+    * composition is O(len²) per document because UTF-8 `substring` seeks
+    * from the start each call. */
   def charShingles(c: Column, n: Int): Column = {
     val s = regexp_replace(lower(trim(c)), "\\s+", " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(length(s) - n, lit(0))),
-        i => substring(s, lit(1) + i, lit(n)).cast("string")))
+    GraftInternal.column(
+      CharShinglesExpression(GraftInternal.expression(s), n))
   }
 
-  /** Word n-gram shingles (distinct). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(lower(c))
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct, first-occurrence order). One-pass
+    * custom expression — the `transform`+`slice` composition re-evaluates
+    * the tokenizing `split` inside the lambda for every shingle position
+    * (subexpression elimination does not reach into lambda bodies). */
+  def wordShingles(c: Column, n: Int): Column =
+    GraftInternal.column(
+      WordShinglesExpression(GraftInternal.expression(lower(c)), n))
 
   /** Exact Jaccard similarity of two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -135,6 +135,14 @@ object TextFunctions {
     * Hash family: murmur2(token) mixed with k fixed odd multipliers. */
   def minhash(tokensCol: Column, k: Int): Column =
     GraftInternal.column(MinHashExpression(GraftInternal.expression(tokensCol), k))
+
+  /** LSH band bucket keys (array of `bands` longs) computed from the MinHash
+    * signature in ONE pass — signature and band-folding fused into a single
+    * expression so projection collapse cannot duplicate the k-hash signature
+    * computation per band. */
+  def minhashBands(tokensCol: Column, k: Int, bands: Int): Column =
+    GraftInternal.column(
+      MinHashBandsExpression(GraftInternal.expression(tokensCol), k, bands))
 
   // ---- static helpers callable from generated code ----
 
@@ -176,11 +184,87 @@ object TextFunctions {
     out
   }
 
+  /** One-pass distinct character n-grams of a UTF-8 string: code-point
+    * offsets computed once, byte-sliced windows, LinkedHashSet dedup
+    * (first-occurrence order — matches `array_distinct` semantics).
+    * O(bytes × n) instead of O(chars²). */
+  def charShingleSet(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // code-point start offsets
+    val starts = new Array[Int](s.numChars() + 1)
+    var i = 0; var c = 0
+    while (i < bytes.length) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    starts(c) = bytes.length
+    val nChars = c
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (nChars <= n) {
+      out.add(s)
+    } else {
+      var j = 0
+      while (j + n <= nChars) {
+        out.add(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, starts(j), starts(j + n))))
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** One-pass distinct word n-grams: whitespace-tokenize once, join each
+    * window of n tokens with a single space, LinkedHashSet dedup. Fewer than
+    * n tokens → one shingle of all tokens. */
+  def wordShingleSet(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.trim.split("\\s+")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (toks.length < n) {
+      out.add(UTF8String.fromString(toks.mkString(" ")))
+    } else {
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   def hamming64Col(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Band bucket keys from a one-pass MinHash: FNV-fold each band's slice of
+    * the signature with the band index. */
+  def minhashBandKeys(arr: ArrayData, k: Int, bands: Int): ArrayData = {
+    val sig = minhashSig(arr, k).asInstanceOf[GenericArrayData]
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var j = 0
+      while (j < rows) {
+        h = (h ^ sig.getLong(b * rows + j)) * 0x100000001b3L
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** MinHash signature: for hash i, min over tokens of
     * mix(murmur2(token), i). Universal-ish family, deterministic. */
@@ -227,6 +311,48 @@ case class SimHash64Expression(child: Expression) extends UnaryExpression {
     TextFunctions.simhash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass distinct char shingles over StringType. */
+case class CharShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.charShingleSet(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.charShingleSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass distinct word shingles over StringType. */
+case class WordShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.wordShingleSet(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.wordShingleSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd fused MinHash + LSH band fold over array<string>. */
+case class MinHashBandsExpression(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.minhashBandKeys(input.asInstanceOf[ArrayData], k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.minhashBandKeys($c, $k, $bands)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -17,6 +17,16 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Round-robin repartition to the session's shuffle parallelism before a
+    * CPU-bound signature stage: testdata-sized inputs often arrive as ONE
+    * parquet split, which would serialize all shingle/minhash compute on a
+    * single core. The shuffled payload is the narrow (id, text) projection —
+    * one pass of the raw bytes, the standard price for balanced compute. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(p)
+  }
+
   /** Exact dedup: keep the lowest-id row per distinct value of `on`.
     * One hash-aggregate shuffle; survivors keep all columns. */
   def exact(df: DataFrame, on: Column, id: Column): DataFrame = {
@@ -48,30 +58,39 @@ object Dedup {
       text: Column,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
-    val rows = numHashes / bands
-    val sig = df.select(
-      id.cast("long").as("id"),
-      T.charShingles(text, shingleSize).as("shingles"))
-      .withColumn("sig", T.minhash(col("shingles"), numHashes))
-    // band key = (band index, hash of the band's slice of the signature)
-    val banded = sig.select(
-      col("id"), col("shingles"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucketSize: Long = 2000): DataFrame = {
+    // spread BEFORE the shingle pass so signature compute runs on all cores
+    val sh = spread(df.select(id.cast("long").as("id"), text.as("__text")))
+      .select(col("id"), T.charShingles(col("__text"), shingleSize).as("shingles"))
+    // Fused signature + band fold (one expression) — projection collapse
+    // cannot duplicate the k-hash signature per band. Candidates carry ONLY
+    // the 8-byte ids through the join + dedup — the shingle arrays re-attach
+    // after candidate pairs are distinct, so the shuffle volume is
+    // O(pairs × 16B), not O(pairs × document size).
+    val banded = sh.select(
+      col("id"),
+      posexplode(T.minhashBands(col("shingles"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    // degenerate-bucket guard: a band value shared by >maxBucketSize docs is
+    // non-discriminative (would emit O(bucket²) candidates); drop it — at
+    // LSH parameters matched to the threshold, true near-dups collide in
+    // other bands with overwhelming probability.
+    val bucketSizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+    val kept = banded.join(bucketSizes.select("band", "bucket"), Seq("band", "bucket"))
+    val candidates = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b") // bands often agree; verify once
+      .select("id_a", "id_b")
+      .distinct()
     candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -100,23 +119,35 @@ object Dedup {
       df: DataFrame,
       id: Column,
       text: Column,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(id.cast("long").as("id"),
-      T.simhash64(T.wordShingles(text, 2)).as("sim"))
-    val banded = sig.select(col("id"), col("sim"),
+      maxHamming: Int = 3,
+      maxBucketSize: Long = 2000): DataFrame = {
+    val sig = spread(df.select(id.cast("long").as("id"), text.as("__text")))
+      .select(col("id"), T.simhash64(T.wordShingles(col("__text"), 2)).as("sim"))
+    val banded0 = sig.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(0xffffL)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
+    // degenerate-chunk guard: on homogeneous corpora some 16-bit chunk
+    // values are shared by a large fraction of docs (correlated bit votes);
+    // those buckets emit O(bucket²) candidates while discriminating nothing.
+    // Pairs whose only collision was a mega-bucket may be lost — the standard
+    // SimHash-at-scale recall/cost trade.
+    val okChunks = banded0.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select("band", "chunk")
+    val banded = banded0.join(okChunks, Seq("band", "chunk"))
+    // candidate pairs carry (id, sim) only — 16 bytes a side; hamming verify
+    // runs pre-dedup (cheap bit math) so the distinct sees far fewer rows
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", T.hamming64Col(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** N-gram Jaccard pairs via an inverted-index join (no LSH, exact): explode
@@ -133,8 +164,8 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Long = 10000): DataFrame = {
-    val sh = df.select(id.cast("long").as("id"),
-      T.charShingles(text, shingleSize).as("shingles"))
+    val sh = spread(df.select(id.cast("long").as("id"), text.as("__text")))
+      .select(col("id"), T.charShingles(col("__text"), shingleSize).as("shingles"))
       .withColumn("n", size(col("shingles")))
     val inv = sh.select(col("id"), col("n"), explode(col("shingles")).as("g"))
     val freq = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
@@ -159,13 +190,13 @@ object Dedup {
       vec: Column,
       threshold: Double = 0.95,
       nBits: Int = 8): DataFrame = {
-    val sig = df.select(id.cast("long").as("id"), vec.as("v"))
+    val sig = spread(df.select(id.cast("long").as("id"), vec.as("v")))
       .withColumn("bucket", V.srpBucket(col("v"), nBits))
+    // one bucket per row → a pair can only collide once; no dedup needed
     val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", V.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

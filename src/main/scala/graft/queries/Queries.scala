@@ -234,8 +234,8 @@ object Queries {
   /** MinHash-LSH near-dup pairs (approximate; no SQL oracle). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(spark, dir, "documents"),
-      col("doc_id"), col("text"), shingleSize = 3,
-      numHashes = 64, bands = 16, threshold = 0.8)
+      col("doc_id"), col("text"), shingleSize = 5,
+      numHashes = 128, bands = 16, threshold = 0.6)
 
   /** SimHash near-dup pairs (approximate; no SQL oracle). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
