@@ -28,6 +28,9 @@ object SparkEntry {
     "headers_last" -> (Queries.headersLast _),
     "assign_range" -> (Queries.assignRange _),
     "assign_roundrobin" -> (Queries.assignRoundRobin _),
+    "assign_sticky" -> (Queries.assignSticky _),
+    "liveness_snapshot" -> (Queries.livenessSnapshot _),
+    "expire_ttl" -> (Queries.expireTtl _),
     // query layer over log tables
     "q1_pricing" -> (Queries.q1Pricing _),
     "q3_shipping" -> (Queries.q3Shipping _),

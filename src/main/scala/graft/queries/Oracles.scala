@@ -55,6 +55,33 @@ object Oracles {
         |p AS (SELECT CAST(n_nationkey AS INTEGER) AS partition FROM nation WHERE n_nationkey < 23)
         |SELECT m.member, p.partition FROM m JOIN p ON p.partition % 5 = m.i""".stripMargin,
 
+    "assign_sticky" ->
+      """WITH m AS (
+        |  SELECT r_name AS member, row_number() OVER (ORDER BY r_name) - 1 AS i FROM region),
+        |p AS (SELECT CAST(n_nationkey AS INTEGER) AS partition FROM nation WHERE n_nationkey < 23)
+        |SELECT m.member, p.partition FROM m JOIN p ON p.partition % 5 = m.i""".stripMargin,
+
+    "liveness_snapshot" ->
+      """WITH beats AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS member_id,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms,
+        |    event_id AS seq
+        |  FROM events),
+        |latest AS (
+        |  SELECT member_id, ts_ms AS last_ts, seq AS last_seq
+        |  FROM beats
+        |  QUALIFY row_number() OVER (PARTITION BY member_id ORDER BY ts_ms DESC, seq DESC) = 1),
+        |now_ms AS (SELECT max(ts_ms) AS v FROM beats)
+        |SELECT member_id, last_ts, last_seq,
+        |  (SELECT v FROM now_ms) - last_ts <= 24 * 3600 * 1000 AS alive
+        |FROM latest""".stripMargin,
+
+    "expire_ttl" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms FROM events),
+        |h AS (SELECT max(ts_ms) - 7 * 24 * 3600 * 1000 AS cutoff FROM ev)
+        |SELECT event_id, ts_ms FROM ev WHERE ts_ms >= (SELECT cutoff FROM h)""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

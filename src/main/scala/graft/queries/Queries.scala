@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.log.LogWriter
-import graft.core.groups.{RangeAssignor, RoundRobinAssignor}
+import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
 import graft.pipeline.{Dedup, Multimodal, Similarity}
@@ -92,6 +92,49 @@ object Queries {
     } yield (m, p)
     spark.createDataFrame(rows).toDF("member", "partition")
       .select(col("member"), col("partition").cast("int").as("partition"))
+  }
+
+  /** G4: sticky assignor from a cold start (no previous claims) — phase-2
+    * min-heap deal, which from empty state is a deterministic cyclic deal. */
+  def assignSticky(spark: SparkSession, dir: String): DataFrame = {
+    val members = t(spark, dir, "region").select("r_name")
+      .collect().map(_.getString(0)).toSeq.sorted
+    val out = StickyAssignor.assign(members, Map("T" -> 23))
+    val rows = for {
+      (m, topics) <- out.toSeq
+      p <- topics("T")
+    } yield (m, p)
+    spark.createDataFrame(rows).toDF("member", "partition")
+      .select(col("member"), col("partition").cast("int").as("partition"))
+  }
+
+  /** K4: liveness snapshot — latest heartbeat per member (user), alive iff
+    * within 24h of the stream's end. Batch analog of the
+    * mapGroupsWithState operator (the streaming form is spec-tested). */
+  def livenessSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val beats = events(spark, dir).select(
+        col("user_id").cast("string").as("memberId"),
+        expr("ts div 1000000").as("ts"), // nanos -> millis
+        col("event_id").as("seq"),
+        lit(0).as("partitionCount"))
+      .as[graft.streaming.Liveness.Heartbeat]
+    val nowMs = beats.agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
+    graft.streaming.Liveness
+      .snapshot(spark, beats, nowMs,
+        graft.core.LivenessConfig(heartbeatIntervalMs = 8 * 3600 * 1000L, missedThreshold = 3))
+      .toDF()
+      .select(col("memberId").as("member_id"), col("lastTs").as("last_ts"),
+        col("lastSeq").as("last_seq"), col("alive"))
+  }
+
+  /** B6: batch-expiry semantics — records older than the TTL horizon are
+    * dropped (the reference's delivery.timeout.ms expiry as a filter). */
+  def expireTtl(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_ms", expr("ts div 1000000"))
+    val horizon = ev.agg(max(col("ts_ms"))).head().getLong(0) - 7L * 24 * 3600 * 1000
+    ev.filter(col("ts_ms") >= horizon)
+      .select(col("event_id"), col("ts_ms"))
   }
 
   // ===================== query layer over the log tables =====================
