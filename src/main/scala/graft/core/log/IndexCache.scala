@@ -1,0 +1,65 @@
+package graft.core.log
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** Driver-side cache of a topic's file-offset index — the in-memory analog
+  * of the reference's per-segment index map
+  * (reference: src/main/java/server/internal/storage/IndexEntries.java:17-26,
+  * consulted on every fetch at LogSegment.java:286-300).
+  *
+  * The index table is metadata-scale (one row per committed file), so
+  * loading it once and pruning in-driver turns every `poll` into a single
+  * Spark job over just the matching files. Staleness is detected by
+  * fingerprinting the index directory listing (name+size of each index
+  * file) — one cheap FS listing per poll instead of a full Spark read.
+  */
+object IndexCache {
+
+  final case class Entry(
+      partition: Int, file: String, baseOffset: Long, endOffset: Long, count: Long)
+
+  private case class Cached(fingerprint: String, entries: Array[Entry])
+
+  private val cache = TrieMap.empty[(String, String), Cached]
+
+  private def fingerprint(indexDir: String): String = {
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p)
+      .filterNot(s => s.getPath.getName.startsWith("_"))
+      .map(s => s"${s.getPath.getName}:${s.getLen}")
+      .sorted.mkString(",")
+  }
+
+  /** Entries of one topic, reloaded only when the index dir changed. */
+  def entries(
+      spark: SparkSession,
+      wh: graft.core.catalog.Warehouse,
+      topic: String): Array[Entry] = {
+    val key = (wh.root, topic)
+    val fp = fingerprint(wh.indexDir)
+    cache.get(key) match {
+      case Some(c) if c.fingerprint == fp => c.entries
+      case _ =>
+        val loaded = LogIndex.forTopic(spark, wh, topic)
+          .select("partition", "file", "base_offset", "end_offset", "count")
+          .collect()
+          .map(r => Entry(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        cache.put(key, Cached(fp, loaded))
+        loaded
+    }
+  }
+
+  /** Committed next offset per partition, from the cache. */
+  def nextOffsets(spark: SparkSession, wh: graft.core.catalog.Warehouse, topic: String): Map[Int, Long] =
+    entries(spark, wh, topic)
+      .groupBy(_.partition)
+      .map { case (p, es) => p -> (es.map(_.endOffset).max + 1L) }
+
+  def invalidate(wh: graft.core.catalog.Warehouse, topic: String): Unit =
+    cache.remove((wh.root, topic))
+}

@@ -32,12 +32,12 @@ object LogReader {
       fromOffset: Long,
       max: Long): DataFrame = {
     val to = fromOffset + max // exclusive
-    val files = LogIndex.forTopic(spark, wh, topic)
-      .filter(col("partition") === partition &&
-        col("end_offset") >= fromOffset && col("base_offset") < to)
-      .select("file")
-      .collect()
-      .map(_.getString(0))
+    // prune in-driver against the cached index — no Spark job; the poll
+    // itself is then ONE job over just the intersecting files
+    val files = IndexCache.entries(spark, wh, topic)
+      .filter(e => e.partition == partition &&
+        e.endOffset >= fromOffset && e.baseOffset < to)
+      .map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
     else
       spark.read
@@ -51,8 +51,7 @@ object LogReader {
     * (exclusive lower bounds come from a group's committed offsets). The
     * returned frame is the topic "table" the query layer runs over. */
   def scan(spark: SparkSession, wh: Warehouse, topic: String): DataFrame = {
-    val files = LogIndex.forTopic(spark, wh, topic)
-      .select("file").collect().map(_.getString(0))
+    val files = IndexCache.entries(spark, wh, topic).map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
     else spark.read.option("basePath", wh.logDir(topic)).parquet(files.toIndexedSeq: _*)
   }
@@ -64,12 +63,9 @@ object LogReader {
       wh: Warehouse,
       topic: String,
       from: Map[Int, Long]): DataFrame = {
-    val idx = LogIndex.forTopic(spark, wh, topic)
-    val fromExpr = from.foldLeft(lit(0L)) { case (acc, (p, o)) =>
-      when(col("partition") === p, lit(o)).otherwise(acc)
-    }
-    val files = idx.filter(col("end_offset") >= fromExpr)
-      .select("file").collect().map(_.getString(0))
+    val files = IndexCache.entries(spark, wh, topic)
+      .filter(e => e.endOffset >= from.getOrElse(e.partition, 0L))
+      .map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
     else {
       val lower = from.foldLeft(lit(0L)) { case (acc, (p, o)) =>

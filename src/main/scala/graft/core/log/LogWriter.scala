@@ -96,12 +96,11 @@ object LogWriter {
       conf: ProducerConfig = ProducerConfig()): AppendResult = {
     val n = TopicCatalog.numPartitions(spark, wh, topic)
     withTopicLock(wh, topic) {
-      val idx = LogIndex.forTopic(spark, wh, topic)
       batchId.foreach { id =>
-        if (LogIndex.hasBatch(idx, id))
+        if (LogIndex.hasBatch(LogIndex.forTopic(spark, wh, topic), id))
           return AppendResult(topic, batchId, Map.empty, 0L)
       }
-      val bases = LogIndex.nextOffsets(idx)
+      val bases = IndexCache.nextOffsets(spark, wh, topic)
       val explicitP =
         if (records.columns.contains("explicit_partition")) col("explicit_partition")
         else lit(null).cast("int")
@@ -132,36 +131,33 @@ object LogWriter {
         .parquet(logDir)
       val newFiles = (listFiles(logDir) -- before).toSeq.sorted
 
-      // Index the new files. Column pruning keeps this scan to the two
-      // metadata columns (offset + directory-derived partition), so the
-      // indexing pass stays cheap relative to the write even at scale.
-      val ranges: Map[Int, (Long, Long)] = if (newFiles.isEmpty) Map.empty else {
-        val stats = spark.read
-          .option("basePath", logDir)
-          .parquet(newFiles: _*)
-          .select(col("partition"), col("offset"))
-          .withColumn("file", input_file_name())
-          .groupBy(col("file"), col("partition"))
-          .agg(
-            min("offset").as("base_offset"),
-            max("offset").as("end_offset"),
-            count(lit(1)).as("count"))
-        val rows = stats.collect() // one row per new file: metadata-scale
-        val indexRows = rows.map { r =>
+      // Index the new files from their parquet FOOTERS (offset column
+      // min/max + row count) — no Spark job, no data re-read; files are
+      // written offset-sorted so the footer stats are exact. One footer
+      // read per new file, parallelized on the driver.
+      val stats: Seq[FileStats] = {
+        import scala.jdk.CollectionConverters._
+        java.util.Arrays.stream(newFiles.toArray).parallel()
+          .map[FileStats](f => readFooterStats(f))
+          .collect(java.util.stream.Collectors.toList[FileStats]).asScala.toSeq
+      }
+      val ranges: Map[Int, (Long, Long)] = if (stats.isEmpty) Map.empty else {
+        val indexRows = stats.map { s =>
           org.apache.spark.sql.Row(
-            topic, r.getInt(1), r.getString(0), r.getLong(2), r.getLong(3),
-            r.getLong(4), batchId.map(Long.box).orNull)
+            topic, s.partition, s.file, s.baseOffset, s.endOffset,
+            s.count, batchId.map(Long.box).orNull)
         }
         spark.createDataFrame(
             java.util.Arrays.asList(indexRows: _*), Schemas.index)
           .coalesce(1)
           .write.mode("append").parquet(wh.indexDir)
-        rows.groupBy(_.getInt(1)).map { case (p, rs) =>
-          p -> (rs.map(_.getLong(2)).min, rs.map(_.getLong(3)).max)
+        IndexCache.invalidate(wh, topic)
+        stats.groupBy(_.partition).map { case (p, ss) =>
+          p -> (ss.map(_.baseOffset).min, ss.map(_.endOffset).max)
         }
       }
       AppendResult(topic, batchId,
-        ranges, ranges.values.map { case (b, e) => e - b + 1 }.sum)
+        ranges, stats.map(_.count).sum)
     }
   }
 
@@ -173,6 +169,43 @@ object LogWriter {
       records: DataFrame,
       ordCol: String): AppendResult =
     append(spark, wh, topic, records, ordCol)
+
+  private case class FileStats(
+      partition: Int, file: String, baseOffset: Long, endOffset: Long, count: Long)
+
+  /** Offset range + row count of one committed file, from its parquet
+    * footer column statistics (the `offset` column is LongType and always
+    * present, so min/max are exact). Partition id parses from the
+    * `partition=<p>` directory. */
+  private def readFooterStats(file: String): FileStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val path = new Path(file)
+    val partition = path.getParent.getName match {
+      case s if s.startsWith("partition=") => s.substring("partition=".length).toInt
+      case other => throw new IllegalStateException(s"unexpected log layout: $other")
+    }
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(path, new Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var n = 0L
+      blocks.foreach { b =>
+        n += b.getRowCount
+        b.getColumns.asScala.find(_.getPath.toDotString == "offset").foreach { c =>
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            lo = math.min(lo, st.genericGetMin.asInstanceOf[java.lang.Long])
+            hi = math.max(hi, st.genericGetMax.asInstanceOf[java.lang.Long])
+          }
+        }
+      }
+      FileStats(partition, file, lo, hi, n)
+    } finally reader.close()
+  }
 
   private def listFiles(dir: String): Set[String] = {
     val p = new Path(dir)
