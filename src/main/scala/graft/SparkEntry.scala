@@ -38,6 +38,7 @@ object SparkEntry {
     "q6_forecast" -> (Queries.q6Forecast _),
     "q_window_rank" -> (Queries.qWindowRank _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
+    "q_sessionize" -> (Queries.qSessionize _),
     "q_brand_stats" -> (Queries.qBrandStats _),
     "q_setops" -> (Queries.qSetOps _),
     "q_semijoin" -> (Queries.qSemiJoin _),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,6 +61,66 @@ object Multimodal {
       val start = (i * greatest(len - sliceBytes, lit(1)) / lit(math.max(n - 1, 1))) + 1
       substring(content, start.cast("int"), lit(sliceBytes))
     })
+
+  /** Decoded-media record produced by the partition-local decode path. */
+  case class DecodedMedia(
+      id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      features: Array[Float])
+
+  /** Partition-local batch decode — the shape a real codec-backed decoder
+    * runs in: `mapPartitions` with ONE decoder instance per partition
+    * (decoder init is expensive; per-row init would dominate), rows decoded
+    * in a streaming loop. The decoder itself is the deterministic stub. A
+    * libjpeg/ffmpeg implementation replaces `StubDecoder` only.
+    *
+    * Input: (id: Long, content: binary). Distribution, batch shape, schema,
+    * and failure behavior (null-safe skip) are real and tested.
+    */
+  def decodePartitions(
+      df: DataFrame,
+      id: Column,
+      content: Column,
+      featureDim: Int = 8): Dataset[DecodedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), content.cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new StubDecoder(featureDim) // one instance per partition
+        rows.collect { case (i, bytes) if bytes != null =>
+          decoder.decode(i, bytes)
+        }
+      }
+  }
+
+  /** Deterministic stand-in for a native media decoder. Holds "expensive"
+    * per-partition state (the feature buffer) like a real codec context. */
+  final class StubDecoder(featureDim: Int) extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+        i += 1
+      }
+      val feats = new Array[Float](featureDim)
+      var j = 0
+      var x = h
+      while (j < featureDim) {
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+        feats(j) = math.abs(x % 1000L).toFloat / 1000.0f
+        j += 1
+      }
+      DecodedMedia(id,
+        width = (math.abs(h % 1920L) + 1).toInt,
+        height = (math.abs((h >> 16) % 1080L) + 1).toInt,
+        channels = 3,
+        features = feats)
+    }
+  }
 
   /** Resize stub: deterministic target-size recompute of the decode struct. */
   def resizeStub(decoded: Column, maxSide: Int): Column = {

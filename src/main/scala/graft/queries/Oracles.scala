@@ -137,6 +137,29 @@ object Oracles {
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 30 * 60 * 1000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  min(ts_ms) AS session_start,
+        |  max(ts_ms) - min(ts_ms) AS duration_ms
+        |FROM sessions
+        |GROUP BY user_id, session_id""".stripMargin,
+
     "q_brand_stats" ->
       """SELECT p_brand,
         |  count(DISTINCT p_type) AS n_types,

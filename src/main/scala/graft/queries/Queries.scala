@@ -218,6 +218,25 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"))
 
+  /** Sessionization: split each user's event stream at >30 min gaps
+    * (lag + cumulative-sum session ids — the batch form of
+    * `session_window`), then aggregate per session. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    events(spark, dir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+  }
+
   /** Distinct + having-style aggregation. */
   def qBrandStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part")
