@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{GraftInternal, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
+
+/** SQL surface for the engine's custom expressions.
+  *
+  * Two registration paths, one function list:
+  *   - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *     (the `SparkSessionExtensions` path for clusters/spark-submit);
+  *   - `GraftExtensions.register(spark)` on a live session.
+  *
+  * After either, the expressions are plain SQL:
+  * {{{ SELECT murmur2(key), fingerprint64(text), vec_cosine(a, b) ... }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name -> builder for every registered function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "murmur2" -> { args => Murmur2Expression(args.head) },
+    "fingerprint64" -> { args => Fingerprint64Expression(args.head) },
+    "simhash64" -> { args => SimHash64Expression(args.head) },
+    "minhash" -> { args =>
+      MinHashExpression(args.head, intArg(args(1), "minhash k")) },
+    "minhash_bands" -> { args =>
+      MinHashBandsExpression(args.head,
+        intArg(args(1), "minhash k"), intArg(args(2), "bands")) },
+    "char_shingles" -> { args =>
+      CharShinglesExpression(args.head, intArg(args(1), "shingle size")) },
+    "word_shingles" -> { args =>
+      WordShinglesExpression(args.head, intArg(args(1), "shingle size")) },
+    "vec_dot" -> { args => DotProductExpression(args.head, args(1)) },
+    "vec_cosine" -> { args => CosineExpression(args.head, args(1)) },
+    "srp_bucket" -> { args =>
+      SrpBucketExpression(args.head, intArg(args(1), "nBits")) })
+
+  /** Register every function on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      GraftInternal.registerFunction(spark, name, builder)
+    }
+}
