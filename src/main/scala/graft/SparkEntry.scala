@@ -44,6 +44,9 @@ object SparkEntry {
     "q_semijoin" -> (Queries.qSemiJoin _),
     "q_antijoin" -> (Queries.qAntiJoin _),
     "q_rollup" -> (Queries.qRollup _),
+    "q_priority_count" -> (Queries.qPriorityCount _),
+    "q_pivot" -> (Queries.qPivot _),
+    "q_quantiles" -> (Queries.qQuantiles _),
     // training-data pipeline operators
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_fingerprint" -> (Queries.dedupFingerprint _),

@@ -168,6 +168,27 @@ object Oracles {
         |GROUP BY p_brand
         |HAVING count(DISTINCT p_type) >= 1""".stripMargin,
 
+    "q_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_setops" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT

@@ -268,6 +268,38 @@ object Queries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Correlated-exists (TPC-H Q4 shape): count orders per priority having at
+    * least one lineitem shipped after the order date. */
+  def qPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Pivot: order counts per priority × status (fixed column set). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
+  /** Exact interpolated quantiles of lineitem quantity per return flag. */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
+
   /** Grouping sets (rollup) over part attributes. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part")

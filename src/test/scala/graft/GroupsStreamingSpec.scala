@@ -60,6 +60,36 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(least === Some("b1")) // b2 dead; b1 load 4 < b3 load 9
   }
 
+  test("streaming windowed agg with watermark drops late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val windowed = input.toDF().toDF("ts", "kind")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"kind")
+      .count()
+    val q = windowed.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append())
+      .start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      input.addData((t(0), "a"), (t(1), "a"), (t(6), "b"))
+      q.processAllAvailable()
+      input.addData((t(30), "a")) // advances watermark to 10:20 -> closes early windows
+      q.processAllAvailable()
+      input.addData((t(2), "a")) // late beyond watermark: dropped
+      input.addData((t(31), "a"))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .selectExpr("window.start AS s", "kind", "count").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "a", 2L))) // late (t2,a) NOT counted
+      assert(out.contains(("2024-01-01 10:05:00.0", "b", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest: micro-batches append exactly-once with dense offsets") {
     val wh = Warehouse(tmpDir("graft-stream"))
     val src = tmpDir("graft-stream-src")
