@@ -55,6 +55,21 @@ object Bench {
     }
     ingestRate = ingestRecords / results("ingest_append")
 
+    // --- bulk ingest: 6x the row count, where fixed job overhead amortizes ---
+    TopicCatalog.createTopic(spark, wh, "bulk", 8)
+    val bulk = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        monotonically_increasing_id().as("id"),
+        lit(1700000000000L).as("ts"),
+        col("l_orderkey").cast("string").as("key"),
+        concat_ws("|", col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice")).as("value"))
+    val bulkRecords = bulk.count()
+    results("ingest_bulk") = time {
+      LogWriter.append(spark, wh, "bulk", bulk, "id")
+    }
+    val bulkRate = bulkRecords / results("ingest_bulk")
+
     // --- log engine: consume path ---
     results("poll_scan") = time {
       var p = 0
@@ -92,7 +107,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus"""
+    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}""")
     spark.stop()

@@ -59,6 +59,7 @@ object SparkEntry {
     "lang_id" -> (Queries.langId _),
     "fingerprints" -> (Queries.fingerprints _),
     "token_histogram" -> (Queries.tokenHistogram _),
+    "subword_count" -> (Queries.subwordCount _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),

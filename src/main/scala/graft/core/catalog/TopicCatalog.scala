@@ -74,6 +74,17 @@ object TopicCatalog {
   def numPartitions(spark: SparkSession, wh: Warehouse, topic: String): Int =
     topicInfo(spark, wh, topic).numPartitions
 
+  /** Register every topic as a SQL temp view named `topic_<name>`, backed by
+    * the indexed log scan — the engine's `spark.sql` surface over topics. */
+  def registerViews(spark: SparkSession, wh: Warehouse): Seq[String] = {
+    import graft.core.log.LogReader
+    topics(spark, wh).select("topic").collect().map(_.getString(0)).toSeq.map { t =>
+      val view = s"topic_$t"
+      LogReader.scan(spark, wh, t).createOrReplaceTempView(view)
+      view
+    }
+  }
+
   private[graft] def dirExists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())

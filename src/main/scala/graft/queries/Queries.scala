@@ -365,6 +365,12 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.fingerprint64(col("text")).as("fp"))
 
+  /** BPE-ish subword counting (lookaround regex — no SQL oracle; the
+    * whitespace token count in text_stats is the oracle-checked form). */
+  def subwordCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), T.subwordCount(col("text")).as("subwords"))
+
   /** Token frequency: top-20 tokens with deterministic tie-break. */
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

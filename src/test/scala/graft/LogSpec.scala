@@ -109,6 +109,16 @@ class LogSpec extends SparkSpec {
     spread.values.foreach(v => assert(v === 25L))
   }
 
+  test("topics register as SQL views over the indexed scan") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "ev", 2)
+    LogWriter.append(spark, wh, "ev", someRecords(40), "id")
+    val views = TopicCatalog.registerViews(spark, wh)
+    assert(views === Seq("topic_ev"))
+    val n = spark.sql("SELECT count(*) AS n FROM topic_ev WHERE offset >= 0").head().getLong(0)
+    assert(n === 40)
+  }
+
   test("poll prunes files via the index") {
     val wh = freshWarehouse()
     TopicCatalog.createTopic(spark, wh, "t", 1)
