@@ -74,6 +74,36 @@ object TopicCatalog {
   def numPartitions(spark: SparkSession, wh: Warehouse, topic: String): Int =
     topicInfo(spark, wh, topic).numPartitions
 
+  /** Delete a topic: catalog row, index rows, and log directory. Mirrors
+    * decommission-side cleanup (no physical analog in the reference beyond
+    * topic-validation; deletion order is data-last so a crash never leaves
+    * catalog/index rows pointing at missing files... the reverse: it may
+    * leave orphan files, which nothing references). */
+  def deleteTopic(spark: SparkSession, wh: Warehouse, topic: String): Unit = {
+    if (!exists(spark, wh, topic))
+      throw new UnknownTopicException(s"unknown topic '$topic'")
+    // catalog rewrite (append-only table -> rewrite without the topic)
+    val keptTopics = topics(spark, wh).filter(col("topic") =!= topic)
+    rewriteDir(spark, keptTopics, wh.catalogDir)
+    // index rewrite
+    val keptIdx = graft.core.log.LogIndex.all(spark, wh).filter(col("topic") =!= topic)
+    rewriteDir(spark, keptIdx, wh.indexDir)
+    graft.core.log.IndexCache.invalidate(wh, topic)
+    // data last
+    val p = new org.apache.hadoop.fs.Path(wh.logDir(topic))
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(p, true)
+  }
+
+  private def rewriteDir(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    val tmp = s"${dir}_rewrite"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
   /** Register every topic as a SQL temp view named `topic_<name>`, backed by
     * the indexed log scan — the engine's `spark.sql` surface over topics. */
   def registerViews(spark: SparkSession, wh: Warehouse): Seq[String] = {

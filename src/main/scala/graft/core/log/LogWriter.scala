@@ -170,13 +170,15 @@ object LogWriter {
       ordCol: String): AppendResult =
     append(spark, wh, topic, records, ordCol)
 
-  private case class FileStats(
+  private[log] case class FileStats(
       partition: Int, file: String, baseOffset: Long, endOffset: Long, count: Long)
 
   /** Offset range + row count of one committed file, from its parquet
     * footer column statistics (the `offset` column is LongType and always
     * present, so min/max are exact). Partition id parses from the
     * `partition=<p>` directory. */
+  private[log] def footerStats(file: String): FileStats = readFooterStats(file)
+
   private def readFooterStats(file: String): FileStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -1,0 +1,107 @@
+package graft
+
+import graft.core._
+import graft.core.catalog.{TopicCatalog, Warehouse}
+import graft.core.groups.AssignmentCodec
+import graft.core.log.{LogIndex, LogReader, LogRetention, LogWriter}
+import org.apache.spark.sql.functions._
+
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  def recs(n: Int, from: Int = 0, key: Int => String = i => s"k${i % 5}") =
+    (from until from + n).map(i => (i.toLong, 1700000000000L + i, key(i), s"v$i"))
+      .toDF("id", "ts", "key", "value")
+
+  test("retention drops whole expired files, keeps offsets dense above watermark") {
+    val wh = Warehouse(tmpDir("graft-ret"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    (0 until 4).foreach { i =>
+      LogWriter.append(spark, wh, "t",
+        recs(100, from = i * 100).withColumn("explicit_partition", lit(0)), "id")
+    }
+    assert(LogIndex.forTopic(spark, wh, "t").count() === 4)
+    val dropped = LogRetention.expireBefore(spark, wh, "t", Map(0 -> 250L))
+    // files covering [0,99] and [100,199] go; [200,299] straddles -> kept
+    assert(dropped.size === 2)
+    val left = LogReader.scan(spark, wh, "t")
+    assert(left.count() === 200)
+    assert(left.agg(min("offset")).head().getLong(0) === 200L)
+    // expired offsets are unreadable, later polls still work
+    assert(LogReader.poll(spark, wh, "t", 0, 0, 50).count() === 0)
+    assert(LogReader.poll(spark, wh, "t", 0, 350, 10).count() === 10)
+    // appends continue from the committed end, not the retained start
+    val r = LogWriter.append(spark, wh, "t",
+      recs(10, from = 400).withColumn("explicit_partition", lit(0)), "id")
+    assert(r.ranges(0)._1 === 400L)
+  }
+
+  test("compaction keeps the latest record per key, preserves offsets") {
+    val wh = Warehouse(tmpDir("graft-compact"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    LogWriter.append(spark, wh, "t", recs(100), "id")
+    LogWriter.append(spark, wh, "t", recs(100, from = 100), "id")
+    LogRetention.compact(spark, wh, "t")
+    val after = LogReader.scan(spark, wh, "t")
+    // 5 distinct keys; each survives once per partition it appears in
+    val perKey = after.groupBy("key").count().collect()
+    assert(after.count() === perKey.map(_.getLong(1)).sum)
+    perKey.foreach(r => assert(r.getLong(1) >= 1))
+    // survivor for k0 is the LAST write (id 195 -> value v195)
+    val k0 = after.filter($"key" === "k0").orderBy($"offset".desc).head()
+    assert(k0.getAs[String]("value") === "v195")
+    // offsets preserved (max survivor offset = old max offset of that partition)
+    val oldEnds = Map(0 -> 195L) // not asserted exactly; offsets must be a subset
+    val offs = after.select("partition", "offset").as[(Int, Long)].collect()
+    assert(offs.distinct.length === offs.length)
+  }
+
+  test("deleteTopic removes catalog, index, and data; other topics untouched") {
+    val wh = Warehouse(tmpDir("graft-del"))
+    TopicCatalog.createTopic(spark, wh, "keepme", 2)
+    TopicCatalog.createTopic(spark, wh, "dropme", 2)
+    LogWriter.append(spark, wh, "keepme", recs(50), "id")
+    LogWriter.append(spark, wh, "dropme", recs(50), "id")
+    TopicCatalog.deleteTopic(spark, wh, "dropme")
+    assert(!TopicCatalog.exists(spark, wh, "dropme"))
+    assert(TopicCatalog.exists(spark, wh, "keepme"))
+    assert(LogReader.scan(spark, wh, "keepme").count() === 50)
+    assert(LogIndex.forTopic(spark, wh, "dropme").count() === 0)
+    intercept[UnknownTopicException] {
+      TopicCatalog.deleteTopic(spark, wh, "dropme")
+    }
+  }
+
+  test("assignment codec round-trips the reference wire format") {
+    val a = Map(
+      "m1" -> Map("topicA" -> Seq(0, 1, 2), "topicB" -> Seq(4)),
+      "m2" -> Map("topicA" -> Seq(3)),
+      "m3" -> Map.empty[String, Seq[Int]])
+    val enc = AssignmentCodec.encode(a)
+    assert(enc === "m1:topicA=0,1,2;topicB=4||m2:topicA=3||m3:")
+    assert(AssignmentCodec.decode(enc) === a)
+    assert(AssignmentCodec.decode("") === Map.empty)
+  }
+
+  test("concurrent appends to one topic serialize; offsets stay dense") {
+    val wh = Warehouse(tmpDir("graft-conc"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = (0 until 4).map { i =>
+      Future(LogWriter.append(spark, wh, "t", recs(50, from = i * 50), "id"))
+    }
+    val results = Await.result(Future.sequence(fs), 120.seconds)
+    assert(results.map(_.records).sum === 200)
+    val all = LogReader.scan(spark, wh, "t")
+    assert(all.count() === 200)
+    val perPart = all.groupBy($"partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("hi"), countDistinct("offset").as("d"))
+      .collect()
+    perPart.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1), "dense under concurrency")
+      assert(r.getLong(2) === r.getLong(1) - 1, "gapless under concurrency")
+    }
+  }
+}
