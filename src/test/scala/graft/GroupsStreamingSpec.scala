@@ -60,6 +60,24 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(least === Some("b1")) // b2 dead; b1 load 4 < b3 load 9
   }
 
+  test("streaming consumer: readStream over the log delivers appended records") {
+    val wh = Warehouse(tmpDir("graft-consume"))
+    TopicCatalog.createTopic(spark, wh, "c", 2)
+    LogWriter.append(spark, wh, "c", someRecords(80), "id")
+    val q = StreamIngest.consume(spark, wh, "c")
+      .writeStream.format("memory").queryName("consumed")
+      .option("checkpointLocation", tmpDir("graft-consume-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("consumed").count() === 80)
+      // records appended AFTER the stream started are picked up incrementally
+      LogWriter.append(spark, wh, "c", someRecords(20, from = 80), "id")
+      q.processAllAvailable()
+      assert(spark.table("consumed").count() === 100)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg with watermark drops late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.Queries
+
+/** Plan-shape regression tests — the 100 TB discipline enforced in CI:
+  * predicates and projections must reach the parquet scans, small dims must
+  * broadcast, and LSH candidate generation must never cross-join. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q1/q6: filter + projection pushdown reach the scan") {
+    val p1 = plan(Queries.q1Pricing(spark, dir))
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p1.contains("l_orderkey"), "unused columns must be pruned")
+    val p6 = plan(Queries.q6Forecast(spark, dir))
+    assert(p6.contains("GreaterThanOrEqual(l_shipdate") && p6.contains("LessThan(l_quantity"))
+  }
+
+  test("q3/q5: dimension joins broadcast") {
+    assert(plan(Queries.q3Shipping(spark, dir)).contains("BroadcastHashJoin"))
+    val p5 = plan(Queries.q5Region(spark, dir))
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(p5.contains("EqualTo(r_name,ASIA)"), "region filter pushed to scan")
+  }
+
+  test("LSH dedup generates candidates via equi-joins, never cross joins") {
+    Seq(
+      Queries.dedupMinhash(spark, dir),
+      Queries.dedupSimhash(spark, dir),
+      Queries.dedupEmbedding(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), "no cartesian products in LSH")
+      assert(!p.contains("BroadcastNestedLoopJoin"), "no nested-loop joins in LSH")
+    }
+  }
+
+  test("poll touches only index-selected files and pushes the offset filter") {
+    import graft.core.catalog.{TopicCatalog, Warehouse}
+    import graft.core.log.{LogReader, LogWriter}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = Warehouse(tmpDir("graft-planspec"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    (0 until 3).foreach { i =>
+      LogWriter.append(spark, wh, "t",
+        (i * 100 until i * 100 + 100).map(j => (j.toLong, 1L, s"k$j", s"v$j"))
+          .toDF("id", "ts", "key", "value")
+          .withColumn("explicit_partition", lit(0)), "id")
+    }
+    val polled = LogReader.poll(spark, wh, "t", 0, 150, 10)
+    assert(polled.inputFiles.length === 1, "index pruning selects one file")
+    val p = plan(polled)
+    assert(p.contains("GreaterThanOrEqual(offset,150)"), "offset filter pushed")
+  }
+}
