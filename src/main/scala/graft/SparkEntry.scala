@@ -39,6 +39,8 @@ object SparkEntry {
     "q_window_rank" -> (Queries.qWindowRank _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
+    "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_range_join" -> (Queries.qRangeJoin _),
     "q_brand_stats" -> (Queries.qBrandStats _),
     "q_setops" -> (Queries.qSetOps _),
     "q_semijoin" -> (Queries.qSemiJoin _),

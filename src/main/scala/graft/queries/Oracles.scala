@@ -160,6 +160,33 @@ object Oracles {
         |FROM sessions
         |GROUP BY user_id, session_id""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms FROM events),
+        |c AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_ms AS purchase_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts_ms, p.purchase_id, p.purchase_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.purchase_ts DESC, p.purchase_id DESC) AS rn
+        |  FROM c LEFT JOIN p
+        |    ON c.user_id = p.user_id AND p.purchase_ts <= c.ts_ms)
+        |SELECT event_id, user_id, ts_ms,
+        |  purchase_id AS asof_purchase_id, purchase_ts AS asof_purchase_ts
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  abs(a.ts_ms - b.ts_ms) AS gap_ms
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.ts_ms - b.ts_ms) <= 60000""".stripMargin,
+
     "q_brand_stats" ->
       """SELECT p_brand,
         |  count(DISTINCT p_type) AS n_types,

@@ -237,6 +237,35 @@ object Queries {
         (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
   }
 
+  /** As-of join (funnel attribution): each click event joined to the user's
+    * latest purchase at or before it — composed as union + window, no join
+    * explosion (SURVEY.md §4: built-in composition over custom operator). */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_ms", expr("ts div 1000000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"),
+        col("event_id").as("purchase_id"), col("ts_ms").as("purchase_ts"))
+    graft.pipeline.Temporal.asOfJoin(
+        clicks, purchases, key = "user_id", ts = "ts_ms",
+        payload = Seq("purchase_id", "purchase_ts"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_purchase_id"), col("asof_purchase_ts"))
+  }
+
+  /** Range join: same-user event pairs within 60 s, via time-bucket
+    * equi-join + exact refine (never a cartesian product). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_ms", expr("ts div 1000000"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts_ms").as("ts_a"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"), col("ts_ms").as("ts_b"))
+    graft.pipeline.Temporal.rangeJoin(a, b, "user_id", "ts_a", "ts_b", 60000L)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        abs(col("ts_a") - col("ts_b")).as("gap_ms"))
+  }
+
   /** Distinct + having-style aggregation. */
   def qBrandStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part")
