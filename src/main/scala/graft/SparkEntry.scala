@@ -61,6 +61,7 @@ object SparkEntry {
     "lang_id" -> (Queries.langId _),
     "fingerprints" -> (Queries.fingerprints _),
     "token_histogram" -> (Queries.tokenHistogram _),
+    "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "subword_count" -> (Queries.subwordCount _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),

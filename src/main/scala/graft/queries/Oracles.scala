@@ -316,6 +316,18 @@ object Oracles {
         |       ELSE 'de' END AS lang_pred
         |FROM h""".stripMargin,
 
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token)
+        |SELECT lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS rank,
+        |  token, n
+        |FROM counts
+        |QUALIFY rank <= 10""".stripMargin,
+
     "token_histogram" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)

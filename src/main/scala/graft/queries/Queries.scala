@@ -409,6 +409,23 @@ object Queries {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** Heavy hitters per language via the Space-Saving typed Aggregator —
+    * bounded per-group state; with capacity >> distinct items the counts
+    * are exact, which is what the oracle checks. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, dir, "documents")
+      .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+      .as[(String, String)]
+    val topk = toks.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.HeavyHitters(1024).toColumn.name("topk"))
+      .toDF("lang", "topk")
+    topk.select(col("lang"), posexplode(col("topk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("token"), col("col._2").as("n"))
+      .filter(col("rank") <= 10)
+  }
+
   /** Brute-force exact ANN: top-5 cosine neighbors of the first 5 vectors. */
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")

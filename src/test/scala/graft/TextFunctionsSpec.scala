@@ -78,6 +78,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(est - 0.8) < 0.15, s"estimate $est too far from 0.8")
   }
 
+  test("heavy hitters: space-saving top-k matches exact counts when capacity suffices") {
+    import graft.functions.HeavyHitters
+    val items = (1 to 500).map(_ => "hot") ++ (1 to 200).map(_ => "warm") ++
+      (1 to 50).map(i => s"cold$i")
+    val ds = spark.createDataset(scala.util.Random.shuffle(items))(
+      org.apache.spark.sql.Encoders.STRING)
+    val agg = new HeavyHitters(64).toColumn
+    val result = ds.select(agg).head()
+    assert(result.take(2) === Seq(("hot", 500L), ("warm", 200L)))
+  }
+
+  test("heavy hitters: bounded capacity still surfaces the dominant item") {
+    import graft.functions.HeavyHitters
+    val items = (1 to 1000).map(_ => "dominant") ++ (1 to 300).map(i => s"noise$i")
+    val ds = spark.createDataset(scala.util.Random.shuffle(items))(
+      org.apache.spark.sql.Encoders.STRING)
+    val result = ds.select(new HeavyHitters(16).toColumn).head()
+    assert(result.head._1 === "dominant")
+    assert(result.head._2 >= 1000L) // overestimate-only guarantee
+  }
+
   test("jaccard column is exact") {
     val got = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(T.jaccard($"x", $"y")).as[Double].head()
