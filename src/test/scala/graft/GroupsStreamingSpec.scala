@@ -60,6 +60,57 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(least === Some("b1")) // b2 dead; b1 load 4 < b3 load 9
   }
 
+  test("liveness transition function: heartbeat, timeout, revival (TestGroupState)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val cfg = LivenessConfig(heartbeatIntervalMs = 1000, missedThreshold = 3)
+    // first heartbeat creates alive state
+    val s0 = TestGroupState.create[Liveness.MemberState](
+      optionalState = org.apache.spark.api.java.Optional.empty[Liveness.MemberState](), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val after1 = Liveness.update(cfg)("b1",
+      Iterator(Liveness.Heartbeat("b1", 500L, 1, 4)), s0)
+    assert(after1.alive && after1.lastSeq === 1 && after1.revivals === 0)
+    // timeout fires with no data -> marked dead, state retained
+    val s1 = TestGroupState.create[Liveness.MemberState](
+      optionalState = org.apache.spark.api.java.Optional.of(after1), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 5000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val dead = Liveness.update(cfg)("b1", Iterator.empty, s1)
+    assert(!dead.alive)
+    assert(s1.exists, "state retained for revival")
+    // late heartbeat revives and counts the revival (reference :96-99)
+    val s2 = TestGroupState.create[Liveness.MemberState](
+      optionalState = org.apache.spark.api.java.Optional.of(dead), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 6000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val revived = Liveness.update(cfg)("b1",
+      Iterator(Liveness.Heartbeat("b1", 6000L, 2, 4)), s2)
+    assert(revived.alive && revived.revivals === 1 && revived.lastSeq === 2)
+  }
+
+  test("headers survive the log round-trip in order with duplicate keys") {
+    import graft.functions.{HeaderFunctions => H}
+    val wh = Warehouse(tmpDir("graft-hdr"))
+    TopicCatalog.createTopic(spark, wh, "h", 1)
+    val recs = someRecords(10).withColumn("headers",
+      H.addHeader(
+        H.addHeader(
+          H.addHeader(lit(null).cast("array<struct<key:string,value:binary>>"),
+            lit("trace"), lit("first")),
+          lit("other"), lit("x")),
+        lit("trace"), lit("second")))
+    LogWriter.append(spark, wh, "h", recs, "id")
+    val back = LogReader.scan(spark, wh, "h")
+    val last = back.select(H.lastHeader($"headers", "trace").cast("string")).head().getString(0)
+    assert(last === "second", "insertion order preserved, lastHeader wins")
+    val all = back.select(H.headersFor($"headers", "trace")
+      .cast("array<string>")).head().getSeq[String](0)
+    assert(all === Seq("first", "second"))
+    val count = back.select(H.headerCount($"headers")).head().getInt(0)
+    assert(count === 3)
+  }
+
   test("streaming consumer: readStream over the log delivers appended records") {
     val wh = Warehouse(tmpDir("graft-consume"))
     TopicCatalog.createTopic(spark, wh, "c", 2)
