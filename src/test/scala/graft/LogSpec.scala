@@ -109,6 +109,17 @@ class LogSpec extends SparkSpec {
     spread.values.foreach(v => assert(v === 25L))
   }
 
+  test("driver contract: entry() returns rows on sf0.001; every query has distinct column names") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // driver's compare sorts columns by name — duplicate names would break it
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, "/root/testdata/sf0.001").columns
+      assert(cols.distinct.length === cols.length, s"$name has duplicate columns")
+    }
+    // every oracle key must have a matching query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("topics register as SQL views over the indexed scan") {
     val wh = freshWarehouse()
     TopicCatalog.createTopic(spark, wh, "ev", 2)
