@@ -61,15 +61,39 @@ object TopicCatalog {
     else spark.createDataFrame(java.util.List.of[Row](), Schemas.topics)
 
   def exists(spark: SparkSession, wh: Warehouse, topic: String): Boolean =
-    topics(spark, wh).filter(col("topic") === topic).limit(1).count() > 0
+    cachedTopics(spark, wh).contains(topic)
+
+  // Driver-side catalog cache — the analog of the reference's singleton
+  // InMemoryTopicMetadataRepository (metadata-scale), invalidated by
+  // fingerprinting the catalog dir listing so cross-JVM creates are seen.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[String, FluxTopic])]
+
+  private def catalogFingerprint(wh: Warehouse): String = {
+    val p = new org.apache.hadoop.fs.Path(wh.catalogDir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => s"${s.getPath.getName}:${s.getLen}").sorted.mkString(",")
+  }
+
+  private def cachedTopics(spark: SparkSession, wh: Warehouse): Map[String, FluxTopic] = {
+    val fp = catalogFingerprint(wh)
+    cache.get(wh.root) match {
+      case Some((f, m)) if f == fp => m
+      case _ =>
+        val m = topics(spark, wh).collect()
+          .map(r => r.getString(0) -> FluxTopic(r.getString(0), r.getInt(1), r.getInt(2)))
+          .toMap
+        cache.put(wh.root, (fp, m))
+        m
+    }
+  }
 
   /** Reference: InMemoryTopicMetadataRepository.getPartitionsFor. */
-  def topicInfo(spark: SparkSession, wh: Warehouse, topic: String): FluxTopic = {
-    val rows = topics(spark, wh).filter(col("topic") === topic).collect()
-    if (rows.isEmpty) throw new UnknownTopicException(s"unknown topic '$topic'")
-    val r = rows.head
-    FluxTopic(r.getString(0), r.getInt(1), r.getInt(2))
-  }
+  def topicInfo(spark: SparkSession, wh: Warehouse, topic: String): FluxTopic =
+    cachedTopics(spark, wh).getOrElse(topic,
+      throw new UnknownTopicException(s"unknown topic '$topic'"))
 
   def numPartitions(spark: SparkSession, wh: Warehouse, topic: String): Int =
     topicInfo(spark, wh, topic).numPartitions
