@@ -108,8 +108,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
+    println(json)
+    // sbt buries stdout under [info] prefixes; the file copy is the
+    // machine-readable channel (driver falls back to parsing stdout).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
     spark.stop()
   }
 }

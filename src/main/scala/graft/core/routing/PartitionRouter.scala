@@ -37,8 +37,11 @@ object PartitionRouter {
     val n = lit(numPartitions)
     val inRange = explicitPartition.isNotNull &&
       explicitPartition >= 0 && explicitPartition < n
+    // empty keys take the keyless leg, matching the reference's
+    // `key != null && !key.isEmpty()` gate (PartitionSelector.java:22-51)
     when(inRange, explicitPartition.cast("int"))
-      .when(key.isNotNull, Murmur2.murmur2Partition(key, numPartitions))
+      .when(key.isNotNull && length(key) > 0,
+        Murmur2.murmur2Partition(key, numPartitions))
       .otherwise(pmod(roundRobinOrd.cast("long"), n.cast("long")).cast("int"))
   }
 

@@ -79,22 +79,14 @@ object TextFunctions {
 
   /** N-gram-heuristic language ID: the language whose stopword lexicon hits
     * the most tokens; `und` (undetermined) when nothing hits. Deterministic
-    * tie-break by language code. */
-  def langId(c: Column): Column = {
-    val toks = tokens(lower(c))
-    val scored = LangLexicons.toSeq.sortBy(_._1).map { case (lang, lex) =>
-      val lexArr = array(lex.map(lit): _*)
-      // zh has no whitespace tokens: count lexicon chars contained in text
-      val hits =
-        if (lang == "zh")
-          size(filter(lexArr, ch => instr(c, ch) > 0))
-        else
-          size(filter(toks, w => array_contains(lexArr, w)))
-      struct(hits.as("hits"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+    * tie-break by language code (largest code wins: zh > fr > es > en > de).
+    *
+    * One-pass custom expression: the text is tokenized ONCE and every
+    * lexicon scored in the same loop — the `filter(tokens(...), ...)`
+    * composition re-derived the token array per language (5× the tokenize
+    * cost; subexpression elimination does not reach into lambda bodies). */
+  def langId(c: Column): Column =
+    GraftInternal.column(LangIdExpression(GraftInternal.expression(c)))
 
   /** Character n-gram shingles (distinct, first-occurrence order) — the
     * standard near-dup unit for MinHash/Jaccard. Normalization (lower, trim,
@@ -240,6 +232,49 @@ object TextFunctions {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  // langId one-pass scoring tables: langs in ascending code order so a
+  // `>=` scan implements the largest-code tie-break; zh (no whitespace
+  // tokens) is scored by lexicon-char containment over the raw text.
+  private val LangIdLangs: Array[String] = Array("de", "en", "es", "fr", "zh")
+  private val LangIdTokenLex: Array[java.util.HashSet[String]] =
+    LangIdLangs.init.map { l =>
+      val h = new java.util.HashSet[String]()
+      LangLexicons(l).foreach(h.add)
+      h
+    }
+  private val ZhChars: Array[String] = LangLexicons("zh").toArray
+
+  /** One-pass language-ID eval: tokenize once (lower + space-trim + `\s+`
+    * split — identical to `tokens(lower(c))`), score all lexicons per token. */
+  def langIdEval(s: UTF8String): UTF8String = {
+    val toks = s.toLowerCase.trim().toString.split("\\s+")
+    val hits = new Array[Int](LangIdLangs.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < LangIdTokenLex.length) {
+        if (LangIdTokenLex(l).contains(toks(i))) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    val raw = s.toString
+    var z = 0
+    while (z < ZhChars.length) {
+      if (raw.contains(ZhChars(z))) hits(LangIdLangs.length - 1) += 1
+      z += 1
+    }
+    var best = 0
+    var bi = -1
+    var l = 0
+    while (l < hits.length) {
+      if (hits(l) > 0 && hits(l) >= best) { best = hits(l); bi = l }
+      l += 1
+    }
+    if (bi < 0) UTF8String.fromString("und")
+    else UTF8String.fromString(LangIdLangs(bi))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
@@ -299,6 +334,18 @@ case class Fingerprint64Expression(child: Expression) extends UnaryExpression {
     TextFunctions.fnv1a64(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.fnv1a64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass language ID over StringType. */
+case class LangIdExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.langIdEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.langIdEval($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -87,9 +87,13 @@ object Similarity {
       sampleSize: Int = 2000,
       iterations: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
-    // --- train centroids driver-side on a bounded sample (metadata-scale) ---
-    val sample = corpus.select("vec").limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // --- train centroids driver-side on a bounded sample (metadata-scale).
+    // orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    // driver merge — no full sort), and pins the sample: a bare limit()
+    // takes whatever partitions answer first, so centroids (and the whole
+    // ANN output) would vary run to run. ---
+    val sample = corpus.select("id", "vec").orderBy("id").limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     var centroids = sample.take(nCells).map(_.clone())

@@ -145,11 +145,11 @@ object Queries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(28,4)")).as("sum_disc_price"),
+          .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Join + agg + top-k: shipping-priority style (broadcastable dims). */
@@ -162,7 +162,7 @@ object Queries {
       .groupBy(col("l_orderkey"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(28,4)")).as("revenue"))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -184,7 +184,7 @@ object Queries {
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(28,4)")).as("revenue"))
+        .cast("decimal(28,4)")).cast("double").as("revenue"))
 
   }
 
@@ -196,7 +196,7 @@ object Queries {
         col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
         col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)"))
-        .as("revenue"))
+        .cast("double").as("revenue"))
 
   /** Window functions: top-3 orders per customer by totalprice. */
   def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
@@ -213,10 +213,10 @@ object Queries {
   def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("hour", date_trunc("hour",
-        timestamp_micros((col("ts") / 1000).cast("long"))))
+        timestamp_micros(expr("ts div 1000"))))
       .groupBy(col("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
   /** Sessionization: split each user's event stream at >30 min gaps
     * (lag + cumulative-sum session ids — the batch form of
@@ -271,7 +271,7 @@ object Queries {
     t(spark, dir, "part")
       .groupBy(col("p_brand"))
       .agg(countDistinct(col("p_type")).as("n_types"),
-        sum(col("p_retailprice").cast("decimal(18,2)")).as("sum_price"))
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .filter(col("n_types") >= 1)
 
   /** Set operation: customers with open orders but no filled orders. */
@@ -462,15 +462,22 @@ object Queries {
         col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
 
-  /** Multimodal decode/resize/sample stubs (no SQL oracle — stub features). */
+  /** Multimodal decode/resize/sample stubs (no SQL oracle — stub features).
+    * Projects SCALAR columns only (the driver's rows-only check sorts the
+    * pandas frame; struct/array-of-binary columns are unsortable there). */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     val withBin = Multimodal.withMeta(t(spark, dir, "documents"),
       col("text").cast("binary"), "image/fake")
+    val decoded = Multimodal.decodeStub(col("content"))
+    val resized = Multimodal.resizeStub(decoded, 256)
     withBin.select(
       col("doc_id"),
-      Multimodal.decodeStub(col("content")).as("decoded"),
-      Multimodal.resizeStub(Multimodal.decodeStub(col("content")), 256).as("resized"),
-      Multimodal.featuresStub(col("content")).as("features"),
+      decoded.getField("width").as("width"),
+      decoded.getField("height").as("height"),
+      resized.getField("width").as("resized_w"),
+      resized.getField("height").as("resized_h"),
+      round(aggregate(Multimodal.featuresStub(col("content")),
+        lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("feat_sum"),
       size(Multimodal.sampleSlices(col("content"), 4, 16)).as("n_slices"))
   }
 }

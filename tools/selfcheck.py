@@ -49,7 +49,9 @@ for q in sorted(os.listdir(out)):
         fail += 1
         continue
     try:
-        pd.testing.assert_frame_equal(e, o, check_dtype=False, check_exact=True)
+        # dtype-sensitive (mirrors the driver's type-sensitive hash): a
+        # DECIMAL column on one side vs DOUBLE on the other must FAIL here.
+        pd.testing.assert_frame_equal(e, o, check_dtype=True, check_exact=True)
         print(f"{q:24s} OK ({len(e)} rows)")
         ok += 1
     except AssertionError as ex:
