@@ -8,13 +8,19 @@ import graft.core._
   *
   * {{{
   *   <root>/_catalog/topics/            topic registry (parquet)
-  *   <root>/_index/                     per-file offset index (parquet)
+  *   <root>/_index/<topic>/             per-file offset index (parquet)
   *   <root>/logs/<topic>/partition=<p>/ the log segments (parquet)
   * }}}
+  *
+  * The index is PER TOPIC: appends to different topics never touch each
+  * other's index files, index rewrites (retention/compaction/deletion) are
+  * serialized by the topic lock alone, and the cache-staleness fingerprint
+  * lists one topic's handful of files instead of the whole cluster's.
   */
 case class Warehouse(root: String) {
   def catalogDir: String = s"$root/_catalog/topics"
-  def indexDir: String = s"$root/_index"
+  def indexBase: String = s"$root/_index"
+  def indexDir(topic: String): String = s"$root/_index/$topic"
   def logDir(topic: String): String = s"$root/logs/$topic"
   def partitionDir(topic: String, p: Int): String = s"${logDir(topic)}/partition=$p"
 }
@@ -98,25 +104,27 @@ object TopicCatalog {
   def numPartitions(spark: SparkSession, wh: Warehouse, topic: String): Int =
     topicInfo(spark, wh, topic).numPartitions
 
-  /** Delete a topic: catalog row, index rows, and log directory. Mirrors
-    * decommission-side cleanup (no physical analog in the reference beyond
-    * topic-validation; deletion order is data-last so a crash never leaves
-    * catalog/index rows pointing at missing files... the reverse: it may
-    * leave orphan files, which nothing references). */
+  /** Delete a topic under its topic lock: index dir first (readers go
+    * blind), then the data files, then the catalog row. A crash mid-way
+    * leaves a still-registered topic with a partial/empty log — re-running
+    * deleteTopic finishes the job — and never an unregistered name whose
+    * stale index/data a re-create would resurrect. The per-topic index dir
+    * makes this a plain recursive delete: no other topic's rows are ever
+    * rewritten (and so cannot be lost to a concurrent append). */
   def deleteTopic(spark: SparkSession, wh: Warehouse, topic: String): Unit = {
     if (!exists(spark, wh, topic))
       throw new UnknownTopicException(s"unknown topic '$topic'")
-    // catalog rewrite (append-only table -> rewrite without the topic)
-    val keptTopics = topics(spark, wh).filter(col("topic") =!= topic)
-    rewriteDir(spark, keptTopics, wh.catalogDir)
-    // index rewrite
-    val keptIdx = graft.core.log.LogIndex.all(spark, wh).filter(col("topic") =!= topic)
-    rewriteDir(spark, keptIdx, wh.indexDir)
-    graft.core.log.IndexCache.invalidate(wh, topic)
-    // data last
-    val p = new org.apache.hadoop.fs.Path(wh.logDir(topic))
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.delete(p, true)
+    graft.core.Locks.withTopicLock(wh, topic) {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val idx = new org.apache.hadoop.fs.Path(wh.indexDir(topic))
+      val fs = idx.getFileSystem(conf)
+      fs.delete(idx, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${wh.indexDir(topic)}_rewrite"), true)
+      graft.core.log.IndexCache.invalidate(wh, topic)
+      fs.delete(new org.apache.hadoop.fs.Path(wh.logDir(topic)), true)
+      val keptTopics = topics(spark, wh).filter(col("topic") =!= topic)
+      rewriteDir(spark, keptTopics, wh.catalogDir)
+    }
   }
 
   private def rewriteDir(spark: SparkSession, df: DataFrame, dir: String): Unit = {

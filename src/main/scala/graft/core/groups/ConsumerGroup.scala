@@ -114,9 +114,22 @@ object ConsumerGroup {
       if (frames.isEmpty)
         spark.createDataFrame(java.util.List.of[Row](), graft.core.Schemas.record)
       else frames.reduce(_ unionByName _)
-    val next = all.groupBy(col("partition"))
-      .agg(org.apache.spark.sql.functions.max(col("offset")).as("hi"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    // next offsets come from the (already-consulted) index cache, not a
+    // second Spark job over the polled frames: offsets are dense per
+    // partition, so the highest polled offset is min(log end, from + max)
+    // whenever the poll window intersects the committed range.
+    val perPart = graft.core.log.IndexCache.entries(spark, wh, topic)
+      .filter(_.isData).groupBy(_.partition)
+    val next = parts.flatMap { p =>
+      val start = from.getOrElse(p, 0L)
+      perPart.get(p).flatMap { es =>
+        val lo = es.map(_.baseOffset).min
+        val hi = es.map(_.endOffset).max
+        if (hi >= start && lo < start + max)
+          Some(p -> (math.min(hi, start + max - 1) + 1))
+        else None
+      }
+    }.toMap
     (all, from ++ next)
   }
 }

@@ -19,7 +19,11 @@ import scala.collection.concurrent.TrieMap
 object IndexCache {
 
   final case class Entry(
-      partition: Int, file: String, baseOffset: Long, endOffset: Long, count: Long)
+      partition: Int, file: String, baseOffset: Long, endOffset: Long, count: Long) {
+    /** High-watermark tombstones ([[LogIndex.HwmFile]]) carry offsets but
+      * reference no data file. */
+    def isData: Boolean = count > 0
+  }
 
   private case class Cached(fingerprint: String, entries: Array[Entry])
 
@@ -35,13 +39,16 @@ object IndexCache {
       .sorted.mkString(",")
   }
 
-  /** Entries of one topic, reloaded only when the index dir changed. */
+  /** Entries of one topic, reloaded only when the topic's index dir changed
+    * (per-topic dir: the listing is a handful of files, bounded by the
+    * writer's auto-compaction). */
   def entries(
       spark: SparkSession,
       wh: graft.core.catalog.Warehouse,
       topic: String): Array[Entry] = {
     val key = (wh.root, topic)
-    val fp = fingerprint(wh.indexDir)
+    LogIndex.heal(wh, topic)
+    val fp = fingerprint(wh.indexDir(topic))
     cache.get(key) match {
       case Some(c) if c.fingerprint == fp => c.entries
       case _ =>

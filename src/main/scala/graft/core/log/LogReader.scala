@@ -35,7 +35,7 @@ object LogReader {
     // prune in-driver against the cached index — no Spark job; the poll
     // itself is then ONE job over just the intersecting files
     val files = IndexCache.entries(spark, wh, topic)
-      .filter(e => e.partition == partition &&
+      .filter(e => e.isData && e.partition == partition &&
         e.endOffset >= fromOffset && e.baseOffset < to)
       .map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
@@ -51,7 +51,7 @@ object LogReader {
     * (exclusive lower bounds come from a group's committed offsets). The
     * returned frame is the topic "table" the query layer runs over. */
   def scan(spark: SparkSession, wh: Warehouse, topic: String): DataFrame = {
-    val files = IndexCache.entries(spark, wh, topic).map(_.file)
+    val files = IndexCache.entries(spark, wh, topic).filter(_.isData).map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
     else spark.read.option("basePath", wh.logDir(topic)).parquet(files.toIndexedSeq: _*)
   }
@@ -64,7 +64,7 @@ object LogReader {
       topic: String,
       from: Map[Int, Long]): DataFrame = {
     val files = IndexCache.entries(spark, wh, topic)
-      .filter(e => e.endOffset >= from.getOrElse(e.partition, 0L))
+      .filter(e => e.isData && e.endOffset >= from.getOrElse(e.partition, 0L))
       .map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
     else {

@@ -2,17 +2,27 @@ package graft.core.log
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Locks
 import graft.core.catalog.Warehouse
 
 /** Log retention + compaction — segment lifecycle management.
   *
   * The reference rolls segments but never deletes them; retention here
-  * follows the same append-only index discipline as the write path: the
-  * index is the source of truth, so expiry = rewrite the index without the
-  * expired files, THEN delete the data files (a crash in between leaves
-  * unreferenced files, never dangling references).
+  * follows the same index-first discipline as the write path: the index is
+  * the source of truth, so expiry = swap in a new index without the expired
+  * files, THEN delete the data files (a crash in between leaves unreferenced
+  * files, never dangling references). Both operations run under the topic
+  * lock — an append between the index snapshot and the swap would otherwise
+  * have its freshly-committed rows erased by the swap, permanently orphaning
+  * its data.
+  *
+  * When retention removes a partition's LAST file, a high-watermark
+  * tombstone row ([[LogIndex.HwmFile]]) retains the log-end offset so the
+  * next append continues monotonically instead of restarting at 0 (committed
+  * consumer offsets stay valid — the reference/Kafka persist the log-end
+  * offset independently of segments).
   */
 object LogRetention {
 
@@ -24,31 +34,50 @@ object LogRetention {
       spark: SparkSession,
       wh: Warehouse,
       topic: String,
-      keepFrom: Map[Int, Long]): Seq[String] = {
+      keepFrom: Map[Int, Long]): Seq[String] = Locks.withTopicLock(wh, topic) {
     val entries = IndexCache.entries(spark, wh, topic)
-    val (drop, keep) = entries.partition(e =>
+    val (drop, keep) = entries.filter(_.isData).partition(e =>
       e.endOffset < keepFrom.getOrElse(e.partition, 0L))
     if (drop.isEmpty) return Seq.empty
-    rewriteIndex(spark, wh, topic, keep.map(_.file).toSet)
+
+    // partitions losing their last data file get (or keep) a high-watermark
+    // tombstone carrying max(end_offset) over everything the partition had
+    val keptParts = keep.map(_.partition).toSet
+    val hwmRows = entries.groupBy(_.partition).collect {
+      case (p, es) if !keptParts.contains(p) =>
+        LogIndex.hwmRow(topic, p, es.map(_.endOffset).max)
+    }.toSeq
+
+    val keepFiles = keep.map(_.file).toSet
+    val keptRows = LogIndex.forTopic(spark, wh, topic)
+      .filter(col("count") > 0 &&
+        (if (keepFiles.isEmpty) lit(false)
+         else col("file").isInCollection(keepFiles.toSeq)))
+    val hwmDf = spark.createDataFrame(
+      java.util.Arrays.asList(hwmRows: _*), graft.core.Schemas.index)
+    LogIndex.replace(spark, wh, topic, keptRows.unionByName(hwmDf))
+
     val conf = new Configuration()
     drop.foreach { e =>
       val p = new Path(e.file)
       p.getFileSystem(conf).delete(p, false)
     }
-    IndexCache.invalidate(wh, topic)
     drop.map(_.file).toSeq
   }
 
   /** Log compaction: keep only the LATEST record per key per partition
     * (Kafka-style compacted topic), rewritten as fresh segments. Offsets of
     * surviving records are preserved (compaction never reassigns offsets).
-    * The old files are dropped from the index, then deleted. */
+    * The new index — compacted file entries plus any surviving tombstones —
+    * lands in ONE swap, so there is no window where the topic's index is
+    * empty; old data files are deleted last. */
   def compact(
       spark: SparkSession,
       wh: Warehouse,
-      topic: String): Unit = {
+      topic: String): Unit = Locks.withTopicLock(wh, topic) {
     val entries = IndexCache.entries(spark, wh, topic)
-    if (entries.isEmpty) return
+    val dataEntries = entries.filter(_.isData)
+    if (dataEntries.isEmpty) return
     val before = LogReader.scan(spark, wh, topic)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("partition"), col("key"))
@@ -58,66 +87,34 @@ object LogRetention {
       .filter(col("__rn") === 1)
       .drop("__rn")
     val logDir = wh.logDir(topic)
-    val staging = s"$logDir/../.compact_$topic"
+    val staging =
+      s"$logDir/.compact-${java.util.UUID.randomUUID().toString.take(8)}"
     survivors
       .repartition(col("partition"))
       .sortWithinPartitions(col("partition"), col("offset"))
       .write.mode("overwrite").partitionBy("partition").parquet(staging)
-    // swap: move staged files in, rewrite index to ONLY the new files,
-    // delete old data files
-    val conf = new Configuration()
-    val fs = new Path(logDir).getFileSystem(conf)
-    val oldFiles = entries.map(_.file).toSet
-    val moved = scala.collection.mutable.ListBuffer.empty[String]
-    val it = fs.listFiles(new Path(staging), true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        val partDir = f.getPath.getParent.getName // partition=<p>
-        val dest = new Path(s"$logDir/$partDir/compacted-$name")
-        fs.mkdirs(dest.getParent)
-        fs.rename(f.getPath, dest)
-        moved += dest.toString
-      }
-    }
-    fs.delete(new Path(staging), true)
-    // index the compacted files from their footers via a fresh append-style
-    // entry set: rewrite index keeping entries of OTHER topics, then add new
-    rewriteIndex(spark, wh, topic, keepFiles = Set.empty)
-    val indexRows = moved.toSeq.map { f =>
+    val moved = LogWriter.commitStaged(staging, logDir)
+
+    val movedParts = scala.collection.mutable.Set.empty[Int]
+    val indexRows: Seq[Row] = moved.map { f =>
       val st = LogWriter.footerStats(f)
-      org.apache.spark.sql.Row(topic, st.partition, st.file,
-        st.baseOffset, st.endOffset, st.count, null)
+      movedParts += st.partition
+      Row(topic, st.partition, st.file, st.baseOffset, st.endOffset, st.count, null)
     }
-    if (indexRows.nonEmpty)
+    // tombstones of partitions with no compacted data survive the rewrite
+    val hwmRows = entries.collect {
+      case e if !e.isData && !movedParts.contains(e.partition) =>
+        LogIndex.hwmRow(topic, e.partition, e.endOffset)
+    }.toSeq
+    LogIndex.replace(spark, wh, topic,
       spark.createDataFrame(
-          java.util.Arrays.asList(indexRows: _*), graft.core.Schemas.index)
-        .coalesce(1)
-        .write.mode("append").parquet(wh.indexDir)
-    oldFiles.foreach { f =>
-      val p = new Path(f)
+        java.util.Arrays.asList((indexRows ++ hwmRows): _*),
+        graft.core.Schemas.index))
+
+    val conf = new Configuration()
+    dataEntries.foreach { e =>
+      val p = new Path(e.file)
       p.getFileSystem(conf).delete(p, false)
     }
-    IndexCache.invalidate(wh, topic)
-  }
-
-  /** Rewrite the index atomically-enough: new index rows for this topic are
-    * the given keep-set; other topics' rows pass through unchanged. */
-  private def rewriteIndex(
-      spark: SparkSession,
-      wh: Warehouse,
-      topic: String,
-      keepFiles: Set[String]): Unit = {
-    val all = LogIndex.all(spark, wh)
-    val kept = all.filter(col("topic") =!= topic ||
-      col("file").isInCollection(
-        if (keepFiles.isEmpty) Seq("__none__") else keepFiles.toSeq))
-    val tmp = s"${wh.indexDir}_rewrite"
-    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val conf = new Configuration()
-    val fs = new Path(wh.indexDir).getFileSystem(conf)
-    fs.delete(new Path(wh.indexDir), true)
-    fs.rename(new Path(tmp), new Path(wh.indexDir))
   }
 }

@@ -39,9 +39,17 @@ case class AppendResult(
   * and a replayed `batchId` is skipped — that is the exactly-once contract
   * for `foreachBatch` ingestion (SURVEY.md §7.4.2).
   *
+  * Commit cost is independent of topic size: each batch writes into a fresh
+  * staging dir (listing it is O(files in THIS batch)) and the files are
+  * renamed into the live partition dirs — never a before/after walk of the
+  * whole topic tree. The index delta is one small file per append, and the
+  * topic's index auto-compacts past [[LogWriter.MaxIndexFiles]] deltas, so
+  * the driver-side index reload stays bounded at millions of segments.
+  *
   * Cross-job appends to the same topic are serialized with a best-effort
-  * warehouse lock file; concurrent appends to DIFFERENT topics proceed in
-  * parallel (the reference locks per partition; our write unit is the job).
+  * warehouse lock file ([[graft.core.Locks]]); concurrent appends to
+  * DIFFERENT topics proceed in parallel (the reference locks per partition;
+  * our write unit is the job).
   */
 object LogWriter {
 
@@ -95,7 +103,7 @@ object LogWriter {
       batchId: Option[Long] = None,
       conf: ProducerConfig = ProducerConfig()): AppendResult = {
     val n = TopicCatalog.numPartitions(spark, wh, topic)
-    withTopicLock(wh, topic) {
+    graft.core.Locks.withTopicLock(wh, topic) {
       batchId.foreach { id =>
         if (LogIndex.hasBatch(LogIndex.forTopic(spark, wh, topic), id))
           return AppendResult(topic, batchId, Map.empty, 0L)
@@ -119,17 +127,21 @@ object LogWriter {
           col("value").cast("string"), col("headers"))
 
       val logDir = wh.logDir(topic)
-      val before = listFiles(logDir)
+      // Stage into a dot-dir inside the topic dir, then rename the files
+      // into the live partition dirs: new-file discovery lists ONLY the
+      // staging dir — O(files in this batch), not O(files ever written).
+      val staging =
+        s"$logDir/.staging-${java.util.UUID.randomUUID().toString.take(8)}"
       assigned
         .repartition(n, col("partition"))
         .sortWithinPartitions(col("partition"), col("offset"))
         .write
-        .mode("append")
+        .mode("overwrite")
         .option("maxRecordsPerFile", conf.maxRecordsPerFile)
         .option("compression", conf.compression)
         .partitionBy("partition")
-        .parquet(logDir)
-      val newFiles = (listFiles(logDir) -- before).toSeq.sorted
+        .parquet(staging)
+      val newFiles = commitStaged(staging, logDir)
 
       // Index the new files from their parquet FOOTERS (offset column
       // min/max + row count) — no Spark job, no data re-read; files are
@@ -150,8 +162,9 @@ object LogWriter {
         spark.createDataFrame(
             java.util.Arrays.asList(indexRows: _*), Schemas.index)
           .coalesce(1)
-          .write.mode("append").parquet(wh.indexDir)
+          .write.mode("append").parquet(wh.indexDir(topic))
         IndexCache.invalidate(wh, topic)
+        maybeCompactIndex(spark, wh, topic)
         stats.groupBy(_.partition).map { case (p, ss) =>
           p -> (ss.map(_.baseOffset).min, ss.map(_.endOffset).max)
         }
@@ -209,38 +222,50 @@ object LogWriter {
     } finally reader.close()
   }
 
-  private def listFiles(dir: String): Set[String] = {
-    val p = new Path(dir)
+  /** One index delta file lands per append; past this many the topic's
+    * index is rewritten into one file. Each index row is thus rewritten
+    * O(appends / MaxIndexFiles) times — bounded listing + reload in exchange
+    * for a periodic metadata-scale rewrite (an index row is ~100 bytes per
+    * SEGMENT, so even a million-segment topic compacts in one small job). */
+  private val MaxIndexFiles = 64
+
+  private def maybeCompactIndex(
+      spark: SparkSession, wh: Warehouse, topic: String): Unit = {
+    val p = new Path(wh.indexDir(topic))
     val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) Set.empty
-    else {
-      val it = fs.listFiles(p, true)
-      val b = Set.newBuilder[String]
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) b += f.getPath.toString
-      }
-      b.result()
+    if (fs.exists(p)) {
+      val n = fs.listStatus(p).count(s => !s.getPath.getName.startsWith("_"))
+      if (n > MaxIndexFiles) LogIndex.compactIndex(spark, wh, topic)
     }
   }
 
-  /** Best-effort cross-job append serialization per topic (SURVEY.md §7.4.1).
-    * Atomic create-no-overwrite of a lock file; waits up to 60 s. */
-  private def withTopicLock[T](wh: Warehouse, topic: String)(body: => T): T = {
-    val lock = new Path(s"${wh.root}/_locks/$topic.lock")
-    val fs = lock.getFileSystem(new Configuration())
-    fs.mkdirs(lock.getParent)
-    val deadline = System.currentTimeMillis() + 60000
-    var acquired = false
-    while (!acquired) {
-      try { fs.create(lock, false).close(); acquired = true }
-      catch { case _: java.io.IOException =>
-        if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(s"timed out acquiring append lock for '$topic'")
-        Thread.sleep(100)
+  /** Move every staged data file into its live `partition=<p>` dir and drop
+    * the staging dir; returns the final paths. Spark part-file names embed
+    * the write job's UUID, so names cannot collide with earlier appends.
+    * Listing here is over the staging dir only. Shared with compaction
+    * ([[LogRetention.compact]]), which stages its rewritten segments the
+    * same way. */
+  private[log] def commitStaged(staging: String, logDir: String): Seq[String] = {
+    val sp = new Path(staging)
+    val fs = sp.getFileSystem(new Configuration())
+    val moved = Seq.newBuilder[String]
+    if (fs.exists(sp)) {
+      val it = fs.listFiles(sp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        val parent = f.getPath.getParent.getName
+        if (!name.startsWith("_") && !name.startsWith(".") &&
+            parent.startsWith("partition=")) {
+          val dest = new Path(s"$logDir/$parent/$name")
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f.getPath, dest))
+            throw new IllegalStateException(s"failed to commit staged file $name")
+          moved += dest.toString
+        }
       }
+      fs.delete(sp, true)
     }
-    try body finally fs.delete(lock, false)
+    moved.result().sorted
   }
 }

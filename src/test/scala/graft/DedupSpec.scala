@@ -85,6 +85,35 @@ class DedupSpec extends SparkSpec {
     assert(ivfRecall >= 0.4, s"ivf recall $ivfRecall")
   }
 
+  test("minhash pairs are a subset of exact ngram-jaccard pairs; recall on planted dups") {
+    // same shingle size + threshold as the driver-facing dedup_minhash query;
+    // minhashPairs verifies candidates with EXACT jaccard, so its pairs must
+    // be a subset of the exact inverted-index pairs — the only loss is LSH
+    // candidate recall, asserted against the corpus's planted near-dups.
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs01, $"doc_id", $"text",
+        shingleSize = 5, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashPairs(docs01, $"doc_id", $"text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact),
+      s"LSH emitted non-duplicate pairs: ${approx.diff(exact).take(5)}")
+    assert(exact.nonEmpty)
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} true pairs")
+  }
+
+  test("IVF centroid training is deterministic: identical output across runs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    def run() = Similarity.ivfTopK(queries, corpus, 5, nCells = 8, nProbe = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(run() === run())
+  }
+
   test("vector expressions: cosine of identical/orthogonal vectors") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f), 1.0),

@@ -130,6 +130,56 @@ class LogSpec extends SparkSpec {
     assert(n === 40)
   }
 
+  test("index compaction: one file, identical entries, reads unchanged") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    (0 until 5).foreach(_ => LogWriter.append(spark, wh, "t", someRecords(40), "id"))
+    def indexFiles(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(wh.indexDir("t"))
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.listStatus(p).map(_.getPath.getName).toSeq
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    }
+    assert(indexFiles().size === 5, "one delta file per append")
+    val entriesBefore = graft.core.log.LogIndex.forTopic(spark, wh, "t")
+      .collect().map(_.toSeq).toSet
+    graft.core.log.LogIndex.compactIndex(spark, wh, "t")
+    assert(indexFiles().size === 1, "compacted to a single file")
+    val entriesAfter = graft.core.log.LogIndex.forTopic(spark, wh, "t")
+      .collect().map(_.toSeq).toSet
+    assert(entriesAfter === entriesBefore)
+    assert(LogReader.scan(spark, wh, "t").count() === 200)
+    // appends keep working and continue offsets after the rewrite
+    val r = LogWriter.append(spark, wh, "t", someRecords(40), "id")
+    assert(r.records === 40)
+    assert(LogReader.scan(spark, wh, "t").count() === 240)
+  }
+
+  test("append commit is staging-scoped: unindexed files in the topic tree stay invisible") {
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    LogWriter.append(spark, wh, "t",
+      someRecords(100).withColumn("explicit_partition", lit(0)), "id")
+    // plant a stray (never-committed) file in the partition dir — the old
+    // before/after tree diff would have mis-indexed anything appearing
+    // concurrently; index-only discovery must ignore it entirely
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val part = new org.apache.hadoop.fs.Path(wh.partitionDir("t", 0))
+    val fs = part.getFileSystem(conf)
+    val committed = fs.listStatus(part).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    val junk = new org.apache.hadoop.fs.Path(part, "junk-not-committed.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, committed.head, fs, junk, false, conf)
+    LogWriter.append(spark, wh, "t",
+      someRecords(100).withColumn("explicit_partition", lit(0)), "id")
+    // junk is not in the index, not read, not disturbed
+    assert(LogReader.scan(spark, wh, "t").count() === 200)
+    assert(!LogReader.scan(spark, wh, "t").inputFiles.exists(_.contains("junk")))
+    assert(LogIndex.forTopic(spark, wh, "t")
+      .filter(col("file").contains("junk")).count() === 0)
+    assert(fs.exists(junk))
+  }
+
   test("poll prunes files via the index") {
     val wh = freshWarehouse()
     TopicCatalog.createTopic(spark, wh, "t", 1)

@@ -72,6 +72,36 @@ class RetentionSpec extends SparkSpec {
     }
   }
 
+  test("expiring a partition's last file preserves the high-watermark") {
+    val wh = Warehouse(tmpDir("graft-hwm"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    LogWriter.append(spark, wh, "t",
+      recs(100).withColumn("explicit_partition", lit(0)), "id")
+    val dropped = LogRetention.expireBefore(spark, wh, "t", Map(0 -> 1000L))
+    assert(dropped.nonEmpty)
+    assert(LogReader.scan(spark, wh, "t").count() === 0)
+    // next offset survives via the tombstone: appends continue at 100, not 0
+    assert(LogIndex.endOffsets(spark, wh, "t") === Map(0 -> 100L))
+    val r = LogWriter.append(spark, wh, "t",
+      recs(10, from = 500).withColumn("explicit_partition", lit(0)), "id")
+    assert(r.ranges(0)._1 === 100L)
+    assert(LogReader.poll(spark, wh, "t", 0, 100, 10).count() === 10)
+    // compaction keeps the tombstone of the still-empty partition? no —
+    // partition 0 has data again, so the watermark rides on the data rows
+    LogRetention.compact(spark, wh, "t")
+    assert(LogIndex.endOffsets(spark, wh, "t") === Map(0 -> 110L))
+  }
+
+  test("compaction of a fully-expired topic keeps tombstones (offsets stay monotonic)") {
+    val wh = Warehouse(tmpDir("graft-hwm2"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    LogWriter.append(spark, wh, "t",
+      recs(50).withColumn("explicit_partition", lit(0)), "id")
+    LogRetention.expireBefore(spark, wh, "t", Map(0 -> 100L))
+    LogRetention.compact(spark, wh, "t") // nothing to compact; must not lose the hwm
+    assert(LogIndex.endOffsets(spark, wh, "t") === Map(0 -> 50L))
+  }
+
   test("assignment codec round-trips the reference wire format") {
     val a = Map(
       "m1" -> Map("topicA" -> Seq(0, 1, 2), "topicB" -> Seq(4)),
