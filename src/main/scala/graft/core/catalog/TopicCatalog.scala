@@ -75,6 +75,24 @@ object TopicCatalog {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, Map[String, FluxTopic])]
 
+  /** Observer invoked with the fresh topic snapshot when a catalog CHANGE is
+    * detected (a reload whose fingerprint differs from the cached one) — the
+    * analog of the reference's metadata listeners, notified with the new
+    * `ClusterSnapshot` on change (reference:
+    * src/main/java/metadata/Metadata.java:86-93,120-152; the producer swaps
+    * its routing snapshot in such a callback, FluxProducer.java:254-259).
+    * Pull-based: the callback fires on the next catalog access that observes
+    * the change, not on a background thread. */
+  type Listener = Map[String, FluxTopic] => Unit
+
+  private val listeners =
+    scala.collection.concurrent.TrieMap.empty[String, List[Listener]]
+
+  def addListener(wh: Warehouse, l: Listener): Unit =
+    listeners.updateWith(wh.root)(cur => Some(l :: cur.getOrElse(Nil)))
+
+  def removeListeners(wh: Warehouse): Unit = listeners.remove(wh.root)
+
   private def catalogFingerprint(wh: Warehouse): String = {
     val p = new org.apache.hadoop.fs.Path(wh.catalogDir)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -87,11 +105,15 @@ object TopicCatalog {
     val fp = catalogFingerprint(wh)
     cache.get(wh.root) match {
       case Some((f, m)) if f == fp => m
-      case _ =>
+      case prev =>
         val m = topics(spark, wh).collect()
           .map(r => r.getString(0) -> FluxTopic(r.getString(0), r.getInt(1), r.getInt(2)))
           .toMap
         cache.put(wh.root, (fp, m))
+        // notify on CHANGE (had a snapshot, it differs), not on first load —
+        // mirrors the reference's notifyListeners on metadata updates
+        if (prev.isDefined)
+          listeners.getOrElse(wh.root, Nil).foreach(_.apply(m))
         m
     }
   }

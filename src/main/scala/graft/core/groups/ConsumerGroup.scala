@@ -29,6 +29,17 @@ object ConsumerGroup {
     StructField("commit_ts", LongType, nullable = false)))
 
   private def offsetsDir(wh: Warehouse): String = s"${wh.root}/_groups/offsets"
+  private val OffsetsLock = "group-offsets"
+
+  /** Finish a crashed [[retainCommits]] swap (mirrors LogIndex.heal). */
+  private def healOffsets(wh: Warehouse): Unit = {
+    val live = new org.apache.hadoop.fs.Path(offsetsDir(wh))
+    val fs = live.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(live)) {
+      val tmp = new org.apache.hadoop.fs.Path(s"${offsetsDir(wh)}_rewrite")
+      if (fs.exists(tmp)) fs.rename(tmp, live)
+    }
+  }
 
   case class Membership(
       groupId: String,
@@ -67,6 +78,7 @@ object ConsumerGroup {
       wh: Warehouse,
       groupId: String,
       topic: String): Map[Int, Long] = {
+    healOffsets(wh)
     val dir = offsetsDir(wh)
     if (!TopicCatalog.dirExists(dir)) return Map.empty
     spark.read.schema(offsetsSchema).parquet(dir)
@@ -79,21 +91,60 @@ object ConsumerGroup {
   }
 
   /** Append a commit row per partition (immutable log of commits; readers
-    * take the latest — same append-only discipline as the data path). */
+    * take the latest — same append-only discipline as the data path). Runs
+    * under the offsets lock so a concurrent [[retainCommits]] rewrite can
+    * never erase a commit that landed after its snapshot. */
   def commit(
       spark: SparkSession,
       wh: Warehouse,
       groupId: String,
       topic: String,
-      offsets: Map[Int, Long]): Unit = {
-    val now = System.currentTimeMillis()
-    val rows = offsets.toSeq.map { case (p, o) =>
-      Row(groupId, topic, p, o, now)
+      offsets: Map[Int, Long]): Unit =
+    graft.core.Locks.withLock(wh, OffsetsLock) {
+      healOffsets(wh)
+      val now = System.currentTimeMillis()
+      val rows = offsets.toSeq.map { case (p, o) =>
+        Row(groupId, topic, p, o, now)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), offsetsSchema)
+        .coalesce(1)
+        .write.mode("append").parquet(offsetsDir(wh))
     }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), offsetsSchema)
-      .coalesce(1)
-      .write.mode("append").parquet(offsetsDir(wh))
-  }
+
+  /** Offset-commit retention: drop superseded commit rows older than the
+    * horizon, always keeping the LATEST commit per (group, topic, partition)
+    * — `committed()` is unchanged by a sweep. The reference's offset proto
+    * carries `retention_time_ms` and an expire timestamp per fetched offset
+    * (reference: src/main/proto/offset.proto:30-66); the reference server
+    * never implements the sweep, this is the intended lifecycle. Without it
+    * the append-only commit log grows with every commit ever made — at one
+    * commit per partition per second that is the difference between a
+    * bounded metadata table and an unbounded scan on every `committed()`.
+    * Same index-first swap discipline as the data path (tmp + rename,
+    * healed on next read). */
+  def retainCommits(
+      spark: SparkSession,
+      wh: Warehouse,
+      retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Unit =
+    graft.core.Locks.withLock(wh, OffsetsLock) {
+      healOffsets(wh)
+      val dir = offsetsDir(wh)
+      if (!TopicCatalog.dirExists(dir)) return
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group_id"), col("topic"), col("partition"))
+        .orderBy(col("commit_ts").desc, col("offset").desc)
+      val kept = spark.read.schema(offsetsSchema).parquet(dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 || col("commit_ts") >= nowMs - retentionMs)
+        .drop("__rn")
+      val tmp = s"${dir}_rewrite"
+      kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    }
 
   /** Poll the next `max` records of each assigned partition past the last
     * commit; returns (records, nextOffsets-to-commit). */

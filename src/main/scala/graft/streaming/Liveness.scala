@@ -21,24 +21,45 @@ object Liveness {
 
   case class Heartbeat(memberId: String, ts: Long, seq: Long, partitionCount: Int)
 
+  /** Controller→member directives delivered with heartbeat responses
+    * (reference: src/main/proto/heartbeat.proto:56-66; member-side handling
+    * at server/internal/HeartbeatSender.java:216-238 — log-only there, and
+    * the reference controller's `determineDirective` is a stub returning
+    * none). Here the directive rides in the state row emitted for the
+    * member's heartbeat — the response channel of this architecture. */
+  object Directive {
+    val None = "NONE"
+    val Shutdown = "SHUTDOWN"
+    val Rebalance = "REBALANCE"
+    val UpdateConfig = "UPDATE_CONFIG"
+  }
+
   case class MemberState(
       memberId: String,
       lastTs: Long,
       lastSeq: Long,
       partitionCount: Int,
       alive: Boolean,
-      revivals: Int)
+      revivals: Int,
+      directive: String = Directive.None)
 
-  /** Transition function — pure, unit-testable without a stream. */
+  /** Transition function — pure, unit-testable without a stream.
+    *
+    * @param directives pending controller directives per member, delivered
+    *                   (once, on the member's next heartbeat) in the emitted
+    *                   state row. A member reviving from a timeout is always
+    *                   directed to REBALANCE — its assignments may be stale —
+    *                   unless the controller pended something explicit. */
   def update(
-      config: LivenessConfig)(
+      config: LivenessConfig,
+      directives: Map[String, String] = Map.empty)(
       memberId: String,
       beats: Iterator[Heartbeat],
       state: GroupState[MemberState]): MemberState = {
     if (state.hasTimedOut) {
       // silence past interval × missedThreshold → mark offline, keep state
       // so a late heartbeat revives (reference :96-99)
-      val s = state.get.copy(alive = false)
+      val s = state.get.copy(alive = false, directive = Directive.None)
       state.update(s)
       state.setTimeoutDuration(config.timeoutMs)
       s
@@ -52,7 +73,9 @@ object Liveness {
         lastSeq = latest.seq,
         partitionCount = latest.partitionCount,
         alive = true,
-        revivals = prev.map(_.revivals).getOrElse(0) + (if (revived) 1 else 0))
+        revivals = prev.map(_.revivals).getOrElse(0) + (if (revived) 1 else 0),
+        directive = directives.getOrElse(memberId,
+          if (revived) Directive.Rebalance else Directive.None))
       state.update(s)
       state.setTimeoutDuration(config.timeoutMs)
       s

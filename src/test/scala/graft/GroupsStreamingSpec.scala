@@ -42,6 +42,49 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(ConsumerGroup.committed(spark, wh, "g1", "t") === next1)
   }
 
+  test("offset-commit retention keeps the latest commit per partition; committed() unchanged") {
+    val wh = Warehouse(tmpDir("graft-oret"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    // 3 commit generations per partition
+    ConsumerGroup.commit(spark, wh, "g1", "t", Map(0 -> 10L, 1 -> 5L))
+    ConsumerGroup.commit(spark, wh, "g1", "t", Map(0 -> 20L, 1 -> 15L))
+    ConsumerGroup.commit(spark, wh, "g1", "t", Map(0 -> 30L, 1 -> 25L))
+    val before = ConsumerGroup.committed(spark, wh, "g1", "t")
+    assert(before === Map(0 -> 30L, 1 -> 25L))
+    val dir = s"${wh.root}/_groups/offsets"
+    assert(spark.read.schema(ConsumerGroup.offsetsSchema).parquet(dir).count() === 6)
+    // horizon in the future: every superseded row is past retention
+    ConsumerGroup.retainCommits(spark, wh, retentionMs = 0,
+      nowMs = System.currentTimeMillis() + 3600 * 1000)
+    val rows = spark.read.schema(ConsumerGroup.offsetsSchema).parquet(dir)
+    assert(rows.count() === 2, "only the latest commit per partition survives")
+    assert(ConsumerGroup.committed(spark, wh, "g1", "t") === before)
+    // sweeping an already-swept table is a no-op
+    ConsumerGroup.retainCommits(spark, wh, retentionMs = 0,
+      nowMs = System.currentTimeMillis() + 3600 * 1000)
+    assert(ConsumerGroup.committed(spark, wh, "g1", "t") === before)
+  }
+
+  test("catalog listener fires with the new snapshot when a change is observed") {
+    val wh = Warehouse(tmpDir("graft-obs"))
+    TopicCatalog.createTopic(spark, wh, "a", 1)
+    assert(TopicCatalog.exists(spark, wh, "a")) // prime the cache
+    var seen: Option[Set[String]] = None
+    TopicCatalog.addListener(wh, m => seen = Some(m.keySet))
+    try {
+      // models another client/JVM writing the catalog: the file lands but
+      // this process's cache hasn't observed it yet
+      TopicCatalog.createTopic(spark, wh, "b", 1)
+      // next catalog access detects the fingerprint change -> notifies
+      assert(TopicCatalog.numPartitions(spark, wh, "b") === 1)
+      assert(seen === Some(Set("a", "b")))
+      // no further change -> no further notification
+      seen = None
+      assert(TopicCatalog.exists(spark, wh, "a"))
+      assert(seen === None)
+    } finally TopicCatalog.removeListeners(wh)
+  }
+
   test("liveness snapshot: silence kills, heartbeat revives semantics") {
     val cfg = LivenessConfig(heartbeatIntervalMs = 1000, missedThreshold = 3)
     val now = 100000L
@@ -71,6 +114,7 @@ class GroupsStreamingSpec extends SparkSpec {
     val after1 = Liveness.update(cfg)("b1",
       Iterator(Liveness.Heartbeat("b1", 500L, 1, 4)), s0)
     assert(after1.alive && after1.lastSeq === 1 && after1.revivals === 0)
+    assert(after1.directive === Liveness.Directive.None)
     // timeout fires with no data -> marked dead, state retained
     val s1 = TestGroupState.create[Liveness.MemberState](
       optionalState = org.apache.spark.api.java.Optional.of(after1), timeoutConf = org.apache.spark.sql.streaming
@@ -87,6 +131,17 @@ class GroupsStreamingSpec extends SparkSpec {
     val revived = Liveness.update(cfg)("b1",
       Iterator(Liveness.Heartbeat("b1", 6000L, 2, 4)), s2)
     assert(revived.alive && revived.revivals === 1 && revived.lastSeq === 2)
+    // a reviving member is directed to REBALANCE (its assignment may be stale)
+    assert(revived.directive === Liveness.Directive.Rebalance)
+    // an explicitly pended controller directive overrides and is delivered
+    // with the member's next heartbeat (reference HeartbeatSender.java:216-238)
+    val s3 = TestGroupState.create[Liveness.MemberState](
+      optionalState = org.apache.spark.api.java.Optional.of(revived), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 7000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val directed = Liveness.update(cfg, Map("b1" -> Liveness.Directive.Shutdown))(
+      "b1", Iterator(Liveness.Heartbeat("b1", 7000L, 3, 4)), s3)
+    assert(directed.directive === Liveness.Directive.Shutdown)
   }
 
   test("headers survive the log round-trip in order with duplicate keys") {
