@@ -31,6 +31,7 @@ object SparkEntry {
     "assign_sticky" -> (Queries.assignSticky _),
     "liveness_snapshot" -> (Queries.livenessSnapshot _),
     "expire_ttl" -> (Queries.expireTtl _),
+    "describe_topic" -> (Queries.describeTopic _),
     // query layer over log tables
     "q1_pricing" -> (Queries.q1Pricing _),
     "q3_shipping" -> (Queries.q3Shipping _),

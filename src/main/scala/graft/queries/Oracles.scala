@@ -82,6 +82,14 @@ object Oracles {
         |h AS (SELECT max(ts_ms) - 7 * 24 * 3600 * 1000 AS cutoff FROM ev)
         |SELECT event_id, ts_ms FROM ev WHERE ts_ms >= (SELECT cutoff FROM h)""".stripMargin,
 
+    "describe_topic" ->
+      """SELECT CAST(event_id % 4 AS INTEGER) AS partition,
+        |  count(*) AS n_records,
+        |  CAST(0 AS BIGINT) AS base_offset,
+        |  CAST(count(*) - 1 AS BIGINT) AS end_offset
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

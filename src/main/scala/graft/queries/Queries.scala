@@ -137,6 +137,24 @@ object Queries {
       .select(col("event_id"), col("ts_ms"))
   }
 
+  /** K7/P5 admin surface: ingest the events table into a real on-disk topic
+    * (keyless round-robin over event_id = the ingest_offsets routing), then
+    * describe it — per-partition record counts and committed offset range,
+    * answered from the driver-side index cache. The oracle recomputes the
+    * same description from the routing function alone. */
+  def describeTopic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.catalog.{TopicCatalog, Warehouse}
+    val wh = Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-admin").toString)
+    TopicCatalog.createTopic(spark, wh, "events", 4)
+    graft.core.log.LogWriter.append(spark, wh, "events",
+      events(spark, dir).select(col("event_id"), col("props").as("value")),
+      "event_id")
+    graft.core.admin.Admin.describeTopic(spark, wh, "events")
+      .select(col("partition"), col("n_records"),
+        col("base_offset"), col("end_offset"))
+  }
+
   // ===================== query layer over the log tables =====================
 
   /** Aggregation: TPC-H Q1-shaped pricing summary (decimal-exact sums). */

@@ -180,6 +180,41 @@ class LogSpec extends SparkSpec {
     assert(fs.exists(junk))
   }
 
+  test("admin surface: describeCluster, describeTopic, placement") {
+    import graft.core.admin.Admin
+    // K1/K2 queryable snapshot: at least one registered "broker" (the
+    // local-mode driver) with a host and a task gauge
+    val cluster = Admin.describeCluster(spark).collect()
+    assert(cluster.nonEmpty)
+    assert(cluster.forall(_.getAs[String]("host").nonEmpty))
+
+    val wh = freshWarehouse()
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    LogWriter.append(spark, wh, "t", someRecords(100), "id")
+    LogWriter.append(spark, wh, "t", someRecords(100, keyed = true), "id")
+    val desc = Admin.describeTopic(spark, wh, "t").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(desc.values.map(_._2).sum === 200, "record counts from the index")
+    desc.values.foreach { case (nFiles, n, base, end) =>
+      assert(nFiles >= 1)
+      assert(base === 0L)
+      assert(end === n - 1, "offset range matches count (dense)")
+    }
+    // P5: (topic, partition) -> files; every partition resolvable, ranges
+    // align with the description
+    val place = Admin.placement(spark, wh, "t").collect()
+    assert(place.map(_.getAs[String]("file")).distinct.length === place.length)
+    desc.keys.foreach { p =>
+      val files = place.filter(_.getInt(0) == p)
+      assert(files.nonEmpty, s"partition $p has placement")
+      assert(files.map(_.getAs[Long]("n_records")).sum === desc(p)._2)
+    }
+    intercept[graft.core.UnknownTopicException] {
+      Admin.describeTopic(spark, wh, "nope")
+    }
+  }
+
   test("poll prunes files via the index") {
     val wh = freshWarehouse()
     TopicCatalog.createTopic(spark, wh, "t", 1)
