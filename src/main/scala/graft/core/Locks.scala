@@ -14,7 +14,7 @@ import graft.core.catalog.Warehouse
   */
 object Locks {
 
-  def withLock[T](wh: Warehouse, name: String, timeoutMs: Long = 60000)(body: => T): T = {
+  def withLock[T](wh: Warehouse, name: String, timeoutMs: Long = 180000)(body: => T): T = {
     val lock = new Path(s"${wh.root}/_locks/$name.lock")
     val fs = lock.getFileSystem(new Configuration())
     fs.mkdirs(lock.getParent)

@@ -214,6 +214,62 @@ class GroupsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap-split emits immediately, timeout closes open sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessions
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val events = input.toDS().toDF("userId", "ts", "eventId")
+      .withWatermark("ts", "0 seconds")
+      .as[Sessions.Event]
+    val sessions = Sessions.track(spark, events, gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(("u1", t(10, 0), 1L), ("u1", t(10, 10), 2L), ("u2", t(10, 0), 3L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0, "sessions still open")
+      // u1 event past the gap: closes u1's first session on arrival; the
+      // watermark advancing to 12:00 times out u2's silent session
+      input.addData(("u1", t(12, 0), 4L))
+      q.processAllAvailable()
+      input.addData(("u3", t(14, 0), 5L)) // advances watermark -> closes u1@12:00
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .selectExpr("userId", "sessionStart", "durationMs", "nEvents").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(out.contains(("u1", t(10, 0).getTime, 10 * 60 * 1000L, 2L)),
+        s"u1 first session; got $out")
+      assert(out.contains(("u2", t(10, 0).getTime, 0L, 1L)), s"u2 timed out; got $out")
+      assert(out.contains(("u1", t(12, 0).getTime, 0L, 1L)), s"u1 second session; got $out")
+    } finally q.stop()
+  }
+
+  test("session_window built-in agrees with the batch sessionize shape") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = input.toDS().toDF("userId", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"userId", session_window($"ts", "30 minutes"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    try {
+      input.addData(("u1", t(10, 0)), ("u1", t(10, 10)), ("u1", t(12, 0)))
+      q.processAllAvailable()
+      input.addData(("u1", t(14, 0))) // advance watermark, close 12:00 session
+      q.processAllAvailable()
+      val out = spark.table("sw")
+        .selectExpr("userId", "session_window.start AS s", "count").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(out.contains(("u1", t(10, 0), 2L)))
+      assert(out.contains(("u1", t(12, 0), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest: micro-batches append exactly-once with dense offsets") {
     val wh = Warehouse(tmpDir("graft-stream"))
     val src = tmpDir("graft-stream-src")
