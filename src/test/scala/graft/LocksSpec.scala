@@ -1,0 +1,87 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import graft.core.Locks
+import graft.core.catalog.Warehouse
+
+class LocksSpec extends SparkSpec {
+
+  private def lockFile(wh: Warehouse, name: String): File =
+    new File(s"${wh.root}/_locks/$name.lock")
+
+  test("stale lock from a crashed JVM is broken; acquirer proceeds") {
+    val wh = Warehouse(tmpDir("graft-locks-stale"))
+    val f = lockFile(wh, "topic-t")
+    f.getParentFile.mkdirs()
+    Files.writeString(f.toPath, "99999@deadhost 0\n")
+    assert(f.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    val t0 = System.currentTimeMillis()
+    val r = Locks.withLock(wh, "topic-t", timeoutMs = 30000, staleMs = 2000) { 42 }
+    assert(r === 42)
+    assert(System.currentTimeMillis() - t0 < 15000, "stale lock must be broken, not waited out")
+    assert(!f.exists(), "lock released after body")
+  }
+
+  test("fresh lock held elsewhere blocks until timeout") {
+    val wh = Warehouse(tmpDir("graft-locks-held"))
+    val f = lockFile(wh, "topic-t")
+    f.getParentFile.mkdirs()
+    Files.writeString(f.toPath, "99999@otherhost 0\n") // current mtime = live holder
+    intercept[IllegalStateException] {
+      Locks.withLock(wh, "topic-t", timeoutMs = 1500, staleMs = 60000) { fail("must not enter") }
+    }
+    assert(f.exists(), "a live foreign lock is never broken")
+  }
+
+  test("reentrant within one thread") {
+    val wh = Warehouse(tmpDir("graft-locks-reent"))
+    val r = Locks.withLock(wh, "topic-t") {
+      Locks.withLock(wh, "topic-t") { 7 }
+    }
+    assert(r === 7)
+    assert(!lockFile(wh, "topic-t").exists())
+  }
+
+  test("mutual exclusion across threads of one JVM") {
+    val wh = Warehouse(tmpDir("graft-locks-mutex"))
+    var inside = 0
+    var maxInside = 0
+    var total = 0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = (0 until 8).map { _ =>
+      Future {
+        Locks.withLock(wh, "topic-t") {
+          inside += 1
+          maxInside = math.max(maxInside, inside)
+          Thread.sleep(20)
+          total += 1
+          inside -= 1
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 60.seconds)
+    assert(maxInside === 1, "never two holders at once")
+    assert(total === 8)
+  }
+
+  test("held lock survives past the stale horizon (heartbeat refreshes mtime)") {
+    val wh = Warehouse(tmpDir("graft-locks-beat"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val holder = Future {
+      Locks.withLock(wh, "topic-t", staleMs = 1000) { Thread.sleep(2500); "held" }
+    }
+    Thread.sleep(300) // let the holder acquire
+    // A contender with the same short horizon must NOT break the live lock
+    // (in-process it queues on the JVM lock; the file stays fresh throughout).
+    val contender = Future {
+      Locks.withLock(wh, "topic-t", timeoutMs = 10000, staleMs = 1000) { "after" }
+    }
+    assert(Await.result(holder, 30.seconds) === "held")
+    assert(Await.result(contender, 30.seconds) === "after")
+  }
+}
