@@ -50,6 +50,13 @@ object Bench {
       .select(col("event_id"), col("ts"),
         col("user_id").cast("string").as("key"), col("props").as("value"))
     ingestRecords = events.count()
+    // Untimed prelude: a small topic through the full produce + poll path
+    // warms JIT, codegen caches, and the parquet reader before anything is
+    // measured — without it, whichever query runs first absorbs one-time
+    // costs and round-over-round numbers are not comparable.
+    TopicCatalog.createTopic(spark, wh, "warmup", 2)
+    LogWriter.append(spark, wh, "warmup", events.limit(20000), "event_id")
+    (0 until 2).foreach(p => LogReader.poll(spark, wh, "warmup", p, 0, 50000).count())
     results("ingest_append") = time {
       LogWriter.append(spark, wh, "events", events, "event_id")
     }
@@ -101,6 +108,7 @@ object Bench {
       "ann_brute" -> (Queries.annBrute _),
       "ann_srp" -> (Queries.annSrp _))
     headline.foreach { case (name, fn) =>
+      materialize(fn(spark, sfDir)) // untimed warm-up pass
       results(name) = time(materialize(fn(spark, sfDir)))
     }
 

@@ -39,14 +39,32 @@ object TopicCatalog {
   /** Reference: Broker.java:54 (`MAX_REPLICATION_FACTOR = 3`). */
   val MaxReplicationFactor = 3
 
+  /** Topic names become warehouse directory names, so they must be
+    * path-safe (no separators, no leading `.`/`_` that Spark's file listing
+    * or the warehouse layout treats specially) and must not collide with the
+    * `<dir>_rewrite` staging suffix used by index/catalog swaps — a topic
+    * literally named `X_rewrite` would share topic X's staging dir and could
+    * have its index destroyed by X's next rewrite. */
+  private val ValidName = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  private[graft] def validateName(topic: String): Unit = {
+    if (topic == null || topic.trim.isEmpty)
+      throw new InvalidTopicException("topic name must be non-empty")
+    if (!ValidName.matches(topic))
+      throw new InvalidTopicException(
+        s"topic name '$topic' must match ${ValidName.regex} (path-safe, no leading . or _)")
+    if (topic.endsWith("_rewrite"))
+      throw new InvalidTopicException(
+        s"topic name '$topic' collides with the reserved *_rewrite staging suffix")
+  }
+
   def createTopic(
       spark: SparkSession,
       wh: Warehouse,
       topic: String,
       numPartitions: Int,
       replicationFactor: Int = 1): FluxTopic = {
-    if (topic == null || topic.trim.isEmpty)
-      throw new InvalidTopicException("topic name must be non-empty")
+    validateName(topic)
     if (numPartitions < 1)
       throw new InvalidTopicException(s"numPartitions must be >= 1, got $numPartitions")
     if (replicationFactor < 0 || replicationFactor > MaxReplicationFactor)

@@ -248,24 +248,29 @@ object LogWriter {
   private[log] def commitStaged(staging: String, logDir: String): Seq[String] = {
     val sp = new Path(staging)
     val fs = sp.getFileSystem(new Configuration())
-    val moved = Seq.newBuilder[String]
-    if (fs.exists(sp)) {
-      val it = fs.listFiles(sp, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        val parent = f.getPath.getParent.getName
-        if (!name.startsWith("_") && !name.startsWith(".") &&
-            parent.startsWith("partition=")) {
-          val dest = new Path(s"$logDir/$parent/$name")
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(f.getPath, dest))
-            throw new IllegalStateException(s"failed to commit staged file $name")
-          moved += dest.toString
-        }
-      }
-      fs.delete(sp, true)
+    if (!fs.exists(sp)) return Seq.empty
+    val pairs = Seq.newBuilder[(Path, Path)]
+    val it = fs.listFiles(sp, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      val parent = f.getPath.getParent.getName
+      if (!name.startsWith("_") && !name.startsWith(".") &&
+          parent.startsWith("partition="))
+        pairs += (f.getPath -> new Path(s"$logDir/$parent/$name"))
     }
-    moved.result().sorted
+    val moves = pairs.result()
+    // One mkdirs per destination partition dir, then the renames fan out on
+    // a parallel stream: on a real DFS each rename is a metadata RPC, and a
+    // large batch stages thousands of part-files — paying those RPCs
+    // serially inside the locked commit window would make commit latency
+    // O(files); the footer reads just after this are already parallel.
+    moves.map(_._2.getParent).distinct.foreach(fs.mkdirs)
+    java.util.Arrays.stream(moves.toArray).parallel().forEach { m =>
+      if (!fs.rename(m._1, m._2))
+        throw new IllegalStateException(s"failed to commit staged file ${m._1.getName}")
+    }
+    fs.delete(sp, true)
+    moves.map(_._2.toString).sorted
   }
 }

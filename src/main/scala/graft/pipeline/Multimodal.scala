@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * run as partition-local transformations over the binary bytes.
   *
   * The Spark-side contract — schema, partition-preserving batch shape,
-  * deterministic outputs — is real and tested. The actual media codecs are
-  * STUBBED (this container has no image/audio libraries): `decodeStub`
-  * derives deterministic pseudo-features from the bytes, with the same
-  * signature a libjpeg/ffmpeg-backed implementation would have. Swapping in
-  * a real decoder changes only the lambda body, not the pipeline.
+  * deterministic outputs — is real and tested. Image decode is REAL:
+  * [[decodePartitions]] runs `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
+  * JDK) one decoder per partition, reading true dimensions and pixel-derived
+  * luminance features; payloads that are not decodable images fall back to a
+  * deterministic pseudo-decode so the pipeline is total over mixed corpora.
+  * Audio/video codecs (not in the JDK) remain stubbed: `featuresStub` /
+  * `sampleSlices` keep a real decoder's signature and batch shape.
   */
 object Multimodal {
 
@@ -70,14 +72,14 @@ object Multimodal {
       channels: Int,
       features: Array[Float])
 
-  /** Partition-local batch decode — the shape a real codec-backed decoder
-    * runs in: `mapPartitions` with ONE decoder instance per partition
-    * (decoder init is expensive; per-row init would dominate), rows decoded
-    * in a streaming loop. The decoder itself is the deterministic stub. A
-    * libjpeg/ffmpeg implementation replaces `StubDecoder` only.
+  /** Partition-local batch decode: `mapPartitions` with ONE decoder instance
+    * per partition (decoder state is expensive; per-row init would dominate),
+    * rows decoded in a streaming loop. The decoder is [[ImageDecoder]] —
+    * real `javax.imageio` for image payloads, deterministic pseudo-decode
+    * for everything else.
     *
     * Input: (id: Long, content: binary). Distribution, batch shape, schema,
-    * and failure behavior (null-safe skip) are real and tested.
+    * and failure behavior (null-safe skip, non-image fallback) are tested.
     */
   def decodePartitions(
       df: DataFrame,
@@ -89,11 +91,60 @@ object Multimodal {
     df.select(id.cast("long").as("id"), content.cast("binary").as("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val decoder = new StubDecoder(featureDim) // one instance per partition
+        val decoder = new ImageDecoder(featureDim) // one instance per partition
         rows.collect { case (i, bytes) if bytes != null =>
           decoder.decode(i, bytes)
         }
       }
+  }
+
+  /** Real JDK image decoder: `javax.imageio.ImageIO.read` over the payload
+    * bytes — PNG/JPEG/GIF/BMP decode with no external dependency. Emits true
+    * width/height/band-count and `featureDim` luminance means over vertical
+    * strips (pixel-derived, in [0, 1], stride-sampled so cost is bounded for
+    * huge images). Payloads ImageIO cannot decode (e.g. this corpus's text
+    * bytes) fall back to [[StubDecoder]]'s deterministic pseudo-decode, so
+    * mixed corpora flow without a filter pass. ImageIO's disk cache is off —
+    * decode never touches executor-local disk. */
+  final class ImageDecoder(featureDim: Int) extends Serializable {
+    private val fallback = new StubDecoder(featureDim)
+
+    def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) fallback.decode(id, bytes)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val feats = new Array[Float](featureDim)
+        val yStep = math.max(1, h / 64)
+        var s = 0
+        while (s < featureDim) {
+          val x0 = (w.toLong * s / featureDim).toInt
+          val x1 = math.min(math.max((w.toLong * (s + 1) / featureDim).toInt, x0 + 1), w)
+          val xStep = math.max(1, (x1 - x0) / 64)
+          var sum = 0.0
+          var n = 0L
+          var y = 0
+          while (y < h) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              n += 1
+              x += xStep
+            }
+            y += yStep
+          }
+          feats(s) = if (n == 0) 0f else (sum / n / 255.0).toFloat
+          s += 1
+        }
+        DecodedMedia(id, w, h, img.getRaster.getNumBands, feats)
+      }
+    }
   }
 
   /** Deterministic stand-in for a native media decoder. Holds "expensive"
