@@ -104,6 +104,62 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} true pairs")
   }
 
+  test("simhash pairs equal brute-force hamming<=3 truth at sf0.01 (banding is lossless here)") {
+    // same parameters as the driver-facing dedup_simhash query. Soundness:
+    // every emitted pair is verified by exact hamming, so pairs ⊆ truth.
+    // Completeness: 4×16-bit chunk banding + pigeonhole means any pair with
+    // ≤3 differing bits shares ≥1 chunk, and at 500 docs no bucket can
+    // exceed the 2000-doc mega-bucket guard — so recall is exactly 1.
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sims = docs01
+      .select($"doc_id", T.simhash64(T.wordShingles($"text", 2)).as("sim"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val truth = (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      if java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) <= 3
+    } yield (sims(i)._1, sims(j)._1)).toSet
+    val approx = Dedup.simhashPairs(docs01, $"doc_id", $"text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(truth),
+      s"simhash emitted pairs beyond hamming 3: ${approx.diff(truth).take(5)}")
+    assert(truth.nonEmpty)
+    assert(approx === truth,
+      s"missed ${truth.diff(approx).size} of ${truth.size} true pairs")
+  }
+
+  test("embedding near-dup pairs are a subset of brute-force cosine>=threshold truth") {
+    // same threshold/nBits as the driver-facing dedup_embedding query.
+    // Soundness: emitted pairs are verified by exact cosine, so every pair
+    // must appear in the driver-side brute-force truth (tiny FP slack for
+    // a different accumulation order). Recall is the documented SRP trade
+    // (single bucket per vector): assert it is nonzero, not tight.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val threshold = 0.35
+    val truth = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= threshold - 1e-9
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val approx = Dedup.embeddingNearDupPairs(emb, $"vec_id", $"embedding",
+        threshold = threshold, nBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(truth),
+      s"SRP emitted pairs below the cosine threshold: ${approx.diff(truth).take(5)}")
+    assert(truth.nonEmpty, "corpus has no true pairs at this threshold — spec is vacuous")
+    assert(approx.nonEmpty, "SRP bucketing found no true pair at all")
+  }
+
   test("IVF centroid training is deterministic: identical output across runs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

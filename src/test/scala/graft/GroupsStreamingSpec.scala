@@ -270,6 +270,49 @@ class GroupsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals batch qSessionize on real events (sf0.001)") {
+    // The continuous operator and the batch window query implement the SAME
+    // semantics (30-min gap sessions); replaying the oracle-green batch
+    // input through the stream must emit exactly the batch's sessions.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessions
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Queries.qSessionize(spark, dir)
+      .selectExpr("cast(user_id as string)", "session_start", "duration_ms", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id as string) AS userId", "ts div 1000000 AS ts_ms",
+        "event_id AS eventId")
+      .as[(String, Long, Long)].collect()
+    val maxTs = rows.map(_._2).max
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val events = input.toDS().toDF("userId", "ts", "eventId")
+      .withWatermark("ts", "0 seconds")
+      .as[Sessions.Event]
+    val q = Sessions.track(spark, events, gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_eq").outputMode("append").start()
+    try {
+      // one batch carries every real event (watermark starts at 0 → no drops;
+      // the transition sorts within each key)
+      input.addData(rows.toSeq.map(r => (r._1, new java.sql.Timestamp(r._2), r._3)))
+      q.processAllAvailable()
+      // two sentinel batches march the watermark past every real session's
+      // last+gap so event-time timeouts flush whatever is still open
+      input.addData(("__sentinel__", new java.sql.Timestamp(maxTs + 90 * 60 * 1000), -1L))
+      q.processAllAvailable()
+      input.addData(("__sentinel__", new java.sql.Timestamp(maxTs + 300 * 60 * 1000), -2L))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq")
+        .filter($"userId" =!= "__sentinel__")
+        .selectExpr("userId", "sessionStart", "durationMs", "nEvents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only: ${streamed.diff(batch).take(3)}; batch-only: ${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming ingest: micro-batches append exactly-once with dense offsets") {
     val wh = Warehouse(tmpDir("graft-stream"))
     val src = tmpDir("graft-stream-src")
