@@ -154,7 +154,8 @@ object TopicCatalog {
   def deleteTopic(spark: SparkSession, wh: Warehouse, topic: String): Unit = {
     if (!exists(spark, wh, topic))
       throw new UnknownTopicException(s"unknown topic '$topic'")
-    graft.core.Locks.withTopicLock(wh, topic) {
+    val n = numPartitions(spark, wh, topic)
+    graft.core.Locks.withTopicLock(wh, topic, n) {
       val conf = new org.apache.hadoop.conf.Configuration()
       val idx = new org.apache.hadoop.fs.Path(wh.indexDir(topic))
       val fs = idx.getFileSystem(conf)

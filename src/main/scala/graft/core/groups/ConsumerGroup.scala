@@ -28,15 +28,35 @@ object ConsumerGroup {
     StructField("offset", LongType, nullable = false), // next offset to read
     StructField("commit_ts", LongType, nullable = false)))
 
-  private def offsetsDir(wh: Warehouse): String = s"${wh.root}/_groups/offsets"
-  private val OffsetsLock = "group-offsets"
+  /** The committed-offsets table is SHARDED PER GROUP —
+    * `_groups/offsets/<group>/` — with a per-group lock, so unrelated
+    * groups' commits run fully in parallel; only a commit and a retention
+    * sweep of the SAME group exclude each other (the one pair that must:
+    * the sweep's snapshot-rewrite-swap would otherwise erase a commit that
+    * landed after its snapshot). */
+  private def offsetsBase(wh: Warehouse): String = s"${wh.root}/_groups/offsets"
 
-  /** Finish a crashed [[retainCommits]] swap (mirrors LogIndex.heal). */
-  private def healOffsets(wh: Warehouse): Unit = {
-    val live = new org.apache.hadoop.fs.Path(offsetsDir(wh))
+  private def groupDir(wh: Warehouse, groupId: String): String =
+    s"${offsetsBase(wh)}/$groupId"
+
+  private def groupLock(groupId: String): String = s"group-offsets-$groupId"
+
+  /** Group ids become directory + lock-file names; same path-safety rules
+    * as topic names, and the `*_rewrite` staging suffix stays reserved. */
+  private val ValidGroupId = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  private def validateGroupId(groupId: String): Unit =
+    if (groupId == null || !ValidGroupId.matches(groupId) || groupId.endsWith("_rewrite"))
+      throw new IllegalArgumentException(
+        s"group id '$groupId' must match ${ValidGroupId.regex} and not end in _rewrite")
+
+  /** Finish a crashed [[retainCommits]] swap of one group's shard (mirrors
+    * LogIndex.heal). */
+  private def healOffsets(wh: Warehouse, groupId: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(groupDir(wh, groupId))
     val fs = live.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.exists(live)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"${offsetsDir(wh)}_rewrite")
+      val tmp = new org.apache.hadoop.fs.Path(s"${groupDir(wh, groupId)}_rewrite")
       if (fs.exists(tmp)) fs.rename(tmp, live)
     }
   }
@@ -78,11 +98,12 @@ object ConsumerGroup {
       wh: Warehouse,
       groupId: String,
       topic: String): Map[Int, Long] = {
-    healOffsets(wh)
-    val dir = offsetsDir(wh)
+    validateGroupId(groupId)
+    healOffsets(wh, groupId)
+    val dir = groupDir(wh, groupId)
     if (!TopicCatalog.dirExists(dir)) return Map.empty
     spark.read.schema(offsetsSchema).parquet(dir)
-      .filter(col("group_id") === groupId && col("topic") === topic)
+      .filter(col("topic") === topic)
       .groupBy(col("partition"))
       .agg(max_by(col("offset"), col("commit_ts")).as("offset"))
       .collect()
@@ -92,24 +113,27 @@ object ConsumerGroup {
 
   /** Append a commit row per partition (immutable log of commits; readers
     * take the latest — same append-only discipline as the data path). Runs
-    * under the offsets lock so a concurrent [[retainCommits]] rewrite can
-    * never erase a commit that landed after its snapshot. */
+    * under THIS GROUP's lock so a concurrent [[retainCommits]] rewrite of
+    * the same group can never erase a commit that landed after its
+    * snapshot — while other groups commit in parallel. */
   def commit(
       spark: SparkSession,
       wh: Warehouse,
       groupId: String,
       topic: String,
-      offsets: Map[Int, Long]): Unit =
-    graft.core.Locks.withLock(wh, OffsetsLock) {
-      healOffsets(wh)
+      offsets: Map[Int, Long]): Unit = {
+    validateGroupId(groupId)
+    graft.core.Locks.withLock(wh, groupLock(groupId)) {
+      healOffsets(wh, groupId)
       val now = System.currentTimeMillis()
       val rows = offsets.toSeq.map { case (p, o) =>
         Row(groupId, topic, p, o, now)
       }
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), offsetsSchema)
         .coalesce(1)
-        .write.mode("append").parquet(offsetsDir(wh))
+        .write.mode("append").parquet(groupDir(wh, groupId))
     }
+  }
 
   /** Offset-commit retention: drop superseded commit rows older than the
     * horizon, always keeping the LATEST commit per (group, topic, partition)
@@ -126,25 +150,38 @@ object ConsumerGroup {
       spark: SparkSession,
       wh: Warehouse,
       retentionMs: Long,
-      nowMs: Long = System.currentTimeMillis()): Unit =
-    graft.core.Locks.withLock(wh, OffsetsLock) {
-      healOffsets(wh)
-      val dir = offsetsDir(wh)
-      if (!TopicCatalog.dirExists(dir)) return
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("group_id"), col("topic"), col("partition"))
-        .orderBy(col("commit_ts").desc, col("offset").desc)
-      val kept = spark.read.schema(offsetsSchema).parquet(dir)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 || col("commit_ts") >= nowMs - retentionMs)
-        .drop("__rn")
-      val tmp = s"${dir}_rewrite"
-      kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    val base = new org.apache.hadoop.fs.Path(offsetsBase(wh))
+    val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(base)) return
+    val groups = fs.listStatus(base)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.endsWith("_rewrite") || n.startsWith("."))
+    // one group at a time, each under ITS lock only: the sweep excludes that
+    // group's commits (snapshot-rewrite-swap safety) without ever pausing
+    // any other group's commit traffic
+    groups.foreach { g =>
+      graft.core.Locks.withLock(wh, groupLock(g)) {
+        healOffsets(wh, g)
+        val dir = groupDir(wh, g)
+        if (TopicCatalog.dirExists(dir)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("group_id"), col("topic"), col("partition"))
+            .orderBy(col("commit_ts").desc, col("offset").desc)
+          val kept = spark.read.schema(offsetsSchema).parquet(dir)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1 || col("commit_ts") >= nowMs - retentionMs)
+            .drop("__rn")
+          val tmp = s"${dir}_rewrite"
+          kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val p = new org.apache.hadoop.fs.Path(dir)
+          fs.delete(p, true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        }
+      }
     }
+  }
 
   /** Poll the next `max` records of each assigned partition past the last
     * commit; returns (records, nextOffsets-to-commit). */

@@ -75,7 +75,7 @@ object LogIndex {
       val topics = fs.listStatus(base)
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .filterNot(_.endsWith("_rewrite"))
+        .filterNot(n => n.endsWith("_rewrite") || n.startsWith(".")) // staging dirs
       topics.map(forTopic(spark, wh, _))
         .reduceOption(_ union _)
         .getOrElse(empty(spark))

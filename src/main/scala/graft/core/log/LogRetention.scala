@@ -34,7 +34,9 @@ object LogRetention {
       spark: SparkSession,
       wh: Warehouse,
       topic: String,
-      keepFrom: Map[Int, Long]): Seq[String] = Locks.withTopicLock(wh, topic) {
+      keepFrom: Map[Int, Long]): Seq[String] =
+    Locks.withTopicLock(wh, topic,
+        graft.core.catalog.TopicCatalog.numPartitions(spark, wh, topic)) {
     val entries = IndexCache.entries(spark, wh, topic)
     val (drop, keep) = entries.filter(_.isData).partition(e =>
       e.endOffset < keepFrom.getOrElse(e.partition, 0L))
@@ -74,7 +76,9 @@ object LogRetention {
   def compact(
       spark: SparkSession,
       wh: Warehouse,
-      topic: String): Unit = Locks.withTopicLock(wh, topic) {
+      topic: String): Unit =
+    Locks.withTopicLock(wh, topic,
+        graft.core.catalog.TopicCatalog.numPartitions(spark, wh, topic)) {
     val entries = IndexCache.entries(spark, wh, topic)
     val dataEntries = entries.filter(_.isData)
     if (dataEntries.isEmpty) return

@@ -46,10 +46,12 @@ case class AppendResult(
   * topic's index auto-compacts past [[LogWriter.MaxIndexFiles]] deltas, so
   * the driver-side index reload stays bounded at millions of segments.
   *
-  * Cross-job appends to the same topic are serialized with a best-effort
-  * warehouse lock file ([[graft.core.Locks]]); concurrent appends to
-  * DIFFERENT topics proceed in parallel (the reference locks per partition;
-  * our write unit is the job).
+  * Cross-job writes are serialized per (topic, partition) with warehouse
+  * lock files ([[graft.core.Locks]]), matching the reference's
+  * per-partition write unit: appends to different topics — or to disjoint
+  * DECLARED partition sets of one topic — proceed fully in parallel, while
+  * topic-wide mutations (retention/compaction/delete) take every
+  * partition's lock.
   */
 object LogWriter {
 
@@ -93,6 +95,16 @@ object LogWriter {
     * Input columns: `ts` (long millis), `key` (string, nullable), `value`
     * (string), optional `headers`, optional `explicit_partition` (int), and
     * an ordering column named by `ordCol`.
+    *
+    * @param partitions when given, the append declares it only writes these
+    *                   partitions (all records must carry a matching
+    *                   `explicit_partition`; violations are rejected before
+    *                   anything commits) and takes ONLY those partitions'
+    *                   locks — appends from different jobs into disjoint
+    *                   partitions of one topic run concurrently, the
+    *                   reference's per-partition write parallelism
+    *                   (PartitionWriteManager.java:33-84). When absent the
+    *                   append routes freely and holds every partition lock.
     */
   def append(
       spark: SparkSession,
@@ -101,9 +113,18 @@ object LogWriter {
       records: DataFrame,
       ordCol: String,
       batchId: Option[Long] = None,
-      conf: ProducerConfig = ProducerConfig()): AppendResult = {
+      conf: ProducerConfig = ProducerConfig(),
+      partitions: Option[Seq[Int]] = None): AppendResult = {
     val n = TopicCatalog.numPartitions(spark, wh, topic)
-    graft.core.Locks.withTopicLock(wh, topic) {
+    val locked: Seq[Int] = partitions match {
+      case Some(ps) =>
+        require(ps.nonEmpty, "declared partition set must be non-empty")
+        require(ps.forall(p => p >= 0 && p < n),
+          s"declared partitions ${ps.mkString(",")} outside [0, $n)")
+        ps.distinct.sorted
+      case None => 0 until n
+    }
+    val result = graft.core.Locks.withPartitionLocks(wh, topic, locked) {
       batchId.foreach { id =>
         if (LogIndex.hasBatch(LogIndex.forTopic(spark, wh, topic), id))
           return AppendResult(topic, batchId, Map.empty, 0L)
@@ -141,6 +162,22 @@ object LogWriter {
         .option("compression", conf.compression)
         .partitionBy("partition")
         .parquet(staging)
+      // a declared-partition append must not have routed anything outside
+      // its locked set; reject BEFORE the staged files become visible
+      partitions.foreach { _ =>
+        val sp = new Path(staging)
+        val sfs = sp.getFileSystem(new Configuration())
+        val actual = sfs.listStatus(sp).map(_.getPath.getName)
+          .filter(_.startsWith("partition="))
+          .map(_.substring("partition=".length).toInt)
+        val stray = actual.filterNot(locked.toSet)
+        if (stray.nonEmpty) {
+          sfs.delete(sp, true)
+          throw new IllegalArgumentException(
+            s"records routed to partitions ${stray.sorted.mkString(",")} outside " +
+              s"the declared set ${locked.mkString(",")} — nothing was committed")
+        }
+      }
       val newFiles = commitStaged(staging, logDir)
 
       // Index the new files from their parquet FOOTERS (offset column
@@ -159,12 +196,11 @@ object LogWriter {
             topic, s.partition, s.file, s.baseOffset, s.endOffset,
             s.count, batchId.map(Long.box).orNull)
         }
-        spark.createDataFrame(
-            java.util.Arrays.asList(indexRows: _*), Schemas.index)
-          .coalesce(1)
-          .write.mode("append").parquet(wh.indexDir(topic))
+        writeIndexDelta(spark, wh, topic, indexRows)
         IndexCache.invalidate(wh, topic)
-        maybeCompactIndex(spark, wh, topic)
+        // compaction rewrites EVERY partition's index rows, so it may only
+        // run while holding every partition lock
+        if (locked.size == n) maybeCompactIndex(spark, wh, topic)
         stats.groupBy(_.partition).map { case (p, ss) =>
           p -> (ss.map(_.baseOffset).min, ss.map(_.endOffset).max)
         }
@@ -172,6 +208,15 @@ object LogWriter {
       AppendResult(topic, batchId,
         ranges, stats.map(_.count).sum)
     }
+    // a declared-partition append cannot compact inline (it holds only its
+    // own locks); once the delta count crosses the bound, escalate to the
+    // full topic lock AFTER releasing — index growth stays bounded even for
+    // workloads that only ever do explicit-partition appends
+    if (locked.size < n && indexNeedsCompaction(wh, topic))
+      graft.core.Locks.withTopicLock(wh, topic, n) {
+        if (indexNeedsCompaction(wh, topic)) LogIndex.compactIndex(spark, wh, topic)
+      }
+    result
   }
 
   /** Convenience produce path for `Dataset[ProducerRecord]`-shaped input. */
@@ -229,14 +274,42 @@ object LogWriter {
     * SEGMENT, so even a million-segment topic compacts in one small job). */
   private val MaxIndexFiles = 64
 
-  private def maybeCompactIndex(
-      spark: SparkSession, wh: Warehouse, topic: String): Unit = {
+  private def indexNeedsCompaction(wh: Warehouse, topic: String): Boolean = {
     val p = new Path(wh.indexDir(topic))
     val fs = p.getFileSystem(new Configuration())
-    if (fs.exists(p)) {
-      val n = fs.listStatus(p).count(s => !s.getPath.getName.startsWith("_"))
-      if (n > MaxIndexFiles) LogIndex.compactIndex(spark, wh, topic)
-    }
+    fs.exists(p) &&
+      fs.listStatus(p).count(s => !s.getPath.getName.startsWith("_")) > MaxIndexFiles
+  }
+
+  private def maybeCompactIndex(
+      spark: SparkSession, wh: Warehouse, topic: String): Unit =
+    if (indexNeedsCompaction(wh, topic)) LogIndex.compactIndex(spark, wh, topic)
+
+  /** Land one append's index delta atomically: write to a private staging
+    * dir, then rename the single part-file into the topic's index dir under
+    * a unique name. `mode("append")` into a shared dir is NOT safe under
+    * concurrency — both jobs stage under `<dir>/_temporary/0` and one
+    * committer's cleanup deletes the other's in-flight attempt files (the
+    * exact corruption the round-3 concurrent-append failure exposed). With
+    * staging private per append, deltas from concurrent disjoint-partition
+    * appends land independently. */
+  private def writeIndexDelta(
+      spark: SparkSession, wh: Warehouse, topic: String,
+      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"${wh.indexBase}/.delta-$topic-$uid"
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), Schemas.index)
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val sp = new Path(staging)
+    val fs = sp.getFileSystem(new Configuration())
+    val parts = fs.listStatus(sp).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    require(parts.length == 1, s"expected one staged delta file, got ${parts.length}")
+    val dest = new Path(wh.indexDir(topic), s"delta-$uid.parquet")
+    fs.mkdirs(dest.getParent)
+    if (!fs.rename(parts.head, dest))
+      throw new IllegalStateException(s"failed to land index delta for '$topic'")
+    fs.delete(sp, true)
   }
 
   /** Move every staged data file into its live `partition=<p>` dir and drop

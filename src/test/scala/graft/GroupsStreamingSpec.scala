@@ -51,7 +51,7 @@ class GroupsStreamingSpec extends SparkSpec {
     ConsumerGroup.commit(spark, wh, "g1", "t", Map(0 -> 30L, 1 -> 25L))
     val before = ConsumerGroup.committed(spark, wh, "g1", "t")
     assert(before === Map(0 -> 30L, 1 -> 25L))
-    val dir = s"${wh.root}/_groups/offsets"
+    val dir = s"${wh.root}/_groups/offsets/g1" // per-group shard
     assert(spark.read.schema(ConsumerGroup.offsetsSchema).parquet(dir).count() === 6)
     // horizon in the future: every superseded row is past retention
     ConsumerGroup.retainCommits(spark, wh, retentionMs = 0,
@@ -63,6 +63,35 @@ class GroupsStreamingSpec extends SparkSpec {
     ConsumerGroup.retainCommits(spark, wh, retentionMs = 0,
       nowMs = System.currentTimeMillis() + 3600 * 1000)
     assert(ConsumerGroup.committed(spark, wh, "g1", "t") === before)
+  }
+
+  test("offset commits of unrelated groups run in parallel; same group still excluded") {
+    val wh = Warehouse(tmpDir("graft-gshard"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    var pending: Future[Unit] = null
+    graft.core.Locks.withLock(wh, "group-offsets-ga") {
+      // a DIFFERENT group's commit proceeds while ga's lock is held
+      ConsumerGroup.commit(spark, wh, "gb", "t", Map(0 -> 5L))
+      assert(ConsumerGroup.committed(spark, wh, "gb", "t") === Map(0 -> 5L))
+      // the SAME group's commit must wait for the lock
+      pending = Future { ConsumerGroup.commit(spark, wh, "ga", "t", Map(0 -> 7L)) }
+      Thread.sleep(1500)
+      assert(!pending.isCompleted, "same-group commit must block while its lock is held")
+    }
+    Await.result(pending, 60.seconds) // lands once the lock is released
+    assert(ConsumerGroup.committed(spark, wh, "ga", "t") === Map(0 -> 7L))
+    // sweeping retains both groups' latest commits, each under its own lock
+    ConsumerGroup.retainCommits(spark, wh, retentionMs = 0,
+      nowMs = System.currentTimeMillis() + 3600 * 1000)
+    assert(ConsumerGroup.committed(spark, wh, "ga", "t") === Map(0 -> 7L))
+    assert(ConsumerGroup.committed(spark, wh, "gb", "t") === Map(0 -> 5L))
+    // path-unsafe group ids are rejected before touching the warehouse
+    intercept[IllegalArgumentException] {
+      ConsumerGroup.commit(spark, wh, "bad/group", "t", Map(0 -> 1L))
+    }
   }
 
   test("catalog listener fires with the new snapshot when a change is observed") {

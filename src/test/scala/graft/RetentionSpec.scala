@@ -113,6 +113,55 @@ class RetentionSpec extends SparkSpec {
     assert(AssignmentCodec.decode("") === Map.empty)
   }
 
+  test("disjoint declared-partition appends run concurrently; offsets stay dense") {
+    val wh = Warehouse(tmpDir("graft-ppart"))
+    TopicCatalog.createTopic(spark, wh, "t", 3)
+    // structural proof of non-blocking: while partition 0's lock is HELD,
+    // an append declared to partition 1 commits without waiting
+    val r = graft.core.Locks.withPartitionLocks(wh, "t", Seq(0)) {
+      LogWriter.append(spark, wh, "t",
+        recs(40).withColumn("explicit_partition", lit(1)), "id",
+        partitions = Some(Seq(1)))
+    }
+    assert(r.ranges.keySet === Set(1))
+    assert(r.records === 40)
+    // and true concurrency: appends to disjoint declared partitions in parallel,
+    // repeated per partition so per-partition bases must be read under lock
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = for (p <- Seq(0, 1, 2); round <- 0 until 2) yield Future {
+      LogWriter.append(spark, wh, "t",
+        recs(30, from = round * 30).withColumn("explicit_partition", lit(p)), "id",
+        partitions = Some(Seq(p)))
+    }
+    val results = Await.result(Future.sequence(fs), 120.seconds)
+    assert(results.map(_.records).sum === 180)
+    val all = LogReader.scan(spark, wh, "t")
+    val perPart = all.groupBy($"partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("hi"), countDistinct("offset").as("d"))
+      .collect()
+    assert(perPart.length === 3)
+    perPart.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1), "dense per partition under concurrency")
+      assert(r.getLong(2) === r.getLong(1) - 1, "gapless per partition")
+    }
+  }
+
+  test("append outside the declared partition set is rejected before commit") {
+    val wh = Warehouse(tmpDir("graft-ppart-bad"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    intercept[IllegalArgumentException] {
+      LogWriter.append(spark, wh, "t",
+        recs(10).withColumn("explicit_partition", lit(0)), "id",
+        partitions = Some(Seq(1))) // declared 1, routed 0
+    }
+    assert(LogReader.scan(spark, wh, "t").count() === 0, "nothing committed")
+    intercept[IllegalArgumentException] {
+      LogWriter.append(spark, wh, "t", recs(10), "id", partitions = Some(Seq(5)))
+    }
+  }
+
   test("concurrent appends to one topic serialize; offsets stay dense") {
     val wh = Warehouse(tmpDir("graft-conc"))
     TopicCatalog.createTopic(spark, wh, "t", 2)
