@@ -159,8 +159,11 @@ object TopicCatalog {
       val conf = new org.apache.hadoop.conf.Configuration()
       val idx = new org.apache.hadoop.fs.Path(wh.indexDir(topic))
       val fs = idx.getFileSystem(conf)
-      fs.delete(idx, true)
+      // leftover rewrite staging goes FIRST: if we crashed after deleting the
+      // live dir but before the stale staging, the next reader's heal() would
+      // rename the staging back and resurrect the index of a deleted topic
       fs.delete(new org.apache.hadoop.fs.Path(s"${wh.indexDir(topic)}_rewrite"), true)
+      fs.delete(idx, true)
       graft.core.log.IndexCache.invalidate(wh, topic)
       fs.delete(new org.apache.hadoop.fs.Path(wh.logDir(topic)), true)
       val keptTopics = topics(spark, wh).filter(col("topic") =!= topic)

@@ -220,4 +220,37 @@ object ConsumerGroup {
     }.toMap
     (all, from ++ next)
   }
+
+  /** The reference's `poll(Duration)` contract
+    * (reference: src/main/java/consumer/FluxConsumer.java:136-147): block up
+    * to `timeout` for at least one record to become available past the
+    * committed offsets, then poll; an empty result after the deadline means
+    * "nothing arrived", never an error. The wait probes only the
+    * fingerprint-cached index listing (driver-side metadata, no Spark job
+    * per probe), so a long-polling consumer costs one cheap FS listing per
+    * interval until data lands. */
+  def pollTimeout(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      membership: Membership,
+      topic: String,
+      max: Long,
+      timeout: java.time.Duration,
+      probeIntervalMs: Long = 50): (DataFrame, Map[Int, Long]) = {
+    val from = committed(spark, wh, groupId, topic)
+    val parts = membership.assignment.getOrElse(topic, Seq.empty)
+    def available(): Boolean = {
+      val es = graft.core.log.IndexCache.entries(spark, wh, topic)
+      parts.exists { p =>
+        val start = from.getOrElse(p, 0L)
+        es.exists(e => e.isData && e.partition == p && e.endOffset >= start)
+      }
+    }
+    val deadline = System.nanoTime() + timeout.toNanos
+    while (!available() && System.nanoTime() < deadline)
+      Thread.sleep(math.min(probeIntervalMs,
+        math.max(1, (deadline - System.nanoTime()) / 1000000)))
+    poll(spark, wh, groupId, membership, topic, max)
+  }
 }

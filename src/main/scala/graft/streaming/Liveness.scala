@@ -45,11 +45,15 @@ object Liveness {
 
   /** Transition function — pure, unit-testable without a stream.
     *
-    * @param directives pending controller directives per member, delivered
-    *                   (once, on the member's next heartbeat) in the emitted
-    *                   state row. A member reviving from a timeout is always
-    *                   directed to REBALANCE — its assignments may be stale —
-    *                   unless the controller pended something explicit. */
+    * @param directives STANDING controller directives per member, fixed at
+    *                   plan time: a member's directive is re-delivered on
+    *                   every heartbeat it emits for the life of the query
+    *                   (to change or clear directives, restart the query
+    *                   with a new map — or source them from a small
+    *                   warehouse table read per batch). A member reviving
+    *                   from a timeout is always directed to REBALANCE — its
+    *                   assignments may be stale — unless the controller set
+    *                   something explicit. */
   def update(
       config: LivenessConfig,
       directives: Map[String, String] = Map.empty)(

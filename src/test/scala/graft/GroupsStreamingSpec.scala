@@ -65,6 +65,34 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(ConsumerGroup.committed(spark, wh, "g1", "t") === before)
   }
 
+  test("poll(Duration): bounded wait, empty at timeout, data cuts the wait short") {
+    val wh = Warehouse(tmpDir("graft-polltime"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    val m = ConsumerGroup.Membership("g", "m1", "range", Map("t" -> Seq(0)))
+    // empty topic: the wait is bounded and the result is empty, not an error
+    val t0 = System.nanoTime()
+    val (empty, _) = ConsumerGroup.pollTimeout(spark, wh, "g", m, "t", 10,
+      java.time.Duration.ofMillis(400))
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    assert(empty.count() === 0)
+    assert(waitedMs >= 350, s"returned after only $waitedMs ms")
+    // data arriving mid-wait unblocks well before the deadline
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Future {
+      Thread.sleep(300)
+      LogWriter.append(spark, wh, "t",
+        someRecords(20).withColumn("explicit_partition", lit(0)), "id")
+    }
+    val t1 = System.nanoTime()
+    val (got, next) = ConsumerGroup.pollTimeout(spark, wh, "g", m, "t", 50,
+      java.time.Duration.ofSeconds(60))
+    val unblockMs = (System.nanoTime() - t1) / 1e6
+    assert(got.count() === 20)
+    assert(next === Map(0 -> 20L))
+    assert(unblockMs < 30000, s"long-poll did not unblock on arrival ($unblockMs ms)")
+  }
+
   test("offset commits of unrelated groups run in parallel; same group still excluded") {
     val wh = Warehouse(tmpDir("graft-gshard"))
     TopicCatalog.createTopic(spark, wh, "t", 2)
