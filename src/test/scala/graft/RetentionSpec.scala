@@ -113,6 +113,25 @@ class RetentionSpec extends SparkSpec {
     assert(AssignmentCodec.decode("") === Map.empty)
   }
 
+  test("staged commit of a many-file batch: all files land, offsets dense") {
+    val wh = Warehouse(tmpDir("graft-manyfiles"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    // tiny segment size forces ~80 part-files through the parallel rename
+    val r = LogWriter.append(spark, wh, "t", recs(2000), "id",
+      conf = ProducerConfig(maxRecordsPerFile = 25))
+    assert(r.records === 2000)
+    assert(LogIndex.forTopic(spark, wh, "t").count() >= 60, "many segments committed")
+    val all = LogReader.scan(spark, wh, "t")
+    assert(all.count() === 2000)
+    val perPart = all.groupBy($"partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("hi"), countDistinct("offset").as("d"))
+      .collect()
+    perPart.foreach { row =>
+      assert(row.getLong(3) === row.getLong(1))
+      assert(row.getLong(2) === row.getLong(1) - 1)
+    }
+  }
+
   test("disjoint declared-partition appends run concurrently; offsets stay dense") {
     val wh = Warehouse(tmpDir("graft-ppart"))
     TopicCatalog.createTopic(spark, wh, "t", 3)
