@@ -60,6 +60,7 @@ object SparkEntry {
     "text_stats" -> (Queries.textStats _),
     "quality_score" -> (Queries.qualityScore _),
     "lang_id" -> (Queries.langId _),
+    "pipeline_clean" -> (Queries.pipelineClean _),
     "fingerprints" -> (Queries.fingerprints _),
     "token_histogram" -> (Queries.tokenHistogram _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),

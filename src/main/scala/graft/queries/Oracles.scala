@@ -324,6 +324,58 @@ object Oracles {
         |       ELSE 'de' END AS lang_pred
         |FROM h""".stripMargin,
 
+    "pipeline_clean" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS puncts,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |                          'that','for','on','with','as','was','at','by','be'], w))) AS DOUBLE) AS stops,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks
+        |  FROM dedup),
+        |scored AS (
+        |  SELECT doc_id, text, toks,
+        |    round((
+        |      CASE WHEN len >= 50 AND len <= 5000 THEN 1.0
+        |           WHEN len < 50 THEN len / 50.0
+        |           ELSE 5000.0 / len END +
+        |      CASE WHEN puncts / greatest(len, 1.0) <= 0.1 THEN 1.0
+        |           ELSE greatest(0.0, 1.0 - (puncts / greatest(len, 1.0) - 0.1) * 5.0) END +
+        |      least(stops / greatest(toks, 1.0) * 5.0, 1.0)) / 3.0, 6) AS quality
+        |  FROM base),
+        |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |h AS (
+        |  SELECT doc_id, text, toks, quality,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], w))) AS h_en,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], w))) AS h_de,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['el','la','de','que','y','en','un','es','no','por'], w))) AS h_es,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['le','la','de','et','un','est','pas','que','pour','dans'], w))) AS h_fr,
+        |    len(list_filter(['的','是','不','了','在','人','有','我','他','这'],
+        |      ch -> instr(text, ch) > 0)) AS h_zh
+        |  FROM kept),
+        |labeled AS (
+        |  SELECT toks, quality,
+        |    CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'zh'
+        |         WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'fr'
+        |         WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'es'
+        |         WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM h)
+        |SELECT lang_pred,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(toks AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) / count(*) AS DOUBLE), 6) AS avg_quality
+        |FROM labeled GROUP BY lang_pred""".stripMargin,
+
     "q_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

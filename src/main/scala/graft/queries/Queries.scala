@@ -407,6 +407,28 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.langId(col("text")).as("lang_pred"))
 
+  /** End-to-end cleaning pipeline — the composition a training-data user
+    * actually runs over a raw corpus: exact dedup (keep lowest doc_id per
+    * text) → quality filter (score >= 0.5) → per-predicted-language corpus
+    * rollup (doc count, total tokens, mean quality). Every stage is
+    * individually oracle-checked (dedup_exact / quality_score / lang_id);
+    * this query checks their COMPOSITION against DuckDB end-to-end. Plan:
+    * one corpus scan, one dedup shuffle, one agg shuffle — quality/lang
+    * expressions run codegen'd between them. The mean goes through
+    * DECIMAL so aggregation order cannot perturb bits (quality is already
+    * 6-dp-rounded per row). */
+  def pipelineClean(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), col("text"), col("doc_id"))
+      .withColumn("quality", T.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("lang_pred", T.langId(col("text")))
+      .groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        round((sum(col("quality").cast("decimal(18,6)")) / count(lit(1)))
+          .cast("double"), 6).as("avg_quality"))
+
   /** 64-bit content fingerprints (no SQL oracle — engine-specific hash). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(

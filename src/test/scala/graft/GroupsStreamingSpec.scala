@@ -370,6 +370,28 @@ class GroupsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicates within the watermark horizon are dropped, state is fingerprint-only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamDedup.dedupWithinWatermark(
+      input.toDF().toDF("ts", "text"), col("text"), "ts", "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((t(0), "alpha doc"), (t(1), "alpha doc"), (t(2), "beta doc"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch, still within the horizon
+      input.addData((t(5), "alpha doc"), (t(6), "gamma doc"))
+      q.processAllAvailable()
+      val texts = spark.table("sdedup").select("text").as[String].collect().sorted
+      assert(texts.toSeq === Seq("alpha doc", "beta doc", "gamma doc"),
+        "one survivor per distinct content within the horizon")
+    } finally q.stop()
+  }
+
   test("streaming ingest: micro-batches append exactly-once with dense offsets") {
     val wh = Warehouse(tmpDir("graft-stream"))
     val src = tmpDir("graft-stream-src")
