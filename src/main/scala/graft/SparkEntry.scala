@@ -61,6 +61,8 @@ object SparkEntry {
     "quality_score" -> (Queries.qualityScore _),
     "lang_id" -> (Queries.langId _),
     "pipeline_clean" -> (Queries.pipelineClean _),
+    "rep_ratio" -> (Queries.repRatio _),
+    "redact_pii" -> (Queries.redactPii _),
     "fingerprints" -> (Queries.fingerprints _),
     "token_histogram" -> (Queries.tokenHistogram _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),

@@ -376,6 +376,28 @@ object Oracles {
         |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) / count(*) AS DOUBLE), 6) AS avg_quality
         |FROM labeled GROUP BY lang_pred""".stripMargin,
 
+    "rep_ratio" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN 0.0
+        |       ELSE round(1.0 -
+        |         CAST(len(list_distinct(list_transform(
+        |           generate_series(1, len(toks) - 2),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS DOUBLE) /
+        |         CAST(len(toks) - 2 AS DOUBLE), 6) END AS rep_ratio
+        |FROM t""".stripMargin,
+
+    "redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
     "q_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -429,6 +429,40 @@ object Queries {
         round((sum(col("quality").cast("decimal(18,6)")) / count(lit(1)))
           .cast("double"), 6).as("avg_quality"))
 
+  /** N-gram repetition ratio — the boilerplate/spam signal LLM pipelines
+    * filter on: 1 − distinct-3-grams / total-3-grams over whitespace
+    * tokens (0 for documents shorter than one 3-gram). Tokens materialize
+    * once in a prior projection so the gram lambda iterates an attribute,
+    * not a re-evaluated split. */
+  def repRatio(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        when(size(col("toks")) < 3, lit(0.0)).otherwise(
+          round(lit(1.0) -
+            size(array_distinct(transform(
+              sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))).cast("double") /
+            (size(col("toks")) - 2).cast("double"), 6)).as("rep_ratio"))
+
+  /** PII redaction — emails, phone numbers, IPv4 addresses replaced with
+    * typed placeholders. Patterns are deliberately RE2-compatible (no
+    * lookaround) so the exact transformation is oracle-checkable; codegen'd
+    * `regexp_replace` chain, one pass each. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("redacted"))
+
   /** 64-bit content fingerprints (no SQL oracle — engine-specific hash). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(

@@ -170,6 +170,45 @@ class DedupSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("PII redaction replaces emails, phones, IPs with typed placeholders") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 555-123-4567 now"),
+      (2L, "server at 192.168.1.254 responded"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    // same projection as Queries.redactPii, over planted PII
+    val redacted = df.select($"doc_id",
+      regexp_replace(regexp_replace(regexp_replace($"text",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("redacted"))
+      .as[(Long, String)].collect().toMap
+    assert(redacted(1L) === "contact <EMAIL> or call <PHONE> now")
+    assert(redacted(2L) === "server at <IP> responded")
+    assert(redacted(3L) === "no pii here at all")
+  }
+
+  test("repetition ratio: fully repeated text scores high, varied text scores 0") {
+    val spam = ("buy now " * 20).trim // 40 tokens, 38 3-grams, 3 distinct
+    val varied = "one two three four five six seven eight nine ten"
+    val short = "too short"
+    val df = Seq((1L, spam), (2L, varied), (3L, short)).toDF("doc_id", "text")
+    import graft.functions.{TextFunctions => TF}
+    val scored = df
+      .select($"doc_id", TF.tokens($"text").as("toks"))
+      .select($"doc_id",
+        when(size($"toks") < 3, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(transform(
+            sequence(lit(0), size($"toks") - 3),
+            i => concat_ws(" ", element_at($"toks", i + 1),
+              element_at($"toks", i + 2), element_at($"toks", i + 3))))).cast("double") /
+            (size($"toks") - 2).cast("double"), 6)).as("rep_ratio"))
+      .as[(Long, Double)].collect().toMap
+    assert(scored(1L) > 0.9, s"spam scored ${scored(1L)}")
+    assert(scored(2L) === 0.0)
+    assert(scored(3L) === 0.0, "shorter than one 3-gram")
+  }
+
   test("vector expressions: cosine of identical/orthogonal vectors") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f), 1.0),
