@@ -106,7 +106,9 @@ object Bench {
       "text_stats" -> (Queries.textStats _),
       "lang_id" -> (Queries.langId _),
       "ann_brute" -> (Queries.annBrute _),
-      "ann_srp" -> (Queries.annSrp _))
+      "ann_srp" -> (Queries.annSrp _),
+      "pipeline_clean" -> (Queries.pipelineClean _),
+      "rep_ratio" -> (Queries.repRatio _))
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass
       results(name) = time(materialize(fn(spark, sfDir)))

@@ -38,6 +38,7 @@ object GraftExtensions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "murmur2" -> { args => Murmur2Expression(args.head) },
     "fingerprint64" -> { args => Fingerprint64Expression(args.head) },
+    "lang_id" -> { args => LangIdExpression(args.head) },
     "simhash64" -> { args => SimHash64Expression(args.head) },
     "minhash" -> { args =>
       MinHashExpression(args.head, intArg(args(1), "minhash k")) },

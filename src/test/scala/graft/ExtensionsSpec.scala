@@ -16,7 +16,8 @@ class ExtensionsSpec extends SparkSpec {
         |       word_shingles('a b c', 2) AS ws,
         |       vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
         |       round(vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)), 6) AS c,
-        |       srp_bucket(array(1.0f, 2.0f), 4) AS b
+        |       srp_bucket(array(1.0f, 2.0f), 4) AS b,
+        |       lang_id('the cat sat on the mat and it is that') AS l
         |""".stripMargin).head()
     assert(r.getAs[Int]("m") === Murmur2.hashString("hello"))
     assert(r.getAs[Long]("f") === TextFunctions.fnv1a64(
@@ -27,6 +28,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Seq[String]]("ws") === Seq("a b", "b c"))
     assert(r.getAs[Double]("d") === 11.0)
     assert(r.getAs[Double]("c") === 1.0)
+    assert(r.getAs[String]("l") === "en")
   }
 
   test("non-literal arg to a literal parameter errors clearly") {
