@@ -163,6 +163,7 @@ object TopicCatalog {
       // live dir but before the stale staging, the next reader's heal() would
       // rename the staging back and resurrect the index of a deleted topic
       fs.delete(new org.apache.hadoop.fs.Path(s"${wh.indexDir(topic)}_rewrite"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${wh.indexDir(topic)}_old"), true)
       fs.delete(idx, true)
       graft.core.log.IndexCache.invalidate(wh, topic)
       fs.delete(new org.apache.hadoop.fs.Path(wh.logDir(topic)), true)
@@ -171,13 +172,19 @@ object TopicCatalog {
     }
   }
 
+  /** Swap `dir` to the materialized `df` with the reader-safe protocol
+    * shared with LogIndex.replace: rename-aside → rename-in → delete-aside,
+    * so unlocked readers see a missing dir only between two renames. */
   private def rewriteDir(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     val tmp = s"${dir}_rewrite"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.delete(p, true)
+    fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
   }
 
   /** Register every topic as a SQL temp view named `topic_<name>`, backed by

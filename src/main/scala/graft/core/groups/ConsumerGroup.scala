@@ -157,7 +157,7 @@ object ConsumerGroup {
     val groups = fs.listStatus(base)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filterNot(n => n.endsWith("_rewrite") || n.startsWith("."))
+      .filterNot(n => n.endsWith("_rewrite") || n.endsWith("_old") || n.startsWith("."))
     // one group at a time, each under ITS lock only: the sweep excludes that
     // group's commits (snapshot-rewrite-swap safety) without ever pausing
     // any other group's commit traffic
@@ -173,11 +173,16 @@ object ConsumerGroup {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1 || col("commit_ts") >= nowMs - retentionMs)
             .drop("__rn")
+          // same reader-safe swap as LogIndex.replace: committed() probes
+          // from OTHER threads see a missing shard only between two renames
           val tmp = s"${dir}_rewrite"
           kept.coalesce(1).write.mode("overwrite").parquet(tmp)
           val p = new org.apache.hadoop.fs.Path(dir)
-          fs.delete(p, true)
+          val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
+          fs.delete(old, true)
+          if (fs.exists(p)) fs.rename(p, old)
           fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+          fs.delete(old, true)
         }
       }
     }

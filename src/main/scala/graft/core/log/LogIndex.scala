@@ -41,11 +41,13 @@ object LogIndex {
     Row(topic, partition, HwmFile, lastOffset + 1, lastOffset, 0L, null)
 
   private def rewriteDir(dir: String): String = s"${dir}_rewrite"
+  private def oldDir(dir: String): String = s"${dir}_old"
 
   /** Finish a crashed [[replace]]: live dir missing + rewrite dir present
-    * means the delete happened after the rewrite was fully written, so the
-    * rename is the only missing step. Idempotent, cheap (one exists check
-    * on the happy path). */
+    * means the crash hit between the two renames, so installing the rewrite
+    * is the only missing step (the renamed-aside old index is garbage the
+    * next replace clears). Idempotent, cheap (one exists check on the happy
+    * path). */
   private[graft] def heal(wh: Warehouse, topic: String): Unit = {
     val live = new Path(wh.indexDir(topic))
     val fs = live.getFileSystem(new Configuration())
@@ -75,7 +77,8 @@ object LogIndex {
       val topics = fs.listStatus(base)
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .filterNot(n => n.endsWith("_rewrite") || n.startsWith(".")) // staging dirs
+        .filterNot(n => // swap staging/aside dirs are never topics
+          n.endsWith("_rewrite") || n.endsWith("_old") || n.startsWith("."))
       topics.map(forTopic(spark, wh, _))
         .reduceOption(_ union _)
         .getOrElse(empty(spark))
@@ -103,10 +106,16 @@ object LogIndex {
 
   /** Replace a topic's index rows wholesale. The new rows are materialized
     * into the rewrite dir BEFORE the live dir is touched (the write action
-    * forces the read), so the swap never reads what it is deleting. Crash
-    * between delete and rename is repaired by [[heal]]. CALLERS MUST HOLD
-    * THE TOPIC LOCK — the swap is not atomic against a concurrent append's
-    * delta write (its rows would land in the doomed live dir and be lost). */
+    * forces the read), so the swap never reads what it is deleting. The
+    * swap itself is rename-aside → rename-in → delete-aside: unlocked
+    * READERS see a missing index only between the two renames (two metadata
+    * ops), never for the duration of a recursive delete — at millions of
+    * segments that delete is long, and "index briefly empty" would read as
+    * "topic empty". Crash between the renames is repaired by [[heal]];
+    * leftover `_old`/`_rewrite` dirs are cleared by the next replace.
+    * CALLERS MUST HOLD THE TOPIC LOCK — the swap is not atomic against a
+    * concurrent append's delta write (its rows would land in the doomed
+    * live dir and be lost). */
   private[graft] def replace(
       spark: SparkSession,
       wh: Warehouse,
@@ -116,9 +125,12 @@ object LogIndex {
     val tmp = rewriteDir(dir)
     rows.coalesce(1).write.mode("overwrite").parquet(tmp)
     val live = new Path(dir)
+    val old = new Path(oldDir(dir))
     val fs = live.getFileSystem(new Configuration())
-    fs.delete(live, true)
+    fs.delete(old, true) // leftover from a crashed prior swap
+    if (fs.exists(live)) fs.rename(live, old)
     fs.rename(new Path(tmp), live)
+    fs.delete(old, true)
     IndexCache.invalidate(wh, topic)
   }
 

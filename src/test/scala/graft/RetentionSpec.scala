@@ -113,6 +113,29 @@ class RetentionSpec extends SparkSpec {
     assert(AssignmentCodec.decode("") === Map.empty)
   }
 
+  test("heal installs a fully-written rewrite after a crash between swap renames") {
+    val wh = Warehouse(tmpDir("graft-heal"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    LogWriter.append(spark, wh, "t",
+      recs(50).withColumn("explicit_partition", lit(0)), "id")
+    // simulate a crash mid-replace: live index renamed aside, rewrite fully
+    // written (we reuse the live content as the "rewrite"), aside dir present
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val live = new org.apache.hadoop.fs.Path(wh.indexDir("t"))
+    val tmp = new org.apache.hadoop.fs.Path(s"${wh.indexDir("t")}_rewrite")
+    val old = new org.apache.hadoop.fs.Path(s"${wh.indexDir("t")}_old")
+    val hfs = live.getFileSystem(conf)
+    assert(hfs.rename(live, tmp))
+    hfs.mkdirs(old)
+    // the next unlocked reader heals and sees every record
+    assert(LogReader.scan(spark, wh, "t").count() === 50)
+    assert(hfs.exists(live) && !hfs.exists(tmp), "rewrite installed as live")
+    // the orphaned aside dir is cleared by the next real rewrite
+    graft.core.log.LogIndex.compactIndex(spark, wh, "t")
+    assert(!hfs.exists(old), "aside dir cleared on the next swap")
+    assert(LogReader.scan(spark, wh, "t").count() === 50)
+  }
+
   test("staged commit of a many-file batch: all files land, offsets dense") {
     val wh = Warehouse(tmpDir("graft-manyfiles"))
     TopicCatalog.createTopic(spark, wh, "t", 2)
