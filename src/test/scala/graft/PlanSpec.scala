@@ -38,6 +38,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_clean: one corpus scan, pruned projection, no joins at all") {
+    val df = Queries.pipelineClean(spark, dir)
+    val p = plan(df)
+    assert(df.inputFiles.length === 1, "single documents scan feeds the whole pipeline")
+    assert(!p.contains("Join"), "dedup+filter+rollup compose without any join")
+    assert(!p.contains("CartesianProduct"))
+    // only doc_id + text are read; corpus metadata columns must be pruned
+    assert(!p.contains("n_chars"), "unused document columns pruned from the scan")
+  }
+
+  test("redact_pii / rep_ratio stay single-scan with pruned reads") {
+    Seq(Queries.redactPii(spark, dir), Queries.repRatio(spark, dir)).foreach { df =>
+      assert(df.inputFiles.length === 1)
+      val p = plan(df)
+      assert(!p.contains("Exchange"), "row-local transforms must not shuffle")
+    }
+  }
+
   test("poll touches only index-selected files and pushes the offset filter") {
     import graft.core.catalog.{TopicCatalog, Warehouse}
     import graft.core.log.{LogReader, LogWriter}
