@@ -67,6 +67,56 @@ class LocksSpec extends SparkSpec {
     assert(total === 8)
   }
 
+  test("cross-JVM: a lock held by another PROCESS excludes us; released lock acquires") {
+    val wh = Warehouse(tmpDir("graft-locks-xjvm"))
+    val p = spawnHolder(wh, holdMs = 4000)
+    try {
+      // exclusion comes from the lock FILE (the other JVM shares no striped lock)
+      intercept[IllegalStateException] {
+        Locks.withLock(wh, "topic-t", timeoutMs = 800, staleMs = 600000) { fail("must not enter") }
+      }
+      // once the holder releases, acquisition succeeds promptly
+      assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS), "holder JVM must exit")
+      val r = Locks.withLock(wh, "topic-t", timeoutMs = 10000, staleMs = 600000) { 1 }
+      assert(r === 1)
+    } finally p.destroyForcibly()
+  }
+
+  test("cross-JVM: SIGKILLed holder's lock is broken via the stale horizon") {
+    val wh = Warehouse(tmpDir("graft-locks-kill"))
+    val p = spawnHolder(wh, holdMs = 600000) // would hold for 10 minutes
+    try {
+      p.destroyForcibly() // the crash: no finally, no delete — lock file remains
+      assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      val f = lockFile(wh, "topic-t")
+      assert(f.exists(), "crashed holder leaves its lock file")
+      // age the file past the horizon (in production the heartbeat is dead,
+      // so mtime stops advancing and real time does this)
+      assert(f.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+      val r = Locks.withLock(wh, "topic-t", timeoutMs = 30000, staleMs = 2000) { 2 }
+      assert(r === 2, "stale lock of a dead process is broken, not waited out")
+    } finally p.destroyForcibly()
+  }
+
+  /** Launch graft.tools.LockHold in a fresh JVM and wait for its HELD marker. */
+  private def spawnHolder(wh: Warehouse, holdMs: Long): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val p = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.tools.LockHold", wh.root, "topic-t", holdMs.toString)
+      .redirectErrorStream(true).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    val deadline = System.currentTimeMillis() + 30000
+    var line = ""
+    while (line != "HELD" && System.currentTimeMillis() < deadline) {
+      line = reader.readLine()
+      if (line == null) throw new IllegalStateException("holder JVM died before HELD")
+    }
+    assert(line === "HELD", "holder must acquire within 30s")
+    p
+  }
+
   test("held lock survives past the stale horizon (heartbeat refreshes mtime)") {
     val wh = Warehouse(tmpDir("graft-locks-beat"))
     import scala.concurrent.{Await, Future}
