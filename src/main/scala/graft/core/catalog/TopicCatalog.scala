@@ -53,9 +53,9 @@ object TopicCatalog {
     if (!ValidName.matches(topic))
       throw new InvalidTopicException(
         s"topic name '$topic' must match ${ValidName.regex} (path-safe, no leading . or _)")
-    if (topic.endsWith("_rewrite"))
+    if (topic.endsWith("_rewrite") || topic.endsWith("_old"))
       throw new InvalidTopicException(
-        s"topic name '$topic' collides with the reserved *_rewrite staging suffix")
+        s"topic name '$topic' collides with a reserved swap-staging suffix (*_rewrite, *_old)")
   }
 
   def createTopic(

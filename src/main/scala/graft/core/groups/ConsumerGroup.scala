@@ -46,9 +46,10 @@ object ConsumerGroup {
   private val ValidGroupId = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
 
   private def validateGroupId(groupId: String): Unit =
-    if (groupId == null || !ValidGroupId.matches(groupId) || groupId.endsWith("_rewrite"))
+    if (groupId == null || !ValidGroupId.matches(groupId) ||
+        groupId.endsWith("_rewrite") || groupId.endsWith("_old"))
       throw new IllegalArgumentException(
-        s"group id '$groupId' must match ${ValidGroupId.regex} and not end in _rewrite")
+        s"group id '$groupId' must match ${ValidGroupId.regex} and not end in _rewrite/_old")
 
   /** Finish a crashed [[retainCommits]] swap of one group's shard (mirrors
     * LogIndex.heal). */

@@ -13,6 +13,9 @@ class CatalogSpec extends SparkSpec {
       TopicCatalog.createTopic(spark, wh, "x_rewrite", 1) // index staging suffix
     }
     intercept[InvalidTopicException] {
+      TopicCatalog.createTopic(spark, wh, "x_old", 1) // swap aside-dir suffix
+    }
+    intercept[InvalidTopicException] {
       TopicCatalog.createTopic(spark, wh, "a/b", 1) // path separator
     }
     intercept[InvalidTopicException] {
