@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Reader-safe directory swap, shared by every rewrite site (topic index,
+  * per-group committed offsets, topic catalog).
+  *
+  * Protocol: the caller materializes the replacement at `<dir>_rewrite`,
+  * then [[install]] runs rename-aside → rename-in → delete-aside. Unlocked
+  * READERS see a missing dir only between the two renames (two metadata
+  * ops), never for the duration of a recursive delete — at millions of
+  * files that delete is long, and "dir briefly empty" would read as "data
+  * gone". A crash between the renames leaves live-missing + rewrite-present,
+  * which [[heal]] (called on every read path) finishes by installing the
+  * rewrite; leftover `_old`/`_rewrite` dirs are cleared by the next install.
+  * Writers MUST hold the relevant lock; heal is safe unlocked because it
+  * only acts on the unambiguous crash state.
+  */
+object Swap {
+
+  def rewriteDir(dir: String): String = s"${dir}_rewrite"
+  def oldDir(dir: String): String = s"${dir}_old"
+
+  /** Names that could collide with swap staging siblings of another name. */
+  def isStagingName(name: String): Boolean =
+    name.endsWith("_rewrite") || name.endsWith("_old")
+
+  /** Install a fully-written `<dir>_rewrite` as `dir`. */
+  def install(fs: FileSystem, dir: String): Unit = {
+    val live = new Path(dir)
+    val old = new Path(oldDir(dir))
+    fs.delete(old, true) // leftover from a crashed prior install
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(new Path(rewriteDir(dir)), live)
+    fs.delete(old, true)
+  }
+
+  /** Finish a crashed [[install]]: live missing + rewrite present means the
+    * crash hit between the renames and the rewrite is complete (it is only
+    * ever renamed aside after being fully written). Idempotent; one exists
+    * check on the happy path. */
+  def heal(fs: FileSystem, dir: String): Unit = {
+    val live = new Path(dir)
+    if (!fs.exists(live)) {
+      val tmp = new Path(rewriteDir(dir))
+      if (fs.exists(tmp)) fs.rename(tmp, live)
+    }
+  }
+}
+
+/** Shared path-safety policy for names that become warehouse directory and
+  * lock-file names (topics, consumer groups). */
+private[graft] object Names {
+  private val Valid = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  /** None when valid; Some(reason) otherwise. One policy for every
+    * namespace, so a new reserved suffix cannot be added to topics but
+    * forgotten for groups. */
+  def check(name: String): Option[String] =
+    if (name == null || name.trim.isEmpty) Some("must be non-empty")
+    else if (!Valid.matches(name))
+      Some(s"must match ${Valid.regex} (path-safe, no leading . or _)")
+    else if (Swap.isStagingName(name))
+      Some("collides with a reserved swap-staging suffix (*_rewrite, *_old)")
+    else None
+}

@@ -41,22 +41,14 @@ object TopicCatalog {
 
   /** Topic names become warehouse directory names, so they must be
     * path-safe (no separators, no leading `.`/`_` that Spark's file listing
-    * or the warehouse layout treats specially) and must not collide with the
-    * `<dir>_rewrite` staging suffix used by index/catalog swaps — a topic
-    * literally named `X_rewrite` would share topic X's staging dir and could
-    * have its index destroyed by X's next rewrite. */
-  private val ValidName = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
-
-  private[graft] def validateName(topic: String): Unit = {
-    if (topic == null || topic.trim.isEmpty)
-      throw new InvalidTopicException("topic name must be non-empty")
-    if (!ValidName.matches(topic))
-      throw new InvalidTopicException(
-        s"topic name '$topic' must match ${ValidName.regex} (path-safe, no leading . or _)")
-    if (topic.endsWith("_rewrite") || topic.endsWith("_old"))
-      throw new InvalidTopicException(
-        s"topic name '$topic' collides with a reserved swap-staging suffix (*_rewrite, *_old)")
-  }
+    * or the warehouse layout treats specially) and must not collide with
+    * the `*_rewrite`/`*_old` swap-staging suffixes — a topic literally
+    * named `X_rewrite` would share topic X's staging dir and could have its
+    * index destroyed by X's next rewrite. One policy shared with group ids
+    * ([[graft.core.Names]]). */
+  private[graft] def validateName(topic: String): Unit =
+    graft.core.Names.check(topic).foreach(reason =>
+      throw new InvalidTopicException(s"topic name '$topic' $reason"))
 
   def createTopic(
       spark: SparkSession,
@@ -79,10 +71,23 @@ object TopicCatalog {
     FluxTopic(topic, numPartitions, replicationFactor)
   }
 
+  /** Finish a crashed catalog swap ([[rewriteDir]]) — without this, a crash
+    * between the two renames would leave the ENTIRE topic registry
+    * invisible (every topic unknown, re-creates resurrecting stale data)
+    * even though the complete new registry sits in the rewrite dir. Called
+    * on every catalog read path, like LogIndex.heal. */
+  private def healCatalog(wh: Warehouse): Unit = {
+    val p = new org.apache.hadoop.fs.Path(wh.catalogDir)
+    graft.core.Swap.heal(
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()), wh.catalogDir)
+  }
+
   /** All registered topics. Reference: InMemoryTopicMetadataRepository.getActiveTopics. */
-  def topics(spark: SparkSession, wh: Warehouse): DataFrame =
+  def topics(spark: SparkSession, wh: Warehouse): DataFrame = {
+    healCatalog(wh)
     if (dirExists(wh.catalogDir)) spark.read.schema(Schemas.topics).parquet(wh.catalogDir)
     else spark.createDataFrame(java.util.List.of[Row](), Schemas.topics)
+  }
 
   def exists(spark: SparkSession, wh: Warehouse, topic: String): Boolean =
     cachedTopics(spark, wh).contains(topic)
@@ -112,6 +117,7 @@ object TopicCatalog {
   def removeListeners(wh: Warehouse): Unit = listeners.remove(wh.root)
 
   private def catalogFingerprint(wh: Warehouse): String = {
+    healCatalog(wh)
     val p = new org.apache.hadoop.fs.Path(wh.catalogDir)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.exists(p)) ""
@@ -172,19 +178,13 @@ object TopicCatalog {
     }
   }
 
-  /** Swap `dir` to the materialized `df` with the reader-safe protocol
-    * shared with LogIndex.replace: rename-aside → rename-in → delete-aside,
-    * so unlocked readers see a missing dir only between two renames. */
+  /** Swap `dir` to the materialized `df` — the shared reader-safe protocol
+    * ([[graft.core.Swap]]); crash mid-swap is finished by [[healCatalog]]. */
   private def rewriteDir(spark: SparkSession, df: DataFrame, dir: String): Unit = {
-    val tmp = s"${dir}_rewrite"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.delete(old, true)
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-    fs.delete(old, true)
+    df.coalesce(1).write.mode("overwrite").parquet(graft.core.Swap.rewriteDir(dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    graft.core.Swap.install(fs, dir)
   }
 
   /** Register every topic as a SQL temp view named `topic_<name>`, backed by

@@ -41,25 +41,18 @@ object ConsumerGroup {
 
   private def groupLock(groupId: String): String = s"group-offsets-$groupId"
 
-  /** Group ids become directory + lock-file names; same path-safety rules
-    * as topic names, and the `*_rewrite` staging suffix stays reserved. */
-  private val ValidGroupId = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
-
+  /** Group ids become directory + lock-file names; one shared path-safety
+    * policy with topic names ([[graft.core.Names]]). */
   private def validateGroupId(groupId: String): Unit =
-    if (groupId == null || !ValidGroupId.matches(groupId) ||
-        groupId.endsWith("_rewrite") || groupId.endsWith("_old"))
-      throw new IllegalArgumentException(
-        s"group id '$groupId' must match ${ValidGroupId.regex} and not end in _rewrite/_old")
+    graft.core.Names.check(groupId).foreach(reason =>
+      throw new IllegalArgumentException(s"group id '$groupId' $reason"))
 
-  /** Finish a crashed [[retainCommits]] swap of one group's shard (mirrors
-    * LogIndex.heal). */
+  /** Finish a crashed [[retainCommits]] swap of one group's shard. */
   private def healOffsets(wh: Warehouse, groupId: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(groupDir(wh, groupId))
-    val fs = live.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (!fs.exists(live)) {
-      val tmp = new org.apache.hadoop.fs.Path(s"${groupDir(wh, groupId)}_rewrite")
-      if (fs.exists(tmp)) fs.rename(tmp, live)
-    }
+    val dir = groupDir(wh, groupId)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    graft.core.Swap.heal(fs, dir)
   }
 
   case class Membership(
@@ -158,7 +151,7 @@ object ConsumerGroup {
     val groups = fs.listStatus(base)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filterNot(n => n.endsWith("_rewrite") || n.endsWith("_old") || n.startsWith("."))
+      .filterNot(n => graft.core.Swap.isStagingName(n) || n.startsWith("."))
     // one group at a time, each under ITS lock only: the sweep excludes that
     // group's commits (snapshot-rewrite-swap safety) without ever pausing
     // any other group's commit traffic
@@ -174,16 +167,11 @@ object ConsumerGroup {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1 || col("commit_ts") >= nowMs - retentionMs)
             .drop("__rn")
-          // same reader-safe swap as LogIndex.replace: committed() probes
-          // from OTHER threads see a missing shard only between two renames
-          val tmp = s"${dir}_rewrite"
-          kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
-          fs.delete(old, true)
-          if (fs.exists(p)) fs.rename(p, old)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-          fs.delete(old, true)
+          // reader-safe swap (graft.core.Swap): committed() probes from
+          // OTHER threads see a missing shard only between two renames
+          kept.coalesce(1).write.mode("overwrite")
+            .parquet(graft.core.Swap.rewriteDir(dir))
+          graft.core.Swap.install(fs, dir)
         }
       }
     }
@@ -197,8 +185,20 @@ object ConsumerGroup {
       groupId: String,
       membership: Membership,
       topic: String,
-      max: Long): (DataFrame, Map[Int, Long]) = {
-    val from = committed(spark, wh, groupId, topic)
+      max: Long): (DataFrame, Map[Int, Long]) =
+    pollFrom(spark, wh, membership, topic, max,
+      committed(spark, wh, groupId, topic))
+
+  /** Poll past an already-fetched committed-offset snapshot — lets callers
+    * that have just read `committed()` (e.g. [[pollTimeout]]'s availability
+    * probe) avoid a second offsets-table read. */
+  private def pollFrom(
+      spark: SparkSession,
+      wh: Warehouse,
+      membership: Membership,
+      topic: String,
+      max: Long,
+      from: Map[Int, Long]): (DataFrame, Map[Int, Long]) = {
     val parts = membership.assignment.getOrElse(topic, Seq.empty)
     val frames = parts.map { p =>
       LogReader.poll(spark, wh, topic, p, from.getOrElse(p, 0L), max)
@@ -257,6 +257,6 @@ object ConsumerGroup {
     while (!available() && System.nanoTime() < deadline)
       Thread.sleep(math.min(probeIntervalMs,
         math.max(1, (deadline - System.nanoTime()) / 1000000)))
-    poll(spark, wh, groupId, membership, topic, max)
+    pollFrom(spark, wh, membership, topic, max, from)
   }
 }

@@ -40,21 +40,11 @@ object LogIndex {
   def hwmRow(topic: String, partition: Int, lastOffset: Long): Row =
     Row(topic, partition, HwmFile, lastOffset + 1, lastOffset, 0L, null)
 
-  private def rewriteDir(dir: String): String = s"${dir}_rewrite"
-  private def oldDir(dir: String): String = s"${dir}_old"
-
-  /** Finish a crashed [[replace]]: live dir missing + rewrite dir present
-    * means the crash hit between the two renames, so installing the rewrite
-    * is the only missing step (the renamed-aside old index is garbage the
-    * next replace clears). Idempotent, cheap (one exists check on the happy
-    * path). */
+  /** Finish a crashed [[replace]] — [[graft.core.Swap.heal]] over the
+    * topic's index dir, called on every read path. */
   private[graft] def heal(wh: Warehouse, topic: String): Unit = {
     val live = new Path(wh.indexDir(topic))
-    val fs = live.getFileSystem(new Configuration())
-    if (!fs.exists(live)) {
-      val tmp = new Path(rewriteDir(wh.indexDir(topic)))
-      if (fs.exists(tmp)) fs.rename(tmp, live)
-    }
+    graft.core.Swap.heal(live.getFileSystem(new Configuration()), wh.indexDir(topic))
   }
 
   private def empty(spark: SparkSession): DataFrame =
@@ -78,7 +68,7 @@ object LogIndex {
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filterNot(n => // swap staging/aside dirs are never topics
-          n.endsWith("_rewrite") || n.endsWith("_old") || n.startsWith("."))
+          graft.core.Swap.isStagingName(n) || n.startsWith("."))
       topics.map(forTopic(spark, wh, _))
         .reduceOption(_ union _)
         .getOrElse(empty(spark))
@@ -122,15 +112,9 @@ object LogIndex {
       topic: String,
       rows: DataFrame): Unit = {
     val dir = wh.indexDir(topic)
-    val tmp = rewriteDir(dir)
-    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val live = new Path(dir)
-    val old = new Path(oldDir(dir))
-    val fs = live.getFileSystem(new Configuration())
-    fs.delete(old, true) // leftover from a crashed prior swap
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(new Path(tmp), live)
-    fs.delete(old, true)
+    rows.coalesce(1).write.mode("overwrite").parquet(graft.core.Swap.rewriteDir(dir))
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    graft.core.Swap.install(fs, dir)
     IndexCache.invalidate(wh, topic)
   }
 

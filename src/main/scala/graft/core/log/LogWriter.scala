@@ -97,14 +97,18 @@ object LogWriter {
     * an ordering column named by `ordCol`.
     *
     * @param partitions when given, the append declares it only writes these
-    *                   partitions (all records must carry a matching
-    *                   `explicit_partition`; violations are rejected before
-    *                   anything commits) and takes ONLY those partitions'
-    *                   locks — appends from different jobs into disjoint
-    *                   partitions of one topic run concurrently, the
-    *                   reference's per-partition write parallelism
-    *                   (PartitionWriteManager.java:33-84). When absent the
-    *                   append routes freely and holds every partition lock.
+    *                   partitions and takes ONLY those partitions' locks —
+    *                   appends from different jobs into disjoint partitions
+    *                   of one topic run concurrently, the reference's
+    *                   per-partition write parallelism
+    *                   (PartitionWriteManager.java:33-84). Enforcement is on
+    *                   the ROUTED outcome: any record that routes outside
+    *                   the declared set aborts the append before anything
+    *                   commits (callers normally pin routing with
+    *                   `explicit_partition`; a record without it whose hash
+    *                   route happens to land inside the set is accepted).
+    *                   When absent the append routes freely and holds every
+    *                   partition lock.
     */
   def append(
       spark: SparkSession,
@@ -167,15 +171,18 @@ object LogWriter {
       partitions.foreach { _ =>
         val sp = new Path(staging)
         val sfs = sp.getFileSystem(new Configuration())
-        val actual = sfs.listStatus(sp).map(_.getPath.getName)
+        val lockedSet = locked.toSet
+        // non-numeric dirs (e.g. a null route's __HIVE_DEFAULT_PARTITION__)
+        // are strays by definition — never let a parse failure skip cleanup
+        val stray = sfs.listStatus(sp).map(_.getPath.getName)
           .filter(_.startsWith("partition="))
-          .map(_.substring("partition=".length).toInt)
-        val stray = actual.filterNot(locked.toSet)
+          .filterNot(n => scala.util.Try(
+            n.substring("partition=".length).toInt).toOption.exists(lockedSet))
         if (stray.nonEmpty) {
           sfs.delete(sp, true)
           throw new IllegalArgumentException(
-            s"records routed to partitions ${stray.sorted.mkString(",")} outside " +
-              s"the declared set ${locked.mkString(",")} — nothing was committed")
+            s"records routed to ${stray.sorted.mkString(",")} outside " +
+              s"the declared partition set ${locked.mkString(",")} — nothing was committed")
         }
       }
       val newFiles = commitStaged(staging, logDir)

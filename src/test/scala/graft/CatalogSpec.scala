@@ -31,4 +31,21 @@ class CatalogSpec extends SparkSpec {
       TopicCatalog.createTopic(spark, wh, "sp ace", 1)
     }
   }
+
+  test("catalog heal: a crash between swap renames cannot orphan the registry") {
+    val wh = Warehouse(tmpDir("graft-cat-heal"))
+    TopicCatalog.createTopic(spark, wh, "a", 1)
+    TopicCatalog.createTopic(spark, wh, "b", 1)
+    // simulate deleteTopic crashing mid-swap: live registry renamed aside,
+    // rewrite fully written (reuse the live content), aside dir present
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val live = new org.apache.hadoop.fs.Path(wh.catalogDir)
+    val fs = live.getFileSystem(conf)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"${wh.catalogDir}_rewrite")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${wh.catalogDir}_old"))
+    // the next catalog read heals: every topic still registered
+    assert(TopicCatalog.topics(spark, wh).count() === 2)
+    assert(TopicCatalog.exists(spark, wh, "a") && TopicCatalog.exists(spark, wh, "b"))
+    assert(fs.exists(live), "registry restored as live")
+  }
 }
