@@ -30,13 +30,15 @@ import graft.core.catalog.Warehouse
   *     warehouses, `fs.create(overwrite = false)` elsewhere (atomic on real
   *     DFS implementations such as HDFS).
   *
-  * Crash recovery: the holder stamps `owner pid@host + epoch` into the file
-  * and a daemon heartbeat refreshes the file's mtime every `staleMs / 3`
-  * while the body runs. A lock whose mtime is older than `staleMs` can only
-  * belong to a dead JVM, so the next acquirer breaks it — by renaming it to a
-  * unique tombstone first, so that even two processes detecting staleness
-  * together elect exactly one breaker (the loser's rename fails) and neither
-  * can delete a freshly re-acquired lock.
+  * Crash recovery: the holder stamps `owner pid@host, acquire epoch, and
+  * its staleMs horizon` into the file, and a daemon heartbeat refreshes the
+  * file's mtime every `staleMs / 3` while the body runs. A lock whose mtime
+  * lags by more than the HOLDER's stamped horizon (waiters honor the
+  * holder's declared cadence, not their own) can only belong to a dead JVM,
+  * so the next acquirer breaks it — by renaming it to a unique tombstone
+  * first and re-checking freshness on the tombstone, so that concurrent
+  * breakers elect exactly one winner and a freshly re-acquired lock stolen
+  * by a delayed breaker is restored, not deleted.
   */
 object Locks {
 
@@ -48,9 +50,11 @@ object Locks {
 
   private val jvmLocks = new ConcurrentHashMap[String, ReentrantLock]()
 
-  private val heartbeats = Executors.newSingleThreadScheduledExecutor { r =>
+  // Small pool, not a single thread: one hung setTimes on a stalled mount
+  // must not starve every OTHER held lock's mtime refresh into staleness.
+  private val heartbeats = Executors.newScheduledThreadPool(4, { (r: Runnable) =>
     val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
-  }
+  })
 
   private def heartbeatPeriod(staleMs: Long): Long = math.max(staleMs / 3, 250L)
 
@@ -62,6 +66,9 @@ object Locks {
       name: String,
       timeoutMs: Long = 180000,
       staleMs: Long = DefaultStaleMs)(body: => T): T = {
+    // ONE deadline spans both layers — queueing on the in-process lock must
+    // not buy the file acquisition a fresh full timeout on top.
+    val deadline = System.currentTimeMillis() + timeoutMs
     val jl = jvmLocks.computeIfAbsent(s"${wh.root}\u0000$name", _ => new ReentrantLock())
     if (!jl.tryLock(timeoutMs, TimeUnit.MILLISECONDS))
       throw new IllegalStateException(s"timed out acquiring lock '$name' (in-process)")
@@ -69,7 +76,7 @@ object Locks {
       // Re-entry within a thread: the file is already ours, don't re-acquire.
       if (jl.getHoldCount > 1) body
       else {
-        val beat = acquireFile(wh, name, timeoutMs, staleMs)
+        val beat = acquireFile(wh, name, deadline, staleMs)
         try body
         finally {
           beat.cancel(false)
@@ -93,7 +100,13 @@ object Locks {
     * overlapping sets (including the all-partitions topic lock) acquire
     * their common prefix in the same order — deadlock-free. `#` cannot
     * appear in a validated topic name, so partition lock names never collide
-    * across topics. */
+    * across topics.
+    *
+    * Cost note: a full-set acquisition materializes N lock files (~3N FS
+    * metadata ops per append). At 1 ms/RPC on a real DFS that is ~0.1 s for
+    * a 32-partition topic — noise against a multi-GB batch commit, and the
+    * price of letting partition-scoped writers interleave with topic-wide
+    * ones through one uniform, deadlock-free protocol. */
   def withPartitionLocks[T](wh: Warehouse, topic: String, parts: Seq[Int])(body: => T): T = {
     def go(ps: List[Int]): T = ps match {
       case Nil => body
@@ -106,12 +119,11 @@ object Locks {
     new Path(s"${wh.root}/_locks/$name.lock")
 
   private def acquireFile(
-      wh: Warehouse, name: String, timeoutMs: Long, staleMs: Long): ScheduledFuture[_] = {
+      wh: Warehouse, name: String, deadline: Long, staleMs: Long): ScheduledFuture[_] = {
     val lock = lockPath(wh, name)
     val fs = lock.getFileSystem(new Configuration())
     fs.mkdirs(lock.getParent)
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (!tryCreate(fs, lock)) {
+    while (!tryCreate(fs, lock, staleMs)) {
       breakIfStale(fs, lock, staleMs)
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(s"timed out acquiring lock '$name'")
@@ -136,10 +148,14 @@ object Locks {
       heartbeatPeriod(staleMs), heartbeatPeriod(staleMs), TimeUnit.MILLISECONDS)
   }
 
-  /** Atomically create the lock file stamped with owner + acquire time.
+  /** Atomically create the lock file stamped with
+    * `owner acquireEpoch staleMs`. The holder's staleMs rides in the file
+    * so WAITERS judge staleness by the HOLDER's declared horizon (its
+    * heartbeat cadence derives from it) — a waiter passing a smaller
+    * staleMs must not break a live lock whose heartbeat is slower.
     * Returns false when someone else holds it. */
-  private def tryCreate(fs: FileSystem, lock: Path): Boolean = {
-    val stamp = s"$owner ${System.currentTimeMillis()}\n".getBytes(UTF_8)
+  private def tryCreate(fs: FileSystem, lock: Path, staleMs: Long): Boolean = {
+    val stamp = s"$owner ${System.currentTimeMillis()} $staleMs\n".getBytes(UTF_8)
     if (fs.getUri.getScheme == "file") {
       // LocalFileSystem's create(overwrite=false) is exists-then-open, not
       // atomic; NIO CREATE_NEW is a real O_EXCL open.
@@ -166,17 +182,31 @@ object Locks {
     * Residual exposure is the restore window itself (two renames, metadata
     * ops) in a three-way race of two delayed breakers and a fresh acquirer
     * — accepted for a best-effort FS lock whose horizon is minutes. */
+  /** The horizon a waiter must respect for this lock: the HOLDER's stamped
+    * staleMs when readable (its heartbeat cadence is derived from it), the
+    * waiter's own otherwise (unstamped/corrupt file — e.g. a pre-upgrade
+    * or hand-made lock). */
+  private def effectiveStaleMs(fs: FileSystem, p: Path, waiterStaleMs: Long): Long =
+    try {
+      val in = fs.open(p)
+      val buf = new Array[Byte](256)
+      val n = try in.read(buf) finally in.close()
+      val fields = new String(buf, 0, math.max(n, 0), UTF_8).trim.split(" ")
+      if (fields.length >= 3) fields(2).toLong else waiterStaleMs
+    } catch { case _: Exception => waiterStaleMs }
+
   private def breakIfStale(fs: FileSystem, lock: Path, staleMs: Long): Unit = {
     val st =
       try fs.getFileStatus(lock)
       catch { case _: java.io.FileNotFoundException => return }
-    if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+    val horizon = effectiveStaleMs(fs, lock, staleMs)
+    if (System.currentTimeMillis() - st.getModificationTime > horizon) {
       val tomb = new Path(lock.getParent,
         s".${lock.getName}.broken-${java.util.UUID.randomUUID().toString.take(8)}")
       if (try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }) {
         val tombStale =
           try System.currentTimeMillis() -
-            fs.getFileStatus(tomb).getModificationTime > staleMs
+            fs.getFileStatus(tomb).getModificationTime > horizon
           catch { case _: java.io.FileNotFoundException => false }
         if (tombStale) fs.delete(tomb, false)
         else fs.rename(tomb, lock) // stole a live lock — restore it

@@ -25,13 +25,22 @@ object Swap {
   def isStagingName(name: String): Boolean =
     name.endsWith("_rewrite") || name.endsWith("_old")
 
-  /** Install a fully-written `<dir>_rewrite` as `dir`. */
+  /** Install a fully-written `<dir>_rewrite` as `dir`. Every rename result
+    * is CHECKED: proceeding past a failed rename to the final delete could
+    * destroy the only remaining copy of the data (e.g. if a concurrent
+    * unlocked heal raced the swap on a posix-rename filesystem). On any
+    * failure the method throws with live/old/rewrite still containing a
+    * complete copy — recoverable, never destroyed. */
   def install(fs: FileSystem, dir: String): Unit = {
     val live = new Path(dir)
     val old = new Path(oldDir(dir))
     fs.delete(old, true) // leftover from a crashed prior install
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(new Path(rewriteDir(dir)), live)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new IllegalStateException(s"swap: failed to rename $dir aside")
+    if (!fs.rename(new Path(rewriteDir(dir)), live))
+      throw new IllegalStateException(
+        s"swap: failed to install ${rewriteDir(dir)} as $dir " +
+          "(rewrite missing or destination occupied) — aside copy preserved")
     fs.delete(old, true)
   }
 

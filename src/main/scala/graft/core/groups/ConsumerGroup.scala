@@ -33,7 +33,10 @@ object ConsumerGroup {
     * groups' commits run fully in parallel; only a commit and a retention
     * sweep of the SAME group exclude each other (the one pair that must:
     * the sweep's snapshot-rewrite-swap would otherwise erase a commit that
-    * landed after its snapshot). */
+    * landed after its snapshot). Layout v2: pre-shard warehouses (flat
+    * parquet files directly under `_groups/offsets/`) are not read — this
+    * engine has no cross-revision warehouse persistence contract; re-commit
+    * offsets after upgrading a long-lived warehouse. */
   private def offsetsBase(wh: Warehouse): String = s"${wh.root}/_groups/offsets"
 
   private def groupDir(wh: Warehouse, groupId: String): String =
@@ -148,10 +151,16 @@ object ConsumerGroup {
     val base = new org.apache.hadoop.fs.Path(offsetsBase(wh))
     val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.exists(base)) return
-    val groups = fs.listStatus(base)
+    val names = fs.listStatus(base)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filterNot(n => graft.core.Swap.isStagingName(n) || n.startsWith("."))
+      .filterNot(_.startsWith("."))
+    // a group whose previous sweep crashed mid-swap exists ONLY as
+    // <g>_rewrite — derive its name too, so the per-group heal below
+    // reinstalls it instead of the group silently dropping out of every
+    // sweep until some consumer touches it
+    val groups = (names.filterNot(graft.core.Swap.isStagingName) ++
+      names.filter(_.endsWith("_rewrite")).map(_.stripSuffix("_rewrite"))).distinct
     // one group at a time, each under ITS lock only: the sweep excludes that
     // group's commits (snapshot-rewrite-swap safety) without ever pausing
     // any other group's commit traffic

@@ -87,8 +87,19 @@ object LogIndex {
       .map(r => r.getInt(0) -> (r.getLong(1) + 1L))
       .toMap
 
-  def hasBatch(idx: DataFrame, batchId: Long): Boolean =
-    idx.filter(col("batch_id") === batchId).limit(1).count() > 0
+  /** Whether `batchId` already landed rows — optionally scoped to a
+    * partition set. The scope matters for declared-partition appends: their
+    * idempotence check runs under only their own partitions' locks, so it
+    * must also LOOK at only those partitions (a same-batchId append to a
+    * disjoint set is a different unit of work, and its rows — which may
+    * commit concurrently — must not mask this one's replay detection). */
+  def hasBatch(idx: DataFrame, batchId: Long, partitions: Option[Seq[Int]] = None): Boolean = {
+    val scoped = partitions match {
+      case Some(ps) => idx.filter(col("partition").isInCollection(ps))
+      case None => idx
+    }
+    scoped.filter(col("batch_id") === batchId).limit(1).count() > 0
+  }
 
   /** Committed end offset (exclusive) per partition of a topic. */
   def endOffsets(spark: SparkSession, wh: Warehouse, topic: String): Map[Int, Long] =

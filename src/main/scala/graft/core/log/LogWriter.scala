@@ -130,7 +130,7 @@ object LogWriter {
     }
     val result = graft.core.Locks.withPartitionLocks(wh, topic, locked) {
       batchId.foreach { id =>
-        if (LogIndex.hasBatch(LogIndex.forTopic(spark, wh, topic), id))
+        if (LogIndex.hasBatch(LogIndex.forTopic(spark, wh, topic), id, partitions))
           return AppendResult(topic, batchId, Map.empty, 0L)
       }
       val bases = IndexCache.nextOffsets(spark, wh, topic)

@@ -108,9 +108,11 @@ object Multimodal {
     * decode never touches executor-local disk. */
   final class ImageDecoder(featureDim: Int) extends Serializable {
     private val fallback = new StubDecoder(featureDim)
+    // once per decoder instance (JVM-global flag; per-row would be a
+    // million redundant static writes on the hot path)
+    javax.imageio.ImageIO.setUseCache(false)
 
     def decode(id: Long, bytes: Array[Byte]): DecodedMedia = {
-      javax.imageio.ImageIO.setUseCache(false)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }

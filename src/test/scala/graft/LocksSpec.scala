@@ -84,7 +84,9 @@ class LocksSpec extends SparkSpec {
 
   test("cross-JVM: SIGKILLed holder's lock is broken via the stale horizon") {
     val wh = Warehouse(tmpDir("graft-locks-kill"))
-    val p = spawnHolder(wh, holdMs = 600000) // would hold for 10 minutes
+    // the holder stamps ITS OWN horizon into the lock file (waiters judge
+    // staleness by the holder's declared cadence, not their own)
+    val p = spawnHolder(wh, holdMs = 600000, staleMs = 1500) // would hold 10 min
     try {
       p.destroyForcibly() // the crash: no finally, no delete — lock file remains
       assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
@@ -99,11 +101,14 @@ class LocksSpec extends SparkSpec {
   }
 
   /** Launch graft.tools.LockHold in a fresh JVM and wait for its HELD marker. */
-  private def spawnHolder(wh: Warehouse, holdMs: Long): Process = {
+  private def spawnHolder(
+      wh: Warehouse, holdMs: Long,
+      staleMs: Long = graft.core.Locks.DefaultStaleMs): Process = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val p = new ProcessBuilder(
-      javaBin, "-cp", cp, "graft.tools.LockHold", wh.root, "topic-t", holdMs.toString)
+      javaBin, "-cp", cp, "graft.tools.LockHold", wh.root, "topic-t",
+      holdMs.toString, staleMs.toString)
       .redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream))
