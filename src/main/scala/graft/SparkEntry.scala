@@ -61,6 +61,7 @@ object SparkEntry {
     "quality_score" -> (Queries.qualityScore _),
     "lang_id" -> (Queries.langId _),
     "pipeline_clean" -> (Queries.pipelineClean _),
+    "offsets_for_times" -> (Queries.offsetsForTimes _),
     "rep_ratio" -> (Queries.repRatio _),
     "redact_pii" -> (Queries.redactPii _),
     "fingerprints" -> (Queries.fingerprints _),

@@ -47,6 +47,25 @@ object LogReader {
         .orderBy(col("offset"))
   }
 
+  /** Kafka's `offsetsForTimes` analog: per partition, the earliest offset
+    * whose record timestamp is at or after `tsMs` (empty entry when the
+    * partition has no such record). One job over the indexed files with the
+    * ts predicate pushed to parquet row-group statistics — records append
+    * in arrival order, so per-file ts stats are tight and the segment files
+    * themselves serve as the time index (the role of Kafka's .timeindex). */
+  def offsetsForTimes(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      tsMs: Long): Map[Int, Long] =
+    scan(spark, wh, topic)
+      .filter(col("ts") >= tsMs)
+      .groupBy(col("partition"))
+      .agg(min(col("offset")).as("first_offset"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+
   /** All committed records of a topic from the given per-partition offsets
     * (exclusive lower bounds come from a group's committed offsets). The
     * returned frame is the topic "table" the query layer runs over. */

@@ -35,6 +35,18 @@ object Oracles {
         |WHERE "partition" = 2 AND "offset" >= 100 AND "offset" < 150
         |ORDER BY "offset"""".stripMargin,
 
+    "offsets_for_times" ->
+      """WITH o AS (
+        |  SELECT event_id,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms,
+        |    CAST(event_id % 4 AS INTEGER) AS partition,
+        |    CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS BIGINT) AS offset
+        |  FROM events),
+        |b AS (SELECT min(ts_ms) + (max(ts_ms) - min(ts_ms)) // 2 AS thr FROM o)
+        |SELECT "partition", CAST(min("offset") AS BIGINT) AS first_offset
+        |FROM o, b WHERE ts_ms >= thr
+        |GROUP BY "partition"""".stripMargin,
+
     "headers_last" ->
       """SELECT event_id, props AS last_src,
         |  CAST(2 AS INTEGER) AS n_headers,

@@ -47,6 +47,25 @@ object Queries {
       .orderBy(col("offset"))
       .select(col("event_id"), col("offset"))
 
+  /** Kafka's `offsetsForTimes` semantics as a pure oracle-able transform:
+    * route + offset-assign the event stream, then per partition take the
+    * EARLIEST offset whose timestamp is at or after the corpus midpoint
+    * (data-derived threshold; the bounds agg is metadata-scale, like q5's
+    * region list). Warehouse API form: `LogReader.offsetsForTimes`. */
+  def offsetsForTimes(spark: SparkSession, dir: String): DataFrame = {
+    val o = LogWriter.assignOffsets(
+        events(spark, dir).select(col("event_id"), expr("ts div 1000000").as("ts_ms")),
+        explicitPartition = lit(null).cast("int"),
+        key = lit(null).cast("string"),
+        ord = col("event_id"),
+        numPartitions = 4)
+    val b = o.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi")).head()
+    val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    o.filter(col("ts_ms") >= thr)
+      .groupBy(col("partition"))
+      .agg(min(col("offset")).as("first_offset"))
+  }
+
   /** P1/P2: murmur2 key routing (Kafka-parity hash; no SQL oracle). */
   def routeMurmur2(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

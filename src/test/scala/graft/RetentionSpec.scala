@@ -113,6 +113,25 @@ class RetentionSpec extends SparkSpec {
     assert(AssignmentCodec.decode("") === Map.empty)
   }
 
+  test("offsetsForTimes: earliest offset at-or-after a timestamp, per partition") {
+    val wh = Warehouse(tmpDir("graft-ofttimes"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    LogWriter.append(spark, wh, "t", recs(100), "id") // ts = 1700000000000 + i
+    val thr = 1700000000000L + 60
+    val got = LogReader.offsetsForTimes(spark, wh, "t", thr)
+    // ground truth from the committed log itself
+    val expected = LogReader.scan(spark, wh, "t")
+      .filter($"ts" >= thr)
+      .groupBy($"partition").agg(min("offset").as("o"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // a threshold past every record yields no entries
+    assert(LogReader.offsetsForTimes(spark, wh, "t", 1700000000000L + 1000) === Map.empty)
+    // a threshold before every record yields offset 0 for both partitions
+    assert(LogReader.offsetsForTimes(spark, wh, "t", 0L) === Map(0 -> 0L, 1 -> 0L))
+  }
+
   test("heal installs a fully-written rewrite after a crash between swap renames") {
     val wh = Warehouse(tmpDir("graft-heal"))
     TopicCatalog.createTopic(spark, wh, "t", 1)
