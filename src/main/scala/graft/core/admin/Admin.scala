@@ -79,6 +79,44 @@ object Admin {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), topicSchema)
   }
 
+  /** Kafka's `beginningOffsets`: the earliest READABLE offset per partition
+    * (rises as retention expires whole files; a fully-expired partition's
+    * beginning equals its end — nothing readable, watermark preserved).
+    * Driver-side index cache, no Spark job. */
+  def beginningOffsets(spark: SparkSession, wh: Warehouse, topic: String): Map[Int, Long] = {
+    TopicCatalog.topicInfo(spark, wh, topic)
+    IndexCache.entries(spark, wh, topic)
+      .groupBy(_.partition)
+      .map { case (p, es) =>
+        val data = es.filter(_.isData)
+        p -> (if (data.isEmpty) es.map(_.endOffset).max + 1 else data.map(_.baseOffset).min)
+      }
+  }
+
+  /** Kafka's `endOffsets`: the next offset to be assigned per partition.
+    * Driver-side index cache, no Spark job. */
+  def endOffsets(spark: SparkSession, wh: Warehouse, topic: String): Map[Int, Long] = {
+    TopicCatalog.topicInfo(spark, wh, topic)
+    IndexCache.nextOffsets(spark, wh, topic)
+  }
+
+  /** Consumer lag: log-end minus committed next-read offset, per partition —
+    * the ops metric every consumer-group dashboard plots. A group that never
+    * committed reads from each partition's BEGINNING, so its lag is
+    * end − beginning (not end − 0: offsets below the retention floor are
+    * unreadable and cannot be owed). */
+  def consumerLag(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      topic: String): Map[Int, Long] = {
+    val committed = graft.core.groups.ConsumerGroup.committed(spark, wh, groupId, topic)
+    val begin = beginningOffsets(spark, wh, topic)
+    endOffsets(spark, wh, topic).map { case (p, end) =>
+      p -> math.max(0L, end - committed.getOrElse(p, begin.getOrElse(p, 0L)))
+    }
+  }
+
   /** The P5 lookup: which storage serves each (topic, partition) — one row
     * per committed segment file with its offset range. */
   def placement(spark: SparkSession, wh: Warehouse, topic: String): DataFrame = {

@@ -113,6 +113,32 @@ class RetentionSpec extends SparkSpec {
     assert(AssignmentCodec.decode("") === Map.empty)
   }
 
+  test("beginning/end offsets and consumer lag track retention and commits") {
+    import graft.core.admin.Admin
+    import graft.core.groups.ConsumerGroup
+    val wh = Warehouse(tmpDir("graft-lag"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    (0 until 4).foreach { i =>
+      LogWriter.append(spark, wh, "t",
+        recs(100, from = i * 100).withColumn("explicit_partition", lit(0)), "id")
+    }
+    assert(Admin.endOffsets(spark, wh, "t") === Map(0 -> 400L))
+    assert(Admin.beginningOffsets(spark, wh, "t") === Map(0 -> 0L))
+    // a group with no commits owes everything readable
+    assert(Admin.consumerLag(spark, wh, "g", "t") === Map(0 -> 400L))
+    ConsumerGroup.commit(spark, wh, "g", "t", Map(0 -> 150L))
+    assert(Admin.consumerLag(spark, wh, "g", "t") === Map(0 -> 250L))
+    // retention raises the beginning; committed groups' lag is unchanged
+    LogRetention.expireBefore(spark, wh, "t", Map(0 -> 250L))
+    assert(Admin.beginningOffsets(spark, wh, "t") === Map(0 -> 200L))
+    assert(Admin.consumerLag(spark, wh, "g", "t") === Map(0 -> 250L))
+    // fully expired partition: beginning == end, a fresh group owes nothing
+    LogRetention.expireBefore(spark, wh, "t", Map(0 -> 1000L))
+    assert(Admin.beginningOffsets(spark, wh, "t") === Map(0 -> 400L))
+    assert(Admin.endOffsets(spark, wh, "t") === Map(0 -> 400L))
+    assert(Admin.consumerLag(spark, wh, "g2", "t") === Map(0 -> 0L))
+  }
+
   test("offsetsForTimes: earliest offset at-or-after a timestamp, per partition") {
     val wh = Warehouse(tmpDir("graft-ofttimes"))
     TopicCatalog.createTopic(spark, wh, "t", 2)
