@@ -53,6 +53,12 @@ object GraftExtensions {
     "vec_cosine" -> { args => CosineExpression(args.head, args(1)) },
     "srp_bucket" -> { args =>
       SrpBucketExpression(args.head, intArg(args(1), "nBits")) })
+  // Composite Column functions (tokenCount, qualityScore, ...) are NOT
+  // registered here: in Spark 4 the Column→Expression conversion yields an
+  // unresolved ColumnNode wrapper that a function-registry builder cannot
+  // return (builders must produce resolvable expression trees). SQL users
+  // reach those semantics through the oracle-checked queries/views instead;
+  // only dedicated Catalyst expressions get SQL names.
 
   /** Register every function on a live session. */
   def register(spark: SparkSession): Unit =

@@ -67,6 +67,28 @@ object LogRetention {
     drop.map(_.file).toSeq
   }
 
+  /** Time-based retention — the reference/Kafka `retention.ms` policy:
+    * expire whole files whose records ALL predate `nowMs - retentionMs`.
+    * The per-partition watermark is the earliest offset still inside the
+    * window ([[LogReader.offsetsForTimes]] — one indexed job with the ts
+    * predicate on row-group stats); a partition with nothing inside the
+    * window expires everything, its high-watermark tombstone preserving the
+    * log end. Concurrent appends are safe: a segment committed after the
+    * watermark read has offsets at or past the old log end, which is never
+    * below the watermark, so it cannot be swept by this pass. */
+  def expireOlderThan(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val threshold = nowMs - retentionMs
+    val keepFrom = LogReader.offsetsForTimes(spark, wh, topic, threshold)
+    val ends = LogIndex.endOffsets(spark, wh, topic)
+    val full = ends.map { case (p, end) => p -> keepFrom.getOrElse(p, end) }
+    expireBefore(spark, wh, topic, full)
+  }
+
   /** Log compaction: keep only the LATEST record per key per partition
     * (Kafka-style compacted topic), rewritten as fresh segments. Offsets of
     * surviving records are preserved (compaction never reassigns offsets).

@@ -113,6 +113,30 @@ class RetentionSpec extends SparkSpec {
     assert(AssignmentCodec.decode("") === Map.empty)
   }
 
+  test("time-based retention (retention.ms): drops files fully outside the window") {
+    val wh = Warehouse(tmpDir("graft-tret"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    (0 until 4).foreach { i => // ts = 1700000000000 + i, 100 records/file
+      LogWriter.append(spark, wh, "t",
+        recs(100, from = i * 100).withColumn("explicit_partition", lit(0)), "id")
+    }
+    // window keeps ts >= base+250: files [0,99] and [100,199] are fully
+    // older; [200,299] straddles and is kept whole (file-aligned, like
+    // Kafka's segment-granularity retention.ms)
+    val dropped = LogRetention.expireOlderThan(spark, wh, "t",
+      retentionMs = 1000, nowMs = 1700000000000L + 250 + 1000)
+    assert(dropped.size === 2)
+    val left = LogReader.scan(spark, wh, "t")
+    assert(left.count() === 200)
+    assert(left.agg(min("offset")).head().getLong(0) === 200L)
+    // a window past every record expires everything, watermark preserved
+    val all = LogRetention.expireOlderThan(spark, wh, "t",
+      retentionMs = 1, nowMs = 1700000000000L + 10000)
+    assert(all.nonEmpty)
+    assert(LogReader.scan(spark, wh, "t").count() === 0)
+    assert(LogIndex.endOffsets(spark, wh, "t") === Map(0 -> 400L))
+  }
+
   test("beginning/end offsets and consumer lag track retention and commits") {
     import graft.core.admin.Admin
     import graft.core.groups.ConsumerGroup
