@@ -89,6 +89,47 @@ object LogRetention {
     expireBefore(spark, wh, topic, full)
   }
 
+  /** Garbage-collect a topic's UNREFERENCED storage: data files in live
+    * partition dirs that no index row points to (a crashed append that died
+    * between the staged-file rename and the index-delta write), and
+    * leftover `.staging-*` / `.compact-*` dirs from appends that died
+    * mid-write. Readers only ever see indexed files, so orphans are
+    * invisible — but at 100 TB every crashed job's output is real money on
+    * disk forever. Runs under the full topic lock (an in-flight append's
+    * just-renamed, not-yet-indexed files must not be swept: the lock
+    * guarantees no append is between those two steps). Returns deleted
+    * paths. */
+  def vacuum(spark: SparkSession, wh: Warehouse, topic: String): Seq[String] =
+    Locks.withTopicLock(wh, topic,
+        graft.core.catalog.TopicCatalog.numPartitions(spark, wh, topic)) {
+      val conf = new Configuration()
+      val logDir = new Path(wh.logDir(topic))
+      val fs = logDir.getFileSystem(conf)
+      if (!fs.exists(logDir)) return Seq.empty
+      val indexed = IndexCache.entries(spark, wh, topic).filter(_.isData)
+        .map(e => new Path(e.file).toUri.getPath).toSet
+      val deleted = Seq.newBuilder[String]
+      fs.listStatus(logDir).foreach { top =>
+        val name = top.getPath.getName
+        if (top.isDirectory && (name.startsWith(".staging-") || name.startsWith(".compact-"))) {
+          // a LIVE append's staging dir cannot exist here: we hold every
+          // partition lock, so any staging dir is a crashed append's
+          fs.delete(top.getPath, true)
+          deleted += top.getPath.toString
+        } else if (top.isDirectory && name.startsWith("partition=")) {
+          fs.listStatus(top.getPath).foreach { f =>
+            val fn = f.getPath.getName
+            if (!f.isDirectory && !fn.startsWith("_") && !fn.startsWith(".") &&
+                !indexed.contains(f.getPath.toUri.getPath)) {
+              fs.delete(f.getPath, false)
+              deleted += f.getPath.toString
+            }
+          }
+        }
+      }
+      deleted.result()
+    }
+
   /** Log compaction: keep only the LATEST record per key per partition
     * (Kafka-style compacted topic), rewritten as fresh segments. Offsets of
     * surviving records are preserved (compaction never reassigns offsets).

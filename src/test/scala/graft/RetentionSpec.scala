@@ -113,6 +113,29 @@ class RetentionSpec extends SparkSpec {
     assert(AssignmentCodec.decode("") === Map.empty)
   }
 
+  test("vacuum removes crashed appends' orphans, keeps every committed file") {
+    val wh = Warehouse(tmpDir("graft-vac"))
+    TopicCatalog.createTopic(spark, wh, "t", 2)
+    LogWriter.append(spark, wh, "t", recs(100), "id")
+    // manufacture a crashed append: an unindexed data file in a live
+    // partition dir + a leftover staging dir
+    val p0 = new java.io.File(s"${wh.logDir("t")}/partition=0")
+    val orphan = new java.io.File(p0, "part-orphan-deadbeef.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val staging = new java.io.File(s"${wh.logDir("t")}/.staging-dead")
+    staging.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staging, "part-x.parquet").toPath, Array[Byte](4))
+    val before = LogReader.scan(spark, wh, "t").count()
+    val deleted = LogRetention.vacuum(spark, wh, "t")
+    assert(deleted.exists(_.contains("part-orphan-deadbeef")), s"orphan swept: $deleted")
+    assert(deleted.exists(_.contains(".staging-dead")), "staging dir swept")
+    assert(!orphan.exists() && !staging.exists())
+    assert(LogReader.scan(spark, wh, "t").count() === before, "committed data intact")
+    // vacuum after the fact is a no-op
+    assert(LogRetention.vacuum(spark, wh, "t") === Seq.empty)
+  }
+
   test("time-based retention (retention.ms): drops files fully outside the window") {
     val wh = Warehouse(tmpDir("graft-tret"))
     TopicCatalog.createTopic(spark, wh, "t", 1)
