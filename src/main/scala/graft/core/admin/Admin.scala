@@ -84,20 +84,25 @@ object Admin {
     * beginning equals its end — nothing readable, watermark preserved).
     * Driver-side index cache, no Spark job. */
   def beginningOffsets(spark: SparkSession, wh: Warehouse, topic: String): Map[Int, Long] = {
-    TopicCatalog.topicInfo(spark, wh, topic)
-    IndexCache.entries(spark, wh, topic)
+    val n = TopicCatalog.topicInfo(spark, wh, topic).numPartitions
+    val fromIndex = IndexCache.entries(spark, wh, topic)
       .groupBy(_.partition)
       .map { case (p, es) =>
         val data = es.filter(_.isData)
         p -> (if (data.isEmpty) es.map(_.endOffset).max + 1 else data.map(_.baseOffset).min)
       }
+    // Kafka returns an entry for EVERY partition asked about — a partition
+    // never appended to begins (and ends) at 0, it does not vanish
+    (0 until n).map(p => p -> fromIndex.getOrElse(p, 0L)).toMap
   }
 
-  /** Kafka's `endOffsets`: the next offset to be assigned per partition.
-    * Driver-side index cache, no Spark job. */
+  /** Kafka's `endOffsets`: the next offset to be assigned per partition
+    * (0 for never-appended partitions). Driver-side index cache, no Spark
+    * job. */
   def endOffsets(spark: SparkSession, wh: Warehouse, topic: String): Map[Int, Long] = {
-    TopicCatalog.topicInfo(spark, wh, topic)
-    IndexCache.nextOffsets(spark, wh, topic)
+    val n = TopicCatalog.topicInfo(spark, wh, topic).numPartitions
+    val fromIndex = IndexCache.nextOffsets(spark, wh, topic)
+    (0 until n).map(p => p -> fromIndex.getOrElse(p, 0L)).toMap
   }
 
   /** Consumer lag: log-end minus committed next-read offset, per partition —

@@ -73,21 +73,25 @@ object LogRetention {
     * window ([[LogReader.offsetsForTimes]] — one indexed job with the ts
     * predicate on row-group stats); a partition with nothing inside the
     * window expires everything, its high-watermark tombstone preserving the
-    * log end. Concurrent appends are safe: a segment committed after the
-    * watermark read has offsets at or past the old log end, which is never
-    * below the watermark, so it cannot be swept by this pass. */
+    * log end. BOTH the watermark read and the expiry run inside the topic
+    * lock (the nested [[expireBefore]] re-enters reentrantly): computing
+    * watermarks outside it would let an append land between the two reads
+    * and have its fresh, fully-in-window segment swept by a stale
+    * "expire everything" decision. */
   def expireOlderThan(
       spark: SparkSession,
       wh: Warehouse,
       topic: String,
       retentionMs: Long,
-      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
-    val threshold = nowMs - retentionMs
-    val keepFrom = LogReader.offsetsForTimes(spark, wh, topic, threshold)
-    val ends = LogIndex.endOffsets(spark, wh, topic)
-    val full = ends.map { case (p, end) => p -> keepFrom.getOrElse(p, end) }
-    expireBefore(spark, wh, topic, full)
-  }
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    Locks.withTopicLock(wh, topic,
+        graft.core.catalog.TopicCatalog.numPartitions(spark, wh, topic)) {
+      val threshold = nowMs - retentionMs
+      val keepFrom = LogReader.offsetsForTimes(spark, wh, topic, threshold)
+      val ends = IndexCache.nextOffsets(spark, wh, topic) // cached, no job
+      val full = ends.map { case (p, end) => p -> keepFrom.getOrElse(p, end) }
+      expireBefore(spark, wh, topic, full)
+    }
 
   /** Garbage-collect a topic's UNREFERENCED storage: data files in live
     * partition dirs that no index row points to (a crashed append that died
@@ -109,6 +113,19 @@ object LogRetention {
       val indexed = IndexCache.entries(spark, wh, topic).filter(_.isData)
         .map(e => new Path(e.file).toUri.getPath).toSet
       val deleted = Seq.newBuilder[String]
+      // crashed index-delta staging (writeIndexDelta died between its
+      // parquet write and the rename-in): `.delta=<topic>=<uid>` dirs under
+      // the index base. `=` cannot appear in a validated topic name, so the
+      // prefix match can never claim another topic's in-flight delta.
+      val indexBase = new Path(wh.indexBase)
+      if (fs.exists(indexBase)) {
+        fs.listStatus(indexBase).foreach { d =>
+          if (d.isDirectory && d.getPath.getName.startsWith(s".delta=$topic=")) {
+            fs.delete(d.getPath, true)
+            deleted += d.getPath.toString
+          }
+        }
+      }
       fs.listStatus(logDir).foreach { top =>
         val name = top.getPath.getName
         if (top.isDirectory && (name.startsWith(".staging-") || name.startsWith(".compact-"))) {

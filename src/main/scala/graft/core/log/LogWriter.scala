@@ -303,8 +303,11 @@ object LogWriter {
   private def writeIndexDelta(
       spark: SparkSession, wh: Warehouse, topic: String,
       rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    // `=` separators: topic names cannot contain `=`, so vacuum's
+    // prefix-match on `.delta=<topic>=` can never claim a DIFFERENT topic's
+    // in-flight delta (`.delta-a-...` would be a prefix of `.delta-a-b-...`)
     val uid = java.util.UUID.randomUUID().toString.take(12)
-    val staging = s"${wh.indexBase}/.delta-$topic-$uid"
+    val staging = s"${wh.indexBase}/.delta=$topic=$uid"
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), Schemas.index)
       .coalesce(1).write.mode("overwrite").parquet(staging)
     val sp = new Path(staging)

@@ -126,11 +126,20 @@ class RetentionSpec extends SparkSpec {
     staging.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(staging, "part-x.parquet").toPath, Array[Byte](4))
+    // crashed index-delta staging for THIS topic, plus another topic's that
+    // must survive (prefix cannot bleed across topic names)
+    val deadDelta = new java.io.File(s"${wh.indexBase}/.delta=t=deadbeef0000")
+    deadDelta.mkdirs()
+    val otherDelta = new java.io.File(s"${wh.indexBase}/.delta=t2=cafecafe0000")
+    otherDelta.mkdirs()
     val before = LogReader.scan(spark, wh, "t").count()
     val deleted = LogRetention.vacuum(spark, wh, "t")
     assert(deleted.exists(_.contains("part-orphan-deadbeef")), s"orphan swept: $deleted")
     assert(deleted.exists(_.contains(".staging-dead")), "staging dir swept")
     assert(!orphan.exists() && !staging.exists())
+    assert(!deadDelta.exists(), "this topic's crashed delta staging swept")
+    assert(otherDelta.exists(), "other topics' staging untouched")
+    otherDelta.delete()
     assert(LogReader.scan(spark, wh, "t").count() === before, "committed data intact")
     // vacuum after the fact is a no-op
     assert(LogRetention.vacuum(spark, wh, "t") === Seq.empty)
@@ -184,6 +193,13 @@ class RetentionSpec extends SparkSpec {
     assert(Admin.beginningOffsets(spark, wh, "t") === Map(0 -> 400L))
     assert(Admin.endOffsets(spark, wh, "t") === Map(0 -> 400L))
     assert(Admin.consumerLag(spark, wh, "g2", "t") === Map(0 -> 0L))
+    // never-appended partitions report 0/0/0, they do not vanish from the maps
+    TopicCatalog.createTopic(spark, wh, "t2", 3)
+    LogWriter.append(spark, wh, "t2",
+      recs(10).withColumn("explicit_partition", lit(0)), "id")
+    assert(Admin.endOffsets(spark, wh, "t2") === Map(0 -> 10L, 1 -> 0L, 2 -> 0L))
+    assert(Admin.beginningOffsets(spark, wh, "t2") === Map(0 -> 0L, 1 -> 0L, 2 -> 0L))
+    assert(Admin.consumerLag(spark, wh, "g", "t2") === Map(0 -> 10L, 1 -> 0L, 2 -> 0L))
   }
 
   test("offsetsForTimes: earliest offset at-or-after a timestamp, per partition") {
