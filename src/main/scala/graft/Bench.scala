@@ -77,6 +77,24 @@ object Bench {
     }
     val bulkRate = bulkRecords / results("ingest_bulk")
 
+    // --- concurrent disjoint-partition appends (cross-job per-partition
+    // locks): four jobs write four partitions of ONE topic simultaneously ---
+    TopicCatalog.createTopic(spark, wh, "par", 4)
+    val partFrames = (0 until 4).map { p =>
+      events.filter(col("event_id") % 4 === p).withColumn("explicit_partition", lit(p))
+    }
+    results("ingest_parallel") = time {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      Await.result(
+        Future.sequence(partFrames.zipWithIndex.map { case (df, p) =>
+          Future(LogWriter.append(spark, wh, "par", df, "event_id",
+            partitions = Some(Seq(p))))
+        }), 10.minutes)
+    }
+    val parRate = ingestRecords / results("ingest_parallel")
+
     // --- log engine: consume path ---
     results("poll_scan") = time {
       var p = 0
@@ -117,7 +135,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus"""
+    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
     println(json)
