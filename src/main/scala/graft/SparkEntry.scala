@@ -62,6 +62,7 @@ object SparkEntry {
     "lang_id" -> (Queries.langId _),
     "pipeline_clean" -> (Queries.pipelineClean _),
     "offsets_for_times" -> (Queries.offsetsForTimes _),
+    "q_interval_join" -> (Queries.qIntervalJoin _),
     "rep_ratio" -> (Queries.repRatio _),
     "redact_pii" -> (Queries.redactPii _),
     "fingerprints" -> (Queries.fingerprints _),

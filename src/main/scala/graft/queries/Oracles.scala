@@ -180,6 +180,21 @@ object Oracles {
         |FROM sessions
         |GROUP BY user_id, session_id""".stripMargin,
 
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts_ms AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_ms AS purchase_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id,
+        |  CAST(purchase_ts - click_ts AS BIGINT) AS lag_ms
+        |FROM c JOIN p USING (user_id)
+        |WHERE purchase_ts >= click_ts
+        |  AND purchase_ts <= click_ts + 3600 * 1000""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -274,6 +274,25 @@ object Queries {
         (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
   }
 
+  /** Interval join (conversion attribution): every (click, purchase) pair
+    * of one user where the purchase lands within an hour of the click —
+    * equi-join on the user key with the time bound as a post-join range
+    * predicate: shuffles on user_id only, never a cross product. The
+    * streaming form (stream-stream join with watermark-bounded state) is
+    * spec'd in GroupsStreamingSpec. */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_ms", expr("ts div 1000000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_ms").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_ms").as("purchase_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + 3600L * 1000)
+      .select(col("click_id"), col("purchase_id"),
+        (col("purchase_ts") - col("click_ts")).as("lag_ms"))
+  }
+
   /** As-of join (funnel attribution): each click event joined to the user's
     * latest purchase at or before it — composed as union + window, no join
     * explosion (SURVEY.md §4: built-in composition over custom operator). */

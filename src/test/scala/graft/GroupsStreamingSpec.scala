@@ -370,6 +370,34 @@ class GroupsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: correlates within the window, watermarks bound state") {
+    // the streaming form of qIntervalJoin: clicks and purchases as two
+    // unbounded streams, joined on user within a 10-minute window — both
+    // sides carry watermarks, so join state is evicted once no future match
+    // is possible (the property that makes this runnable forever)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicks = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_user", "c_ts", "click_id").withWatermark("c_ts", "0 seconds")
+    val p = purchases.toDF().toDF("p_user", "p_ts", "purchase_id").withWatermark("p_ts", "0 seconds")
+    val joined = c.join(p,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      .select($"click_id", $"purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      clicks.addData(("u1", t(10, 0), 1L), ("u2", t(10, 0), 2L))
+      purchases.addData(
+        ("u1", t(10, 5), 100L), // inside window -> match
+        ("u1", t(10, 20), 101L), // outside window -> no match
+        ("u3", t(10, 2), 102L)) // no click for u3
+      q.processAllAvailable()
+      val out = spark.table("ij").as[(Long, Long)].collect().toSet
+      assert(out === Set((1L, 100L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within the watermark horizon are dropped, state is fingerprint-only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamDedup
