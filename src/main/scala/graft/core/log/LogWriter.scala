@@ -3,7 +3,6 @@ package graft.core.log
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.core.catalog.{TopicCatalog, Warehouse}
@@ -25,9 +24,10 @@ case class AppendResult(
   * server/internal/storage/Log.java:93-103 → LogSegment.java:135-239):
   *
   *   - The per-partition fair lock + AtomicInteger offset counter becomes a
-  *     `row_number()` window over `(topic, partition)` plus the per-partition
-  *     max offset read from the index — single-writer-per-partition falls out
-  *     of the shuffle (each partition value lands in exactly one task).
+  *     range exchange on `(partition, ord)` plus a two-pass count /
+  *     prefix-sum / number scheme ([[assignOffsets]]) seeded from the
+  *     per-partition max offset in the index — dense per-partition numbering
+  *     WITHOUT funneling any partition through a single task.
   *   - Segment files + 512 KiB flush buffers become immutable Parquet files;
   *     sizing via `maxRecordsPerFile` replaces the 1 MiB roll threshold.
   *   - The offset→byte index (IndexEntries.java:17-53) becomes a per-FILE
@@ -60,6 +60,30 @@ object LogWriter {
     * path, exposed separately so it can be verified against a SQL oracle
     * without touching disk.
     *
+    * NOT a `row_number()` window: `Window.partitionBy(partition)` funnels
+    * each topic-partition through one task — and when a caller pins
+    * `explicit_partition = lit(p)`, Catalyst constant-folds the routed
+    * column, the window's partition spec collapses to EMPTY, and the entire
+    * batch serializes through a single task ("WindowExec: No Partition
+    * Defined") — a scale-killer on the one path built for parallel ingest.
+    * Instead this numbers in two metadata-scale passes over ONE range
+    * exchange:
+    *
+    *   1. `repartitionByRange(partition, ord)` + per-task sort puts every
+    *      task in charge of a contiguous (partition, ord) range — a single
+    *      partition's multi-GB batch spreads across MANY tasks (AQE
+    *      coalesces the range partitions for small batches).
+    *   2. A count job collects per-task per-partition run lengths (one tiny
+    *      tuple per task); the driver prefix-sums them into per-task base
+    *      offsets (O(tasks × partitions-per-task), metadata-scale).
+    *   3. A numbering pass re-reads the SAME shuffle output (same RDD
+    *      lineage, so the exchange stage is skipped, not recomputed) and
+    *      stamps `base + local index` per row.
+    *
+    * The result is exactly the window semantics — dense offsets in `ord`
+    * order per partition — with no single-task funnel anywhere. The returned
+    * frame is eagerly numbered (the count pass runs at call time).
+    *
     * @param df      input records
     * @param explicitPartition explicit-partition column (null when absent)
     * @param key     routing key column (null when absent)
@@ -68,6 +92,8 @@ object LogWriter {
     *                distributed engine needs the order to be data-derived)
     * @param numPartitions topic partition count
     * @param bases   partition -> next offset to assign (default all 0)
+    * @param parallelism fixed range-task count (tests); None = session
+    *                shuffle partitions with AQE coalescing
     */
   def assignOffsets(
       df: DataFrame,
@@ -75,19 +101,57 @@ object LogWriter {
       key: Column,
       ord: Column,
       numPartitions: Int,
-      bases: Map[Int, Long] = Map.empty): DataFrame = {
+      bases: Map[Int, Long] = Map.empty,
+      parallelism: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
     val routed = df.withColumn(
       "partition",
       PartitionRouter.route(explicitPartition, key, ord, numPartitions))
-    val baseExpr =
-      if (bases.isEmpty) lit(0L)
-      else bases.foldLeft(lit(0L)) { case (acc, (p, b)) =>
-        when(col("partition") === p, lit(b)).otherwise(acc)
+    val sorted = (parallelism match {
+      case Some(k) => routed.repartitionByRange(k, col("partition"), ord)
+      case None => routed.repartitionByRange(col("partition"), ord)
+    }).sortWithinPartitions(col("partition"), ord)
+    val schema = sorted.schema
+    val pIdx = schema.fieldIndex("partition")
+    val rdd = sorted.rdd // one lineage: numbering reuses the count job's shuffle
+    val counts: Array[Array[(Int, Long)]] = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        // rows arrive grouped by partition (per-task sort) — count the runs
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var cur = Int.MinValue
+        var c = 0L
+        it.foreach { r =>
+          val p = r.getInt(pIdx)
+          if (p != cur) { if (c > 0) runs += ((cur, c)); cur = p; c = 0L }
+          c += 1
+        }
+        if (c > 0) runs += ((cur, c))
+        Iterator((i, runs.toArray))
       }
-    val w = Window.partitionBy(col("partition")).orderBy(ord)
-    routed.withColumn(
-      "offset",
-      (row_number().over(w) - 1).cast("long") + baseExpr)
+      .collect().sortBy(_._1).map(_._2)
+    val running = scala.collection.mutable.Map.empty[Int, Long]
+    bases.foreach { case (p, b) => running(p) = b }
+    val starts: Array[Map[Int, Long]] = counts.map { runs =>
+      runs.map { case (p, c) =>
+        val s = running.getOrElse(p, 0L)
+        running(p) = s + c
+        p -> s
+      }.toMap
+    }
+    val bStarts = spark.sparkContext.broadcast(starts)
+    val outSchema = schema.add("offset", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+      val next = scala.collection.mutable.Map.empty[Int, Long]
+      bStarts.value(i).foreach { case (p, s) => next(p) = s }
+      it.map { r =>
+        val p = r.getInt(pIdx)
+        val o = next(p)
+        next(p) = o + 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ o)
+      }
+    }
+    spark.createDataFrame(numbered, outSchema)
   }
 
   /** Append a batch of records to a topic's log.
@@ -157,8 +221,13 @@ object LogWriter {
       // staging dir — O(files in this batch), not O(files ever written).
       val staging =
         s"$logDir/.staging-${java.util.UUID.randomUUID().toString.take(8)}"
+      // No re-shuffle before the write: assignOffsets left the rows range-
+      // grouped and sorted by (partition, offset), so each task streams its
+      // contiguous offset runs straight into the dynamic-partition writer —
+      // a big single-partition batch writes from MANY tasks in parallel
+      // (disjoint offset ranges per file keep the index exact), where a
+      // `repartition(n, partition)` here would funnel it back into one.
       assigned
-        .repartition(n, col("partition"))
         .sortWithinPartitions(col("partition"), col("offset"))
         .write
         .mode("overwrite")

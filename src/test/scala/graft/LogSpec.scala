@@ -63,6 +63,25 @@ class LogSpec extends SparkSpec {
     assert(offs === (3L until 3L + offs.length))
   }
 
+  test("assignOffsets: two-pass numbering matches rank semantics with bases") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i.toLong, i % 5, s"v$i"))
+      .toDF("id", "explicit_partition", "value")
+    val out = LogWriter.assignOffsets(
+      df, $"explicit_partition", lit(null).cast("string"), $"id",
+      numPartitions = 5, bases = Map(0 -> 10L, 2 -> 5L))
+    val got = out.select($"id", $"partition", $"offset").collect()
+    assert(got.length === 5000)
+    got.foreach { r =>
+      val (id, p, off) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(p === (id % 5).toInt)
+      val base = Map(0 -> 10L, 2 -> 5L).getOrElse(p, 0L)
+      // rank of id within its partition (ids p, p+5, p+10, ...) is id/5
+      assert(off === base + id / 5,
+        s"id=$id p=$p: expected ${base + id / 5}, got $off")
+    }
+  }
+
   test("second append continues offsets from the committed end") {
     val wh = freshWarehouse()
     TopicCatalog.createTopic(spark, wh, "t", 2)

@@ -56,6 +56,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pinned-partition offset assignment: no window funnel, many tasks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // explicit_partition = lit(p) used to constant-fold the row_number
+    // window's partition spec to EMPTY ("WindowExec: No Partition Defined"),
+    // serializing the whole batch through one task — the two-pass range
+    // numbering must keep a pinned batch parallel.
+    val df = (0 until 20000).map(i => (i.toLong, s"v$i")).toDF("id", "value")
+      .withColumn("explicit_partition", lit(3))
+    val out = graft.core.log.LogWriter.assignOffsets(
+      df, col("explicit_partition"), lit(null).cast("string"), col("id"),
+      numPartitions = 8, bases = Map(3 -> 1000L), parallelism = Some(8))
+    assert(!plan(out).contains("Window"), "no WindowExec anywhere in the plan")
+    val tasks = out.select(spark_partition_id()).distinct().count()
+    assert(tasks > 1, s"pinned batch must spread across tasks, got $tasks")
+    val rows = out.select(col("id"), col("offset"))
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(rows.length === 20000)
+    assert(rows.zipWithIndex.forall { case ((id, off), i) =>
+      id == i.toLong && off == 1000L + i
+    }, "dense gapless numbering in ord order from the index base")
+  }
+
   test("poll touches only index-selected files and pushes the offset filter") {
     import graft.core.catalog.{TopicCatalog, Warehouse}
     import graft.core.log.{LogReader, LogWriter}
