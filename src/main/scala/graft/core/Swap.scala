@@ -31,16 +31,37 @@ object Swap {
     * unlocked heal raced the swap on a posix-rename filesystem). On any
     * failure the method throws with live/old/rewrite still containing a
     * complete copy — recoverable, never destroyed. */
-  def install(fs: FileSystem, dir: String): Unit = {
+  def install(fs: FileSystem, dir: String): Unit =
+    install(fs, dir, () => ())
+
+  /** Test seam: `betweenRenames` runs in the live-missing window so specs
+    * can deterministically inject the racing unlocked [[heal]]. */
+  private[graft] def install(fs: FileSystem, dir: String, betweenRenames: () => Unit): Unit = {
     val live = new Path(dir)
     val old = new Path(oldDir(dir))
+    val rewrite = new Path(rewriteDir(dir))
     fs.delete(old, true) // leftover from a crashed prior install
     if (fs.exists(live) && !fs.rename(live, old))
       throw new IllegalStateException(s"swap: failed to rename $dir aside")
-    if (!fs.rename(new Path(rewriteDir(dir)), live))
+    betweenRenames()
+    // rename result is normalized to false on exceptions too: LocalFileSystem
+    // falls back to copy+delete when the POSIX rename fails and THROWS
+    // FileNotFound when the source vanished (e.g. a racing heal consumed it)
+    val renamed =
+      try fs.rename(rewrite, live)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      // An unlocked heal (any reader) may have raced us between the renames
+      // and completed the install itself: live missing + rewrite present is
+      // exactly heal's trigger. If live now exists and the rewrite is gone,
+      // the swap COMPLETED — finish the delete-aside instead of throwing a
+      // phantom failure (which in retainCommits would abort the remaining
+      // groups' sweeps).
+      if (fs.exists(live) && !fs.exists(rewrite)) { fs.delete(old, true); return }
       throw new IllegalStateException(
         s"swap: failed to install ${rewriteDir(dir)} as $dir " +
           "(rewrite missing or destination occupied) — aside copy preserved")
+    }
     fs.delete(old, true)
   }
 

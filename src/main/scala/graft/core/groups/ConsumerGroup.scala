@@ -89,23 +89,52 @@ object ConsumerGroup {
     }
   }
 
-  /** Committed next-read offsets for a group (last commit wins). */
+  /** Committed next-read offsets for a group (last commit wins).
+    *
+    * Reads the shard unlocked; a concurrent [[retainCommits]] swap makes the
+    * dir transiently missing between its two renames (two metadata ops).
+    * Naively that window reads as "no commits" and a poll silently restarts
+    * from the log beginning — so a missing dir whose `_rewrite`/`_old`
+    * sibling exists is retried (heal + re-read) instead of trusted. */
   def committed(
       spark: SparkSession,
       wh: Warehouse,
       groupId: String,
       topic: String): Map[Int, Long] = {
     validateGroupId(groupId)
-    healOffsets(wh, groupId)
     val dir = groupDir(wh, groupId)
-    if (!TopicCatalog.dirExists(dir)) return Map.empty
-    spark.read.schema(offsetsSchema).parquet(dir)
-      .filter(col("topic") === topic)
-      .groupBy(col("partition"))
-      .agg(max_by(col("offset"), col("commit_ts")).as("offset"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def midSwap(): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(graft.core.Swap.rewriteDir(dir))) ||
+        fs.exists(new org.apache.hadoop.fs.Path(graft.core.Swap.oldDir(dir)))
+    var attempt = 0
+    while (true) {
+      healOffsets(wh, groupId)
+      attempt += 1
+      if (TopicCatalog.dirExists(dir)) {
+        try {
+          return spark.read.schema(offsetsSchema).parquet(dir)
+            .filter(col("topic") === topic)
+            .groupBy(col("partition"))
+            .agg(max_by(col("offset"), col("commit_ts")).as("offset"))
+            .collect()
+            .map(r => r.getInt(0) -> r.getLong(1))
+            .toMap
+        } catch {
+          // the swap deleted files under our read (list-then-read TOCTOU —
+          // by the time the job fails, the swap may already be fully done,
+          // so there is no state left to inspect): just re-list and re-read
+          case _: Exception if attempt <= 3 =>
+            Thread.sleep(10L * attempt)
+        }
+      } else if (attempt > 3 || !midSwap()) {
+        return Map.empty // genuinely no commits (or swap stuck — give up)
+      } else {
+        Thread.sleep(10L * attempt) // mid-swap blink: heal + re-check
+      }
+    }
+    Map.empty // unreachable
   }
 
   /** Append a commit row per partition (immutable log of commits; readers

@@ -103,11 +103,12 @@ class LocksSpec extends SparkSpec {
   /** Launch graft.tools.LockHold in a fresh JVM and wait for its HELD marker. */
   private def spawnHolder(
       wh: Warehouse, holdMs: Long,
-      staleMs: Long = graft.core.Locks.DefaultStaleMs): Process = {
+      staleMs: Long = graft.core.Locks.DefaultStaleMs,
+      name: String = "topic-t"): Process = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val p = new ProcessBuilder(
-      javaBin, "-cp", cp, "graft.tools.LockHold", wh.root, "topic-t",
+      javaBin, "-cp", cp, "graft.tools.LockHold", wh.root, name,
       holdMs.toString, staleMs.toString)
       .redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
@@ -120,6 +121,61 @@ class LocksSpec extends SparkSpec {
     }
     assert(line === "HELD", "holder must acquire within 30s")
     p
+  }
+
+  test("jvm stripe table evicts entries on last release") {
+    val wh = Warehouse(tmpDir("graft-locks-evict"))
+    val before = Locks.jvmLockTableSize
+    // per-partition lock names: the table would otherwise grow by
+    // topics × partitions for the driver's lifetime
+    (0 until 16).foreach { t =>
+      Locks.withPartitionLocks(wh, s"evict$t", 0 until 4) { () }
+    }
+    assert(Locks.jvmLockTableSize === before,
+      "released lock entries must be evicted, not retained forever")
+  }
+
+  test("withPartitionLocks spends ONE timeout budget across the whole set") {
+    val wh = Warehouse(tmpDir("graft-locks-budget"))
+    // p0 frees after 1.2s; p2 is held far past any deadline. A per-lock
+    // timeout would grant p2 a fresh full budget AFTER the p0 wait; the
+    // shared deadline fails the whole acquisition at ~timeoutMs total.
+    val long = spawnHolder(wh, holdMs = 600000, name = "topic-t#p2")
+    val short = spawnHolder(wh, holdMs = 1200, name = "topic-t#p0")
+    try {
+      val t0 = System.currentTimeMillis()
+      intercept[IllegalStateException] {
+        Locks.withPartitionLocks(wh, "t", Seq(0, 1, 2), timeoutMs = 2500) {
+          fail("must not enter: p2 is held for the whole test")
+        }
+      }
+      val elapsed = System.currentTimeMillis() - t0
+      // per-lock timeouts would spend ~1200 (p0) + 2500 (p2) ≈ 3700ms;
+      // the shared deadline caps the WHOLE set at ~2500ms
+      assert(elapsed < 3200,
+        s"one shared deadline (~2500ms), not per-partition accumulation: ${elapsed}ms")
+    } finally { short.destroyForcibly(); long.destroyForcibly() }
+  }
+
+  test("release never deletes a lock re-acquired by another process") {
+    val wh = Warehouse(tmpDir("graft-locks-fence"))
+    val f = lockFile(wh, "topic-t")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val holder = Future {
+      Locks.withLock(wh, "topic-t", staleMs = 1000) {
+        // Simulate a stale-break + re-acquire while we (believe we) hold it:
+        // the path now carries a FOREIGN owner's stamp.
+        Files.writeString(f.toPath, "55555@usurper 1 600000\n")
+        Thread.sleep(1200) // ≥ one heartbeat period: fencing notices too
+        "ok"
+      }
+    }
+    assert(Await.result(holder, 30.seconds) === "ok")
+    assert(f.exists(), "release must not delete the new owner's lock file")
+    assert(Files.readString(f.toPath).startsWith("55555@usurper"),
+      "the foreign stamp must be untouched by our release")
   }
 
   test("held lock survives past the stale horizon (heartbeat refreshes mtime)") {
