@@ -64,15 +64,184 @@ object StreamIngest {
     writer(spark, wh, topic, stream, ordCol, checkpoint).start()
   }
 
-  /** Checkpointed streaming consumer: the continuous form of `poll` —
-    * a file-source stream over a topic's log directory. Progress persists in
-    * the checkpoint (the Structured-Streaming analog of the reference's
-    * unimplemented offset-commit API, SURVEY.md §2.7 Q6). */
+  /** Checkpointed streaming consumer: the continuous form of `poll`
+    * (the Structured-Streaming analog of the reference's unimplemented
+    * offset-commit API, SURVEY.md §2.7 Q6).
+    *
+    * Drives every read from the INDEX, never the raw partition dirs:
+    * "readers only see indexed files" is the crash-safety invariant
+    * ([[graft.core.log.LogWriter]]) — a file-source stream over the log dir
+    * would emit a crashed append's orphaned data files (records that were
+    * never committed, and after the retry lands, the same offsets twice).
+    * A file-source stream over the INDEX dir is no better: the index
+    * auto-compacts by in-place swap, which a path-keyed file source misses
+    * entirely. So the consumer is its own micro-batch loop on Structured
+    * Streaming's scheduler:
+    *
+    *   - a rate source supplies triggers, lifecycle, and a checkpointed
+    *     monotone `batchId` (its rows are discarded);
+    *   - each batch reads `[start, end)` per partition, where `start` is the
+    *     previous batch's end and `end` is the index's committed next-offset
+    *     (capped by `maxPerPartition`) — the range is persisted atomically
+    *     under the checkpoint BEFORE `f` runs, so a crash-replayed batch
+    *     re-reads exactly the same range: exactly-once delivery to an
+    *     idempotent-by-batchId sink, never a superset;
+    *   - the data read is the same in-driver index pruning as
+    *     [[graft.core.log.LogReader.poll]] — one Spark job over just the
+    *     intersecting committed files, offsets bounded both sides.
+    *
+    * @param f sink callback `(records, batchId)`; standard `foreachBatch`
+    *          contract (must be idempotent per batchId for exactly-once)
+    */
   def consume(
       spark: SparkSession,
       wh: Warehouse,
-      topic: String): DataFrame =
+      topic: String,
+      checkpoint: String,
+      triggerMs: Long = 500,
+      maxPerPartition: Long = Long.MaxValue)(
+      f: (DataFrame, Long) => Unit): StreamingQuery =
     spark.readStream
-      .schema(graft.core.Schemas.record)
-      .parquet(wh.logDir(topic))
+      .format("rate").option("rowsPerSecond", 1)
+      .load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        val ranges = ConsumeState.rangesFor(
+          spark, wh, topic, s"$checkpoint/graft-offset-ranges", batchId, maxPerPartition)
+        if (ranges.exists { case (_, (s, e)) => e > s }) {
+          f(ConsumeState.boundedScan(spark, wh, topic, ranges), batchId)
+          ConsumeState.prune(s"$checkpoint/graft-offset-ranges", batchId)
+        }
+        ()
+      }
+      .start()
+}
+
+/** Per-batch offset-range state of [[StreamIngest.consume]]: one small text
+  * file per micro-batch (`batch-<id>`, lines `partition start end`), written
+  * tmp + rename so a crash never leaves a torn intent. The file IS the
+  * batch's read range: a replayed batch finds its own file and re-reads the
+  * identical range even though the log has grown since. */
+private[streaming] object ConsumeState {
+  import java.nio.charset.StandardCharsets.UTF_8
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  import org.apache.spark.sql.functions._
+  import graft.core.log.IndexCache
+
+  private val Name = "^batch-(\\d+)$".r
+
+  private def fsOf(dir: String): FileSystem =
+    new Path(dir).getFileSystem(new Configuration())
+
+  /** The `[start, end)` range per partition that batch `batchId` must read:
+    * its own persisted intent when replaying, else previous end → current
+    * committed next-offsets. The fresh intent is persisted before return. */
+  def rangesFor(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      topic: String,
+      stateDir: String,
+      batchId: Long,
+      maxPerPartition: Long): Map[Int, (Long, Long)] = {
+    val fs = fsOf(stateDir)
+    fs.mkdirs(new Path(stateDir))
+    read(fs, new Path(stateDir, s"batch-$batchId")).getOrElse {
+      val start: Map[Int, Long] = latestBefore(fs, stateDir, batchId)
+        .flatMap(id => read(fs, new Path(stateDir, s"batch-$id")))
+        .map(_.map { case (p, (_, e)) => p -> e })
+        .getOrElse(Map.empty)
+      val committed = IndexCache.nextOffsets(spark, wh, topic)
+      val ranges = committed.map { case (p, n) =>
+        val s = start.getOrElse(p, 0L)
+        // saturating cap: maxPerPartition bounds one batch's bite
+        val cap = if (n - s > maxPerPartition) s + maxPerPartition else n
+        p -> (s, math.max(cap, s))
+      }
+      if (ranges.exists { case (_, (s, e)) => e > s })
+        write(fs, new Path(stateDir, s"batch-$batchId"), ranges)
+      ranges
+    }
+  }
+
+  /** Index-pruned read of exactly `[start, end)` per partition — one job
+    * over just the intersecting committed files. */
+  def boundedScan(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      topic: String,
+      ranges: Map[Int, (Long, Long)]): org.apache.spark.sql.DataFrame = {
+    val files = IndexCache.entries(spark, wh, topic)
+      .filter { e =>
+        ranges.get(e.partition).exists { case (s, end) =>
+          e.isData && e.endOffset >= s && e.baseOffset < end
+        }
+      }
+      .map(_.file)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](), graft.core.Schemas.record)
+    else {
+      val lower = ranges.foldLeft(lit(Long.MaxValue)) { case (acc, (p, (s, _))) =>
+        when(col("partition") === p, lit(s)).otherwise(acc)
+      }
+      val upper = ranges.foldLeft(lit(Long.MinValue)) { case (acc, (p, (_, e))) =>
+        when(col("partition") === p, lit(e)).otherwise(acc)
+      }
+      spark.read.option("basePath", wh.logDir(topic))
+        .parquet(files.toIndexedSeq: _*)
+        .filter(col("offset") >= lower && col("offset") < upper)
+    }
+  }
+
+  /** Drop intent files older than the last few batches (replay only ever
+    * reaches back one batch; a small tail is kept for debuggability). */
+  def prune(stateDir: String, batchId: Long): Unit = {
+    val fs = fsOf(stateDir)
+    ids(fs, stateDir).filter(_ < batchId - 3)
+      .foreach(id => fs.delete(new Path(stateDir, s"batch-$id"), false))
+  }
+
+  private def ids(fs: FileSystem, stateDir: String): Seq[Long] = {
+    val p = new Path(stateDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case Name(id) => id.toLong
+    }
+  }
+
+  private def latestBefore(fs: FileSystem, stateDir: String, batchId: Long): Option[Long] =
+    ids(fs, stateDir).filter(_ < batchId) match {
+      case s if s.isEmpty => None
+      case s => Some(s.max)
+    }
+
+  private def read(fs: FileSystem, p: Path): Option[Map[Int, (Long, Long)]] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes =
+          try in.readAllBytes()
+          finally in.close()
+        Some(new String(bytes, UTF_8).split("\n").filter(_.nonEmpty).map { line =>
+          val Array(part, s, e) = line.trim.split(" ")
+          part.toInt -> (s.toLong, e.toLong)
+        }.toMap)
+      }
+    } catch { case _: Exception => None }
+
+  private def write(fs: FileSystem, p: Path, ranges: Map[Int, (Long, Long)]): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ranges.toSeq.sortBy(_._1)
+      .map { case (part, (s, e)) => s"$part $s $e" }
+      .mkString("\n").getBytes(UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"consume state: failed to install $p")
+  }
 }

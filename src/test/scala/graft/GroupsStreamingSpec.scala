@@ -223,21 +223,85 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(count === 3)
   }
 
-  test("streaming consumer: readStream over the log delivers appended records") {
+  test("streaming consumer delivers the committed records incrementally, resumes from checkpoint") {
     val wh = Warehouse(tmpDir("graft-consume"))
     TopicCatalog.createTopic(spark, wh, "c", 2)
     LogWriter.append(spark, wh, "c", someRecords(80), "id")
-    val q = StreamIngest.consume(spark, wh, "c")
-      .writeStream.format("memory").queryName("consumed")
-      .option("checkpointLocation", tmpDir("graft-consume-ckpt"))
-      .start()
+    val ckpt = tmpDir("graft-consume-ckpt")
+    // keyed by batchId: the foreachBatch contract is idempotent-per-batchId
+    val batches = scala.collection.concurrent.TrieMap.empty[Long, Array[(Int, Long)]]
+    def total = batches.values.map(_.length).sum
+    def waitFor(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (total < n && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(total === n, s"expected $n records, got $total")
+    }
+    def sink(into: scala.collection.concurrent.TrieMap[Long, Array[(Int, Long)]]) =
+      (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        into.put(id, df.select($"partition", $"offset").as[(Int, Long)].collect()): Unit
+    val q = StreamIngest.consume(spark, wh, "c", ckpt, triggerMs = 100)(sink(batches))
     try {
-      q.processAllAvailable()
-      assert(spark.table("consumed").count() === 80)
+      waitFor(80)
       // records appended AFTER the stream started are picked up incrementally
       LogWriter.append(spark, wh, "c", someRecords(20, from = 80), "id")
-      q.processAllAvailable()
-      assert(spark.table("consumed").count() === 100)
+      waitFor(100)
+      // exactly-once: per partition, exactly the dense committed range
+      val perPart = batches.values.flatten.groupBy(_._1)
+      perPart.foreach { case (p, offs) =>
+        val sorted = offs.map(_._2).toSeq.sorted
+        assert(sorted === (0L until sorted.length), s"partition $p dense, no dupes")
+      }
+      assert(perPart.values.map(_.size).sum === 100)
+    } finally q.stop()
+    // restart from the same checkpoint: only NEW records are delivered
+    LogWriter.append(spark, wh, "c", someRecords(30, from = 100), "id")
+    val batches2 = scala.collection.concurrent.TrieMap.empty[Long, Array[(Int, Long)]]
+    val q2 = StreamIngest.consume(spark, wh, "c", ckpt, triggerMs = 100)(sink(batches2))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (batches2.values.map(_.length).sum < 30 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(batches2.values.flatten.size === 30, "resume delivers only the new slice")
+      assert(batches2.values.flatten.forall { case (_, o) => o >= 40 },
+        "no re-delivery of pre-restart offsets")
+    } finally q2.stop()
+  }
+
+  test("streaming consumer never emits a crashed append's orphaned unindexed files") {
+    val wh = Warehouse(tmpDir("graft-consume-orphan"))
+    TopicCatalog.createTopic(spark, wh, "c", 1)
+    LogWriter.append(spark, wh, "c",
+      someRecords(50).withColumn("explicit_partition", lit(0)), "id")
+    // Manufacture a crashed append: a fully-written data file IN the
+    // partition dir with NO index row (the crash window between the staged
+    // rename and the index commit). Byte source: another topic's real file.
+    TopicCatalog.createTopic(spark, wh, "x", 1)
+    LogWriter.append(spark, wh, "x",
+      someRecords(10, from = 1000).withColumn("explicit_partition", lit(0)), "id")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val cDir = new org.apache.hadoop.fs.Path(s"${wh.logDir("c")}/partition=0")
+    val xDir = new org.apache.hadoop.fs.Path(s"${wh.logDir("x")}/partition=0")
+    val hfs = cDir.getFileSystem(conf)
+    val src = hfs.listStatus(xDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs,
+      new org.apache.hadoop.fs.Path(cDir, src.getName), false, conf)
+    // the batch reader ignores it (index-pruned) — the standing invariant
+    assert(LogReader.scan(spark, wh, "c").count() === 50)
+    // ... and the STREAMING consumer must ignore it too (it would emit
+    // never-committed records, then the same offsets twice after the retry)
+    val batches = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = StreamIngest.consume(spark, wh, "c",
+      tmpDir("graft-consume-orphan-ckpt"), triggerMs = 100) { (df, id) =>
+      batches.put(id, df.count()): Unit
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (batches.values.sum < 50 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(batches.values.sum === 50)
+      Thread.sleep(1000) // several more triggers: the orphan must never surface
+      assert(batches.values.sum === 50, "orphaned file must not be emitted")
     } finally q.stop()
   }
 
