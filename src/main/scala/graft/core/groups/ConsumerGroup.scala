@@ -147,14 +147,26 @@ object ConsumerGroup {
       wh: Warehouse,
       groupId: String,
       topic: String,
-      offsets: Map[Int, Long]): Unit = {
+      offsets: Map[Int, Long]): Unit =
+    commitAll(spark, wh, groupId, Map(topic -> offsets))
+
+  /** Commit a member's offsets across its WHOLE multi-topic assignment in
+    * one locked append — one small file per call instead of one per topic
+    * (the shape [[pollAll]] returns). */
+  def commitAll(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      offsets: Map[String, Map[Int, Long]]): Unit = {
     validateGroupId(groupId)
+    if (offsets.forall(_._2.isEmpty)) return
     graft.core.Locks.withLock(wh, groupLock(groupId)) {
       healOffsets(wh, groupId)
       val now = System.currentTimeMillis()
-      val rows = offsets.toSeq.map { case (p, o) =>
-        Row(groupId, topic, p, o, now)
-      }
+      val rows = for {
+        (topic, perPart) <- offsets.toSeq
+        (p, o) <- perPart.toSeq
+      } yield Row(groupId, topic, p, o, now)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), offsetsSchema)
         .coalesce(1)
         .write.mode("append").parquet(groupDir(wh, groupId))
@@ -263,6 +275,30 @@ object ConsumerGroup {
       }
     }.toMap
     (all, from ++ next)
+  }
+
+  /** Poll every topic of the member's assignment in one call. The reference
+    * installs a full `Map[topic -> partitions]` subscription
+    * (reference: src/main/java/consumer/FluxConsumer.java:210-220) but its
+    * poll path only ever reaches one topic — this is the union poll the
+    * installed shape implies. Records carry a `topic` column; next offsets
+    * come back per topic and advance independently (commit them in one
+    * locked append via [[commitAll]]). */
+  def pollAll(
+      spark: SparkSession,
+      wh: Warehouse,
+      groupId: String,
+      membership: Membership,
+      max: Long): (DataFrame, Map[String, Map[Int, Long]]) = {
+    val topics = membership.assignment.keys.toSeq.sorted
+    val polled = topics.map { t =>
+      val (df, next) = poll(spark, wh, groupId, membership, t, max)
+      (df.withColumn("topic", lit(t)), t -> next)
+    }
+    val all = polled.map(_._1).reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(java.util.List.of[Row](), graft.core.Schemas.record)
+        .withColumn("topic", lit(null).cast("string")))
+    (all, polled.map(_._2).toMap)
   }
 
   /** The reference's `poll(Duration)` contract

@@ -223,6 +223,34 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(count === 3)
   }
 
+  test("pollAll spans the member's full multi-topic assignment in one call") {
+    val wh = Warehouse(tmpDir("graft-pollall"))
+    TopicCatalog.createTopic(spark, wh, "t1", 2)
+    TopicCatalog.createTopic(spark, wh, "t2", 1)
+    LogWriter.append(spark, wh, "t1", someRecords(40), "id")
+    LogWriter.append(spark, wh, "t2", someRecords(10, from = 500), "id")
+    val memberships = ConsumerGroup.subscribe(spark, wh, "g",
+      Seq(Negotiation.Member("m1", Seq("range"))), Seq("t1", "t2"))
+    val m = memberships.head
+    assert(m.assignment.keySet === Set("t1", "t2"), "sole member owns both topics")
+
+    val (recs, next) = ConsumerGroup.pollAll(spark, wh, "g", m, max = 100)
+    val byTopic = recs.groupBy($"topic").count()
+      .as[(String, Long)].collect().toMap
+    assert(byTopic === Map("t1" -> 40L, "t2" -> 10L))
+    assert(next("t1").values.sum === 40L && next("t2") === Map(0 -> 10L))
+    ConsumerGroup.commitAll(spark, wh, "g", next)
+
+    // offsets advance independently: new data lands on t2 only
+    LogWriter.append(spark, wh, "t2", someRecords(5, from = 510), "id")
+    val (recs2, next2) = ConsumerGroup.pollAll(spark, wh, "g", m, max = 100)
+    val byTopic2 = recs2.groupBy($"topic").count()
+      .as[(String, Long)].collect().toMap
+    assert(byTopic2 === Map("t2" -> 5L), "t1 already consumed; only t2's new slice")
+    assert(next2("t1") === next("t1"), "t1 offsets unchanged")
+    assert(next2("t2") === Map(0 -> 15L))
+  }
+
   test("streaming consumer delivers the committed records incrementally, resumes from checkpoint") {
     val wh = Warehouse(tmpDir("graft-consume"))
     TopicCatalog.createTopic(spark, wh, "c", 2)
