@@ -73,7 +73,8 @@ object SparkEntry {
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
-    "multimodal_decode" -> (Queries.multimodalDecode _))
+    "multimodal_decode" -> (Queries.multimodalDecode _),
+    "multimodal_decode_real" -> (Queries.multimodalDecodeReal _))
 
   /** DuckDB equivalents; keys without an entry get a rows-only check. */
   def oracleSql: Map[String, String] = Oracles.sql

@@ -464,5 +464,15 @@ object Oracles {
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // the Spark side ENCODES a real PNG per doc (dims derived from doc_id)
+    // and decodes it back with the real ImageIO decoder; the oracle
+    // recomputes the dims arithmetically — only a true codec read matches
+    "multimodal_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 5 + 1 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS bands
         |FROM documents""".stripMargin)
 }

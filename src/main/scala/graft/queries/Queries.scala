@@ -592,4 +592,42 @@ object Queries {
         lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("feat_sum"),
       size(Multimodal.sampleSlices(col("content"), 4, 16)).as("n_slices"))
   }
+
+  /** REAL image decode with a SQL oracle: deterministic PNGs are encoded
+    * in-query (`java.awt` + `ImageIO`, partition-local — the corpus has no
+    * image bytes, so the query synthesizes them from doc_id-seeded pixels),
+    * then decoded back by the real [[Multimodal.ImageDecoder]] via
+    * [[Multimodal.decodePartitions]]. The oracle recomputes width/height
+    * arithmetically — a pseudo-decode would return hash-derived dimensions
+    * and hash-mismatch immediately, so this row proves the SHIPPED decoder
+    * reads true codec geometry. Encode and decode are both partition-local:
+    * no shuffle, scales with the corpus. */
+  def multimodalDecodeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val png = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 7 + 1).toInt
+        val h = (id % 5 + 1).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 2654435761L + x * 7 + y * 131) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("id", "content")
+    Multimodal.decodePartitions(png, col("id"), col("content"))
+      .toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("channels").as("bands"))
+  }
 }

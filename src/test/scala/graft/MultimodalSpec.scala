@@ -50,6 +50,16 @@ class MultimodalSpec extends SparkSpec {
     assert(d.width === 32 && d.height === 16)
   }
 
+  test("multimodal_decode_real query: encoded PNGs round-trip through the REAL decoder") {
+    val out = graft.queries.Queries.multimodalDecodeReal(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (w, h, bands)) =>
+      assert(w === (id % 7 + 1).toInt && h === (id % 5 + 1).toInt && bands === 3,
+        s"doc $id: real codec geometry, not a hash pseudo-decode")
+    }
+  }
+
   test("decode is deterministic across runs and partitionings") {
     val rows = (0L until 20L).map(i => (i, png(8 + i.toInt, 4, (i * 123456).toInt)))
     val a = Multimodal.decodePartitions(rows.toDF("id", "content").repartition(1), $"id", $"content")
