@@ -61,6 +61,51 @@ class PipelineSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("salting splits a hot key's rows across tasks (the 100TB skew case)") {
+    // one hot key carrying 100k rows + 100 cold keys: hash-partitioning by
+    // key funnels the hot key through ONE task regardless of parallelism
+    val left = ((0 until 100000).map(_ => 0) ++ (0 until 1000).map(i => 1 + i % 100))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    val naive = maxPartRows(left.repartition(16, $"k"))
+    assert(naive >= 100000, "unsalted: the whole hot key in one task")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+    val spread = maxPartRows(salted.repartition(16, $"k", $"__salt"))
+    assert(spread <= 30000, s"salted 8 ways: hot key split across tasks, got max $spread")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    val tuned = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0: ~200k rows with payload — one shuffle partition far past
+      // the (lowered) skew threshold; the rest tiny
+      val left = ((0 until 200000).map(_ => 0) ++ (0 until 2000).map(i => 1 + i % 50))
+        .zipWithIndex.map { case (k, i) => (k, s"payload-$i-${"x" * 24}") }
+        .toDF("k", "lv")
+      val right = (0 until 51).map(i => (i, s"r$i")).toDF("k", "rv")
+      val joined = left.join(right, Seq("k"))
+      // execute THIS query execution (count() would build its own): AQE
+      // only finalizes the plan it actually ran
+      assert(joined.collect().length === 202000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE must have split the skewed partition at runtime:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (0 until 10000).map(i => (i % 3, 1L)).toDF("k", "v")
     val plain = df.groupBy($"k").agg(sum($"v").as("s"))
