@@ -66,27 +66,19 @@ object LogWriter {
     * column, the window's partition spec collapses to EMPTY, and the entire
     * batch serializes through a single task ("WindowExec: No Partition
     * Defined") — a scale-killer on the one path built for parallel ingest.
-    * Instead this numbers in two passes that stay inside whole-stage
-    * codegen (no RDD hop, no Row boxing):
+    * Instead this numbers in two metadata-scale passes over ONE range
+    * exchange:
     *
-    *   1. A featherweight COUNT pass: project to `(partition, ord)` only
-    *      (~16 bytes/row through the shuffle), range-partition on it,
-    *      per-task sort, and aggregate per-(task, partition) run lengths +
-    *      the run's first local row id (`monotonically_increasing_id`
-    *      evaluated after the sort = the dense per-task index). The driver
-    *      prefix-sums the runs into per-run base offsets
-    *      (O(tasks + partitions) rows, metadata-scale).
-    *   2. The FULL frame through the identical range layout; each row's
-    *      offset is its local id plus the run's broadcast-joined additive
-    *      adjustment — a single full shuffle for the whole append, a
-    *      single partition's multi-GB batch spread across MANY tasks.
-    *
-    * The two passes lay rows out identically because the task count is
-    * pinned (no AQE re-planning), range boundaries come from seeded
-    * sampling of the same key values in the same scan order, and run
-    * lengths / first-ids depend only on the key multiset per task — never
-    * on payload or tie order. (The input must be a deterministic frame —
-    * true of every produce path, which reads committed data.)
+    *   1. `repartitionByRange(partition, ord)` + per-task sort puts every
+    *      task in charge of a contiguous (partition, ord) range — a single
+    *      partition's multi-GB batch spreads across MANY tasks (AQE
+    *      coalesces the range partitions for small batches).
+    *   2. A count job collects per-task per-partition run lengths (one tiny
+    *      tuple per task); the driver prefix-sums them into per-task base
+    *      offsets (O(tasks × partitions-per-task), metadata-scale).
+    *   3. A numbering pass re-reads the SAME shuffle output (same RDD
+    *      lineage, so the exchange stage is skipped, not recomputed) and
+    *      stamps `base + local index` per row.
     *
     * The result is exactly the window semantics — dense offsets in `ord`
     * order per partition — with no single-task funnel anywhere. The returned
@@ -101,7 +93,7 @@ object LogWriter {
     * @param numPartitions topic partition count
     * @param bases   partition -> next offset to assign (default all 0)
     * @param parallelism fixed range-task count (tests); None = session
-    *                shuffle partitions (pinned — both passes must match)
+    *                shuffle partitions with AQE coalescing
     */
   def assignOffsets(
       df: DataFrame,
@@ -115,74 +107,51 @@ object LogWriter {
     val routed = df.withColumn(
       "partition",
       PartitionRouter.route(explicitPartition, key, ord, numPartitions))
-    // PINNED task count: both passes must lay rows out identically, so AQE
-    // must not be free to coalesce one of them differently. Sized from the
-    // plan's byte estimate (driver-side, no job) so a small batch lands in
-    // few tasks/files and a multi-GB batch spreads wide; capped because an
-    // unknown estimate defaults to Long.MaxValue.
-    val k = parallelism.getOrElse {
-      val bytes = BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes)
-      val target = 64L << 20
-      val cap = math.max(spark.sessionState.conf.numShufflePartitions, 1024)
-      ((bytes + target - 1) / target).min(cap).max(1).toInt
-    }
-    // Pass 1 — metadata out, featherweight in: the count shuffle carries
-    // ONLY (partition, ord), not the payload, and needs no sort — run
-    // lengths per (task, partition) depend only on the key multiset per
-    // task, never on row order. The layout matches the full pass because
-    // the task count is pinned and range boundaries come from
-    // deterministic seeded sampling of the same key values in the same
-    // scan order.
-    val runs: Array[(Int, Int, Long)] =
-      routed.select(col("partition"), ord.as("__graft_ord"))
-        .repartitionByRange(k, col("partition"), col("__graft_ord"))
-        .withColumn("__graft_task", spark_partition_id())
-        .groupBy(col("__graft_task"), col("partition"))
-        .agg(count(lit(1)).as("n"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    // Driver prefix-sums (metadata-scale: ≤ tasks + partitions runs).
-    // Within a task, runs are laid out partition-ascending (the per-task
-    // sort is on (partition, ord)), so a run's first LOCAL row id is the
-    // cumulative count of its task's earlier runs; its first OFFSET is the
-    // partition's running base across tasks in ascending-task order.
-    val localStart = scala.collection.mutable.Map.empty[(Int, Int), Long]
-    val taskCum = scala.collection.mutable.Map.empty[Int, Long]
-    runs.sortBy(t => (t._1, t._2)).foreach { case (task, p, n) =>
-      val s = taskCum.getOrElse(task, 0L)
-      localStart((task, p)) = s
-      taskCum(task) = s + n
-    }
+    val sorted = (parallelism match {
+      case Some(k) => routed.repartitionByRange(k, col("partition"), ord)
+      case None => routed.repartitionByRange(col("partition"), ord)
+    }).sortWithinPartitions(col("partition"), ord)
+    val schema = sorted.schema
+    val pIdx = schema.fieldIndex("partition")
+    val rdd = sorted.rdd // one lineage: numbering reuses the count job's shuffle
+    val counts: Array[Array[(Int, Long)]] = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        // rows arrive grouped by partition (per-task sort) — count the runs
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var cur = Int.MinValue
+        var c = 0L
+        it.foreach { r =>
+          val p = r.getInt(pIdx)
+          if (p != cur) { if (c > 0) runs += ((cur, c)); cur = p; c = 0L }
+          c += 1
+        }
+        if (c > 0) runs += ((cur, c))
+        Iterator((i, runs.toArray))
+      }
+      .collect().sortBy(_._1).map(_._2)
     val running = scala.collection.mutable.Map.empty[Int, Long]
     bases.foreach { case (p, b) => running(p) = b }
-    // monotonically_increasing_id is (taskId << 33 | rowIndexInTask): the
-    // additive adjustment rebases a run's local ids onto its offsets.
-    val adjRows = runs.sortBy(t => (t._2, t._1)).map { case (task, p, n) =>
-      val base = running.getOrElse(p, 0L)
-      running(p) = base + n
-      org.apache.spark.sql.Row(task, p,
-        base - ((task.toLong << 33) + localStart((task, p))))
+    val starts: Array[Map[Int, Long]] = counts.map { runs =>
+      runs.map { case (p, c) =>
+        val s = running.getOrElse(p, 0L)
+        running(p) = s + c
+        p -> s
+      }.toMap
     }
-    val adjDf = spark.createDataFrame(
-      java.util.Arrays.asList(adjRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__graft_task",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("partition",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__graft_adj",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    // Pass 2 — the full frame through the same range layout, sorted within
-    // each task so the local row id IS the (partition, ord) rank; offset =
-    // local id + run adjustment via a broadcast hash join (no extra
-    // shuffle, whole-stage codegen end to end).
-    routed.repartitionByRange(k, col("partition"), ord)
-      .sortWithinPartitions(col("partition"), ord)
-      .withColumn("__graft_task", spark_partition_id())
-      .withColumn("__graft_mid", monotonically_increasing_id())
-      .join(broadcast(adjDf), Seq("__graft_task", "partition"))
-      .withColumn("offset", col("__graft_mid") + col("__graft_adj"))
-      .drop("__graft_task", "__graft_mid", "__graft_adj")
+    val bStarts = spark.sparkContext.broadcast(starts)
+    val outSchema = schema.add("offset", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+      val next = scala.collection.mutable.Map.empty[Int, Long]
+      bStarts.value(i).foreach { case (p, s) => next(p) = s }
+      it.map { r =>
+        val p = r.getInt(pIdx)
+        val o = next(p)
+        next(p) = o + 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ o)
+      }
+    }
+    spark.createDataFrame(numbered, outSchema)
   }
 
   /** Append a batch of records to a topic's log.
