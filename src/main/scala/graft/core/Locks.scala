@@ -191,6 +191,25 @@ object Locks {
     // ^ an unreadable/missing file reads as "still ours": the refresh then
     //   fails on its own and is logged; only a READABLE foreign stamp fences.
 
+    /** Strict variant for DESTRUCTIVE paths (overwrite / delete): true only
+      * on a readable stamp that is ours — unreadable is NOT presumed ours.
+      * Retries briefly so a transient read blip doesn't leak the file into
+      * a stale-horizon stall for every waiter. */
+    private def ownsPathStrict(): Boolean = {
+      var attempt = 0
+      while (attempt < 3) {
+        readStampLine(fs, lock) match {
+          case Some(line) => return line.startsWith(stampPrefix)
+          case None =>
+            if (!(try fs.exists(lock) catch { case _: Exception => true }))
+              return false // nothing there: neither ours nor anyone's
+            attempt += 1
+            if (attempt < 3) Thread.sleep(50)
+        }
+      }
+      false // exists but unreadable: never destroy what might be a new owner's
+    }
+
     private def beat(): Unit = {
       if (released.get() || fenced.get()) return
       if (!ownsPath()) {
@@ -211,10 +230,21 @@ object Locks {
         case _: Exception if !released.get() && ownsPath() =>
           // setTimes unsupported / no-op FS (e.g. object stores): rewrite the
           // stamp in place — an overwrite updates mtime on ANY filesystem.
+          // The overwrite is DESTRUCTIVE, so ownership is re-read strictly
+          // (readable AND ours) immediately before it: between the guard
+          // above and here the lock can be stale-broken and re-acquired,
+          // and clobbering the new owner's stamp would fence the legitimate
+          // holder instead of us. Residual exposure is one read-then-create
+          // window (two metadata ops) — accepted for a best-effort FS lock
+          // whose horizon is minutes; if it fires, our NEXT beat reads the
+          // new owner's re-stamp and fences this holder.
           try {
-            val out = fs.create(lock, true)
-            try out.write(stamp) finally out.close()
-            failures.set(0)
+            if (ownsPathStrict()) {
+              val out = fs.create(lock, true)
+              try out.write(stamp) finally out.close()
+              failures.set(0)
+            } // not verifiably ours: leave the path alone; the next beat()
+              // re-evaluates ownership and fences on a foreign stamp
           } catch {
             case e: Exception =>
               // Never swallow silently: if the refresh keeps failing, the
@@ -239,9 +269,14 @@ object Locks {
     def release(): Unit = {
       released.set(true) // before cancel: an in-flight beat must not recreate the file
       Option(beatRef.get()).foreach(_.cancel(false))
-      // Delete only what is still OURS: if the lock was stale-broken and
-      // re-acquired, the path now holds the new owner's file.
-      if (!fenced.get() && ownsPath())
+      // Delete only what is VERIFIABLY still ours (readable stamp with our
+      // prefix): if the lock was stale-broken and re-acquired, the path now
+      // holds the new owner's file, and an unreadable stamp must not be
+      // presumed ours — deleting on a failed read could destroy the new
+      // owner's exclusion. If the stamp is ours-but-unreadable (transient
+      // IO, retried), the leaked file is broken as stale after the horizon:
+      // a bounded stall, the cheap failure mode.
+      if (!fenced.get() && ownsPathStrict())
         try fs.delete(lock, false)
         catch { case _: java.io.IOException => /* best-effort */ }
     }

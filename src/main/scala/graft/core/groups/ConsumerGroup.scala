@@ -128,8 +128,18 @@ object ConsumerGroup {
           case _: Exception if attempt <= 3 =>
             Thread.sleep(10L * attempt)
         }
-      } else if (attempt > 3 || !midSwap()) {
-        return Map.empty // genuinely no commits (or swap stuck — give up)
+      } else if (!midSwap()) {
+        return Map.empty // genuinely no commits
+      } else if (attempt > 3) {
+        // Swap markers still present after heal + retries: the shard EXISTS
+        // but is unreadable, which a caller cannot distinguish from "no
+        // commits" — returning Map.empty here would silently restart the
+        // group from offset 0 and re-deliver everything. Fail loudly; the
+        // genuinely-no-commits case returned above.
+        throw new IllegalStateException(
+          s"group '$groupId': offsets shard swap is stuck after $attempt " +
+            s"attempts (markers under ${graft.core.Swap.rewriteDir(dir)} / " +
+            s"${graft.core.Swap.oldDir(dir)}) — refusing to report 'no commits'")
       } else {
         Thread.sleep(10L * attempt) // mid-swap blink: heal + re-check
       }

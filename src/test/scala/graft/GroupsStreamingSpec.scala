@@ -65,6 +65,29 @@ class GroupsStreamingSpec extends SparkSpec {
     assert(ConsumerGroup.committed(spark, wh, "g1", "t") === before)
   }
 
+  test("committed(): heals a crashed swap; a STUCK swap throws, never 'no commits'") {
+    val wh = Warehouse(tmpDir("graft-stuckswap"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    ConsumerGroup.commit(spark, wh, "gs", "t", Map(0 -> 42L))
+    val dir = new org.apache.hadoop.fs.Path(s"${wh.root}/_groups/offsets/gs")
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // crash between install's two renames: live missing + rewrite present —
+    // the read path heals (installs the rewrite) and returns the commits
+    val rewrite = new org.apache.hadoop.fs.Path(graft.core.Swap.rewriteDir(dir.toString))
+    assert(fs.rename(dir, rewrite))
+    assert(ConsumerGroup.committed(spark, wh, "gs", "t") === Map(0 -> 42L))
+    // STUCK: live+rewrite missing but _old holds the only copy — heal cannot
+    // act, and "no commits" would restart the group from offset 0. Throw.
+    val old = new org.apache.hadoop.fs.Path(graft.core.Swap.oldDir(dir.toString))
+    assert(fs.rename(dir, old))
+    val e = intercept[IllegalStateException] {
+      ConsumerGroup.committed(spark, wh, "gs", "t")
+    }
+    assert(e.getMessage.contains("stuck"))
+    // a group with NO commits and no markers still reads as genuinely empty
+    assert(ConsumerGroup.committed(spark, wh, "gnever", "t") === Map.empty)
+  }
+
   test("poll(Duration): bounded wait, empty at timeout, data cuts the wait short") {
     val wh = Warehouse(tmpDir("graft-polltime"))
     TopicCatalog.createTopic(spark, wh, "t", 1)
