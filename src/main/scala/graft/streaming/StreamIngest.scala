@@ -78,8 +78,9 @@ object StreamIngest {
     * entirely. So the consumer is its own micro-batch loop on Structured
     * Streaming's scheduler:
     *
-    *   - a rate source supplies triggers, lifecycle, and a checkpointed
-    *     monotone `batchId` (its rows are discarded);
+    *   - a zero-row [[PulseSource]] supplies triggers, lifecycle, and a
+    *     checkpointed monotone `batchId` — no rows are ever generated or
+    *     scheduled;
     *   - each batch reads `[start, end)` per partition, where `start` is the
     *     previous batch's end and `end` is the index's committed next-offset
     *     (capped by `maxPerPartition`) — the range is persisted atomically
@@ -101,13 +102,44 @@ object StreamIngest {
       triggerMs: Long = 500,
       maxPerPartition: Long = Long.MaxValue)(
       f: (DataFrame, Long) => Unit): StreamingQuery =
+    consumer(spark, wh, topic, checkpoint, maxPerPartition, f)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+
+  /** Drain-then-stop consumer: [[consume]] under `Trigger.AvailableNow`.
+    * Delivers ONE batch covering everything committed at call time (the
+    * pulse source hands the engine exactly one pulse, then reports drained)
+    * and the returned query terminates on its own — await it. Shares the
+    * checkpoint + intent-file protocol with [[consume]], so periodic drains
+    * and a continuous query can alternate on one checkpoint (never run
+    * concurrently — foreachBatch exactly-once is per-checkpoint).
+    *
+    * With `maxPerPartition` set, one call bites off at most that many
+    * records per partition; the remainder waits for the next call. */
+  def consumeAvailableNow(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      checkpoint: String,
+      maxPerPartition: Long = Long.MaxValue)(
+      f: (DataFrame, Long) => Unit): StreamingQuery =
+    consumer(spark, wh, topic, checkpoint, maxPerPartition, f)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private def consumer(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      checkpoint: String,
+      maxPerPartition: Long,
+      f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     spark.readStream
-      .format("rate").option("rowsPerSecond", 1)
+      .format(classOf[PulseSource].getName)
       .load()
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (_: DataFrame, batchId: Long) =>
         val ranges = ConsumeState.rangesFor(
           spark, wh, topic, s"$checkpoint/graft-offset-ranges", batchId, maxPerPartition)
@@ -117,7 +149,6 @@ object StreamIngest {
         }
         ()
       }
-      .start()
 }
 
 /** Per-batch offset-range state of [[StreamIngest.consume]]: one small text

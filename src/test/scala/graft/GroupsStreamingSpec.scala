@@ -318,6 +318,38 @@ class GroupsStreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("consumeAvailableNow: drains to the call-time high-water mark, then terminates") {
+    val wh = Warehouse(tmpDir("graft-drain"))
+    TopicCatalog.createTopic(spark, wh, "d", 2)
+    LogWriter.append(spark, wh, "d", someRecords(60), "id")
+    val ckpt = tmpDir("graft-drain-ckpt")
+    val batches = scala.collection.concurrent.TrieMap.empty[Long, Array[(Int, Long)]]
+    def sink(into: scala.collection.concurrent.TrieMap[Long, Array[(Int, Long)]]) =
+      (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        into.put(id, df.select($"partition", $"offset").as[(Int, Long)].collect()): Unit
+    // the AvailableNow query STOPS ITSELF once the pulse is consumed — await it
+    val q = StreamIngest.consumeAvailableNow(spark, wh, "d", ckpt)(sink(batches))
+    assert(q.awaitTermination(60000), "drain query must terminate on its own")
+    assert(batches.values.flatten.size === 60, "one drain covers the whole log")
+    // continuation: a second drain on the SAME checkpoint delivers only the
+    // records appended since — offsets continue, nothing is re-delivered
+    LogWriter.append(spark, wh, "d", someRecords(25, from = 60), "id")
+    val batches2 = scala.collection.concurrent.TrieMap.empty[Long, Array[(Int, Long)]]
+    val q2 = StreamIngest.consumeAvailableNow(spark, wh, "d", ckpt)(sink(batches2))
+    assert(q2.awaitTermination(60000))
+    assert(batches2.values.flatten.size === 25, "second drain = only the new slice")
+    val all = (batches.values.flatten ++ batches2.values.flatten).toSeq
+    all.groupBy(_._1).foreach { case (p, offs) =>
+      val sorted = offs.map(_._2).sorted
+      assert(sorted === (0L until sorted.length), s"partition $p dense, no dupes")
+    }
+    // nothing new: the drain terminates without invoking the sink at all
+    val batches3 = scala.collection.concurrent.TrieMap.empty[Long, Array[(Int, Long)]]
+    val q3 = StreamIngest.consumeAvailableNow(spark, wh, "d", ckpt)(sink(batches3))
+    assert(q3.awaitTermination(60000))
+    assert(batches3.isEmpty, "empty drain must not call the sink")
+  }
+
   test("streaming consumer never emits a crashed append's orphaned unindexed files") {
     val wh = Warehouse(tmpDir("graft-consume-orphan"))
     TopicCatalog.createTopic(spark, wh, "c", 1)
