@@ -66,6 +66,7 @@ object SparkEntry {
     "rep_ratio" -> (Queries.repRatio _),
     "redact_pii" -> (Queries.redactPii _),
     "fingerprints" -> (Queries.fingerprints _),
+    "pack_sequences" -> (Queries.packSequences _),
     "token_histogram" -> (Queries.tokenHistogram _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "subword_count" -> (Queries.subwordCount _),

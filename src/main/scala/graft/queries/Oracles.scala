@@ -437,6 +437,16 @@ object Oracles {
         |FROM counts
         |QUALIFY rank <= 10""".stripMargin,
 
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS tokens
+        |  FROM documents)
+        |SELECT doc_id, tokens,
+        |  CAST(sum(tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+        |  CAST((sum(tokens) OVER (ORDER BY doc_id) - tokens) // 512 AS BIGINT) AS seq_id
+        |FROM t""".stripMargin,
+
     "token_histogram" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)

@@ -512,6 +512,14 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.subwordCount(col("text")).as("subwords"))
 
+  /** Sequence packing for training: documents in doc_id order are assigned
+    * to fixed 512-token training sequences (greedy, never split — see
+    * [[graft.pipeline.Pack.packSequences]]). The distributed prefix sum
+    * under it is two jobs over ONE shuffle — no global-order window. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pack.packSequences(
+      t(spark, dir, "documents"), col("doc_id"), col("text"), budget = 512)
+
   /** Token frequency: top-20 tokens with deterministic tie-break. */
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
