@@ -66,6 +66,8 @@ object SparkEntry {
     "rep_ratio" -> (Queries.repRatio _),
     "redact_pii" -> (Queries.redactPii _),
     "fingerprints" -> (Queries.fingerprints _),
+    "quantize_int8" -> (Queries.quantizeInt8 _),
+    "kmeans_clusters" -> (Queries.kmeansClusters _),
     "pack_sequences" -> (Queries.packSequences _),
     "token_histogram" -> (Queries.tokenHistogram _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),

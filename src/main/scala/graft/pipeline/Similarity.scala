@@ -142,6 +142,30 @@ object Similarity {
         col("rank").cast("int").as("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Symmetric int8 quantization with a per-vector max-abs scale — the
+    * memory-bandwidth lever for ANN at corpus scale (4 bytes/dim → 1). The
+    * mapping is `q = round(x / maxabs(v) * 127)` (zero vectors quantize to
+    * zeros), fully deterministic: max is aggregation-order-insensitive and
+    * the divide/multiply/round pipeline is fixed-order IEEE, so the result
+    * is exactly SQL-checkable. Output is EXPLODED to integer rows
+    * (`vec_id`, `pos` 0-based, `q`) — integers hash-compare across engines;
+    * float payloads don't (same trick as ann_brute's rank-only output).
+    */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val e = df.select(
+      id.as("vec_id"),
+      transform(vec, x => x.cast("double")).as("v"))
+    e.withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(
+        col("vec_id"),
+        col("pos").cast("int").as("pos"),
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round(col("x") / col("scale") * 127).cast("int"))
+          .as("q"))
+  }
+
   private def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestSim = Double.MinValue
     var c = 0

@@ -437,6 +437,81 @@ object Oracles {
         |FROM counts
         |QUALIFY rank <= 10""".stripMargin,
 
+    "quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+        |SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(x / scale * 127) END AS INTEGER) AS q
+        |FROM (SELECT vec_id, scale, unnest(v) AS x, unnest(range(0, len(v))) AS pos FROM s)""".stripMargin,
+
+    // The SAME two Lloyd iterations the Spark side runs, unrolled: 6-dp
+    // inputs make the DECIMAL(28,12) sums exact (order-insensitive), means
+    // round to 9 dp, distances fold in element order, argmin ties break to
+    // the lowest cluster id — so the assignment is bit-for-bit reproducible
+    // across engines.
+    "kmeans_clusters" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS c
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)),
+        |d1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
+        |  FROM e, c0 c),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT a.cid, u.pos,
+        |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m
+        |    FROM a1 a JOIN
+        |      (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM e) u
+        |      USING (vec_id)
+        |    GROUP BY a.cid, u.pos)
+        |  GROUP BY cid),
+        |c1 AS (
+        |  SELECT cid, c FROM m1
+        |  UNION ALL
+        |  SELECT cid, c FROM c0 WHERE cid NOT IN (SELECT cid FROM m1)),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
+        |  FROM e, c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT a.cid, u.pos,
+        |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m
+        |    FROM a2 a JOIN
+        |      (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM e) u
+        |      USING (vec_id)
+        |    GROUP BY a.cid, u.pos)
+        |  GROUP BY cid),
+        |c2 AS (
+        |  SELECT cid, c FROM m2
+        |  UNION ALL
+        |  SELECT cid, c FROM c1 WHERE cid NOT IN (SELECT cid FROM m2)),
+        |d3 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
+        |  FROM e, c2 c)
+        |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM d3) WHERE rn = 1""".stripMargin,
+
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -512,6 +512,22 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.subwordCount(col("text")).as("subwords"))
 
+  /** Per-vector max-abs int8 quantization of the embedding column,
+    * exploded to (vec_id, pos, q) integer rows for exact cross-engine
+    * comparison. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(
+      t(spark, dir, "embeddings"), col("vec_id"), col("embedding"))
+
+  /** Deterministic k-means corpus clustering: k=10, 2 Lloyd iterations,
+    * lowest-id seeds, decimal-exact means — bit-reproducible, so the DuckDB
+    * oracle unrolls the identical iterations and the (vec_id, cluster)
+    * assignment hash-matches. Assignment is a codegen'd literal expression
+    * (no join); the update shuffle carries k x dim x tasks partials. */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Clustering.kmeans(
+      t(spark, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10, iters = 2)
+
   /** Sequence packing for training: documents in doc_id order are assigned
     * to fixed 512-token training sequences (greedy, never split — see
     * [[graft.pipeline.Pack.packSequences]]). The distributed prefix sum

@@ -85,6 +85,38 @@ class DedupSpec extends SparkSpec {
     assert(ivfRecall >= 0.4, s"ivf recall $ivfRecall")
   }
 
+  test("int8 quantization: max-abs hits ±127, zeros stay zero, cosine survives") {
+    val df = Seq(
+      (0L, Seq(1.0f, -2.0f, 0.5f, 0.0f)),   // maxabs 2 → q = 64, -127, 32, 0
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),    // zero vector → all zeros, no NaN
+      (2L, Seq(0.001f, -0.001f, 0.0005f, 0.0f)) // tiny scale still spans ±127
+    ).toDF("id", "vec")
+    val q = Similarity.quantizeInt8(df, $"id", $"vec")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(q(0L) === Seq(64, -127, 32, 0))
+    assert(q(1L) === Seq(0, 0, 0, 0))
+    assert(q(2L) === Seq(127, -127, 64, 0))
+    // reconstruction: int8 cosine of real embeddings ≈ float cosine
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val orig = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    val quant = Similarity.quantizeInt8(emb, $"vec_id", $"embedding")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ids = orig.keys.toSeq.sorted.take(10)
+    for (i <- ids; j <- ids if i < j) {
+      val cf = cos(orig(i).map(_.toDouble).toArray, orig(j).map(_.toDouble).toArray)
+      val cq = cos(quant(i), quant(j))
+      assert(math.abs(cf - cq) < 0.02, s"cosine($i,$j): float $cf vs int8 $cq")
+    }
+  }
+
   test("minhash pairs are a subset of exact ngram-jaccard pairs; recall on planted dups") {
     // same shingle size + threshold as the driver-facing dedup_minhash query;
     // minhashPairs verifies candidates with EXACT jaccard, so its pairs must

@@ -303,6 +303,15 @@ class GroupsStreamingSpec extends SparkSpec {
         assert(sorted === (0L until sorted.length), s"partition $p dense, no dupes")
       }
       assert(perPart.values.map(_.size).sum === 100)
+      // stop() racing the ENGINE's commit of the last data batch would make
+      // the restart legitimately REPLAY it (the foreachBatch contract) and
+      // void the strict only-the-new-slice assertion below — wait until a
+      // LATER batch completes, which implies the data batch committed
+      val lastDataBatch = batches.keys.max
+      val d2 = System.currentTimeMillis() + 60000
+      while ((q.lastProgress == null || q.lastProgress.batchId <= lastDataBatch) &&
+        System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(q.lastProgress.batchId > lastDataBatch, "a post-data batch must complete")
     } finally q.stop()
     // restart from the same checkpoint: only NEW records are delivered
     LogWriter.append(spark, wh, "c", someRecords(30, from = 100), "id")
