@@ -126,7 +126,9 @@ object Bench {
       "ann_brute" -> (Queries.annBrute _),
       "ann_srp" -> (Queries.annSrp _),
       "pipeline_clean" -> (Queries.pipelineClean _),
-      "rep_ratio" -> (Queries.repRatio _))
+      "rep_ratio" -> (Queries.repRatio _),
+      "dup_clusters" -> (Queries.dupClusters _),
+      "tfidf_topk" -> (Queries.tfidfTopk _))
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass
       results(name) = time(materialize(fn(spark, sfDir)))

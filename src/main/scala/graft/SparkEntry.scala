@@ -77,7 +77,12 @@ object SparkEntry {
     "ann_ivf" -> (Queries.annIvf _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
-    "multimodal_decode_real" -> (Queries.multimodalDecodeReal _))
+    "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),
+    "dup_clusters" -> (Queries.dupClusters _),
+    "decontaminate" -> (Queries.decontaminate _),
+    "sample_stratified" -> (Queries.sampleStratified _),
+    "mix_weights" -> (Queries.mixWeights _),
+    "tfidf_topk" -> (Queries.tfidfTopk _))
 
   /** DuckDB equivalents; keys without an entry get a rows-only check. */
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and mixture planning — the operators a
+  * training-data pipeline uses to turn "we have 100 TB" into "we train on
+  * THIS 10 TB, reproducibly".
+  *
+  * Sampling here is HASH-based, not `rand()`-based: `rand()` gives a
+  * different corpus on every retry/backfill, which poisons both caching and
+  * ablation comparisons. A multiplicative hash of the stable document id is
+  * reproducible across runs, clusters, and engines (the same predicate is
+  * one line of ANSI SQL — which is also what lets DuckDB oracle it).
+  */
+object Sampling {
+
+  /** Three iterated MINSTD Lehmer steps: x ← (x · 48271) mod (2^31 − 1),
+    * mapped to [0, 1). THREE steps, not one: document ids are typically
+    * small and sequential, and a single multiplication maps them all near
+    * zero (id < 44 000 ⇒ u < 0.001 — every row would pass every rate).
+    * Iterating wraps the modulus thousands of times, decorrelating
+    * consecutive ids. Every intermediate stays under 2^47, so 64-bit
+    * arithmetic never overflows regardless of ANSI mode — and the whole
+    * chain is exact integer math, reproducible in any engine (the DuckDB
+    * oracle inlines the same three steps). Not cryptographic; uniform
+    * enough for corpus subsampling.
+    */
+  def hashUnit(id: Column): Column = {
+    val m = 2147483647L
+    val x0 = pmod(id.cast("long"), lit(m))
+    val x1 = x0 * 48271L % m
+    val x2 = x1 * 48271L % m
+    val x3 = x2 * 48271L % m
+    x3.cast("double") / 2147483647.0
+  }
+
+  /** Stratified deterministic sample: keep a row iff hashUnit(id) < the
+    * sampling rate of its stratum. `rates` maps stratum value → rate;
+    * strata absent from the map are dropped (rate 0). One scan, no shuffle:
+    * the predicate is a codegen'd expression on the scan, so at 100 TB this
+    * is I/O-bound and combines with partition pruning on the stratum
+    * column when the table is so partitioned.
+    */
+  def stratifiedSample(
+      df: DataFrame, id: Column, stratum: Column,
+      rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUnit(id) < rate)
+  }
+
+  /** Mixture plan: given per-stratum target WEIGHTS and a global token
+    * budget, compute each stratum's sampling rate
+    * `min(1, budget · weight / available_tokens)` — i.e. how hard each
+    * stratum must be downsampled (or that it is exhausted, rate 1) to hit
+    * the requested mixture. One metadata-scale aggregation over the corpus
+    * (group by stratum, sum tokens); the output is a handful of rows that
+    * feed [[stratifiedSample]].
+    *
+    * Returns (stratum, tokens, target_tokens, rate).
+    */
+  def mixturePlan(
+      df: DataFrame, stratum: Column, tokensPerRow: Column,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    // target token counts are resolved to exact longs ON THE DRIVER so no
+    // engine-dependent double→int conversion can perturb the plan
+    val target = weights.foldLeft(lit(0L)) { case (acc, (k, w)) =>
+      when(col("stratum") === k, lit(math.rint(w * budget).toLong)).otherwise(acc)
+    }
+    df.groupBy(stratum.as("stratum"))
+      .agg(sum(tokensPerRow.cast("long")).as("tokens"))
+      .withColumn("target_tokens", target)
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") /
+            greatest(col("tokens").cast("double"), lit(1.0))), 6))
+  }
+}

@@ -559,5 +559,94 @@ object Oracles {
         |  CAST(doc_id % 7 + 1 AS INTEGER) AS width,
         |  CAST(doc_id % 5 + 1 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS bands
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // independent fixpoint formulation of connected components: recursive
+    // transitive closure over the SAME oracle-verified jaccard edge list,
+    // then min reachable id per node
+    "dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, list_distinct(list_transform(
+        |    generate_series(0, greatest(length(s) - 3, 0)),
+        |    i -> substr(s, i + 1, 3))) AS shingles
+        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |        FROM documents)),
+        |inv AS (SELECT id, len(shingles) AS n, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT x.id AS id_a, y.id AS id_b,
+        |      count(*) AS common, any_value(x.n) AS na, any_value(y.n) AS nb
+        |    FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+        |    GROUP BY x.id, y.id)
+        |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(
+        |    generate_series(0, greatest(len(t) - 5, 0)),
+        |    i -> array_to_string(t[i + 1: i + 5], ' '))) AS grams
+        |  FROM (SELECT doc_id, source,
+        |          string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM corpus JOIN bench USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical three-step MINSTD arithmetic: x <- x*48271 mod (2^31-1),
+    // iterated 3x from (doc_id mod M) — exact integer math on both engines
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST((doc_id % 2147483647) * 48271 % 2147483647
+        |             * 48271 % 2147483647
+        |             * 48271 % 2147483647 AS DOUBLE)
+        |        / 2147483647.0 <
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25
+        |            WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.75 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // target token counts are exact integers on both sides (no double→int
+    // conversion in SQL)
+    "mix_weights" ->
+      """WITH agg AS (
+        |  SELECT lang AS stratum,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT stratum, tokens,
+        |  CAST(CASE stratum WHEN 'en' THEN 20000 WHEN 'de' THEN 10000
+        |       WHEN 'es' THEN 7500 WHEN 'fr' THEN 7500 WHEN 'zh' THEN 5000
+        |       ELSE 0 END AS BIGINT) AS target_tokens,
+        |  round(least(1.0, CAST(CASE stratum WHEN 'en' THEN 20000
+        |       WHEN 'de' THEN 10000 WHEN 'es' THEN 7500 WHEN 'fr' THEN 7500
+        |       WHEN 'zh' THEN 5000 ELSE 0 END AS DOUBLE)
+        |     / greatest(CAST(tokens AS DOUBLE), 1.0)), 6) AS rate
+        |FROM agg ORDER BY stratum""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms
+        |            WHERE term <> '' GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(tf * ln(n.n / df), 6) AS score
+        |  FROM tf JOIN docfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 }

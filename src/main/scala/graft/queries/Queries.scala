@@ -7,7 +7,7 @@ import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
-import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.pipeline.{Contamination, Dedup, Graphs, Multimodal, Sampling, Similarity}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
   * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
@@ -653,5 +653,78 @@ object Queries {
       .toDF()
       .select(col("id").as("doc_id"), col("width"), col("height"),
         col("channels").as("bands"))
+  }
+
+  /** Duplicate CLUSTERS from near-dup pairs: the exact 3-gram Jaccard pairs
+    * (same parameters as dedup_ngram_jaccard, so the edge list itself is
+    * oracle-verified) fed through distributed connected components. Output
+    * is (doc_id, cluster_id = smallest reachable doc_id) for every doc in
+    * any pair — the table a keep-one-per-cluster dedup policy filters on.
+    * The DuckDB oracle recomputes components by recursive transitive
+    * closure, so the log-round label propagation is checked against an
+    * independent fixpoint formulation. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(spark, dir, "documents"),
+      col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8)
+    Graphs.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination report: docs from sources src1..N that share
+    * ≥ 1 distinct word 5-gram with the held-out "benchmark" source src0,
+    * with the count of distinct shared grams. Corpus-side scan is never
+    * shuffled; the benchmark gram set broadcasts. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Contamination.overlapReport(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"), n = 5)
+      .select(col("id").as("doc_id"), col("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sample: per-language keep rates applied via a
+    * MINSTD hash of doc_id — reproducible across runs and engines (the
+    * oracle applies the identical arithmetic in SQL). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(spark, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.75))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus mixture plan: per-language sampling rates that hit a 50k-token
+    * budget at target weights — one metadata-scale aggregation. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(t(spark, dir, "documents"),
+        col("lang"), T.tokenCount(col("text")),
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1),
+        budget = 50000L)
+      .orderBy(col("stratum"))
+
+  /** TF-IDF top-3 terms per document (whitespace tokens of lowercased text,
+    * natural-log IDF, rank ties broken by term). Corpus size is a
+    * metadata-scale count; tf and df are two hash-agg shuffles over the
+    * exploded term list; ranking is one window partitioned by doc_id —
+    * partition-parallel, no global window. Scores are rounded BEFORE
+    * ranking so the Spark and DuckDB orderings see identical keys. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val total = docs.count().toDouble
+    val terms = docs.select(col("doc_id"),
+        explode(T.tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, Seq("term"))
+      .withColumn("score", round(col("tf") * log(lit(total) / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
   }
 }

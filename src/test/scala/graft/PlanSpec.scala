@@ -97,4 +97,23 @@ class PlanSpec extends SparkSpec {
     val p = plan(polled)
     assert(p.contains("GreaterThanOrEqual(offset,150)"), "offset filter pushed")
   }
+
+  test("sample_stratified: shuffle-free codegen'd filter on the scan") {
+    val df = Queries.sampleStratified(spark, dir)
+    // the hash predicate must evaluate inside the scan stage — a sample
+    // that shuffles 100 TB to keep 10% of it is wrong by construction
+    // (the final orderBy is the only exchange, for the oracle's sort)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(shuffles <= 1,
+      s"at most one exchange (the presentation sort), got $shuffles")
+    assert(!plan(df).contains("text"), "text column pruned from the sample scan")
+  }
+
+  test("decontaminate: benchmark gram set broadcasts, corpus never shuffles whole rows") {
+    val p = plan(Queries.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "bench grams join by broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Contamination, Graphs, Sampling}
+
+/** Connected components, decontamination, and deterministic sampling. */
+class SamplingGraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: triangle + pair + chain resolve to min ids") {
+    // triangle {1,2,3}, pair {10,11}, chain 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Graphs.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: 100-node path converges inside the round cap") {
+    // a path needs O(diameter) rounds under plain neighbor-min propagation —
+    // 99 rounds here, far over maxRounds = 32. Converging to the true
+    // component proves the pointer-jumping step delivers the log-round bound.
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Graphs.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.length == 100)
+    assert(cc.forall(_._2 == 0L))
+  }
+
+  test("connected components: edges arriving reversed still label by min") {
+    val pairs = Seq((9L, 3L), (3L, 7L)).toDF("id_a", "id_b")
+    val cc = Graphs.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+
+  test("decontamination flags planted verbatim overlap and drops it") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated sentence about spark partitions and shuffles"),
+      (2L, "he said the quick brown fox jumps over the lazy dog tonight again"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val report = Contamination.overlapReport(
+      corpus, col("doc_id"), col("text"), bench, col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(report.keySet == Set(2L))
+    assert(report(2L) >= 5) // sliding 5-grams of an 11-token verbatim span
+    val clean = Contamination.decontaminate(
+      corpus, col("doc_id"), col("text"), bench, col("text"), n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(1L, 3L))
+  }
+
+  test("stratified sample is deterministic and respects rate 0 and 1") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val keepAllA = Sampling.stratifiedSample(df, col("id"), col("s"),
+      Map("a" -> 1.0)).select("id").as[Long].collect().toSet
+    assert(keepAllA == (0L until 1000L by 2).toSet) // rate-1 keeps every a; b absent = rate 0
+    val half = Sampling.stratifiedSample(df, col("id"), col("s"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    val r1 = half.select("id").as[Long].collect().toSet
+    val r2 = half.select("id").as[Long].collect().toSet
+    assert(r1 == r2) // hash-based, not rand(): identical on re-run
+    assert(r1.size > 300 && r1.size < 700) // roughly half of 1000
+  }
+
+  test("mixture plan computes min(1, budget*w/tokens) rates") {
+    val df = Seq(("a", 10), ("a", 10), ("b", 5)).toDF("s", "toks")
+    val plan = Sampling.mixturePlan(df, col("s"), col("toks"),
+        Map("a" -> 0.5, "b" -> 0.5), budget = 10L)
+      .orderBy("stratum")
+      .as[(String, Long, Long, Double)].collect()
+    // a: 20 tokens available, target 5 → rate 0.25; b: 5 available, target 5 → rate 1.0
+    assert(plan.toSeq == Seq(("a", 20L, 5L, 0.25), ("b", 5L, 5L, 1.0)))
+  }
+}
