@@ -78,6 +78,7 @@ object SparkEntry {
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),
+    "compact_topic" -> (Queries.compactTopic _),
     "dup_clusters" -> (Queries.dupClusters _),
     "decontaminate" -> (Queries.decontaminate _),
     "sample_stratified" -> (Queries.sampleStratified _),

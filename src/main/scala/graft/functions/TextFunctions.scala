@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftInternal}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -113,6 +113,36 @@ object TextFunctions {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Exact Jaccard of two SORTED distinct string arrays — O(|a|+|b|) merge
+    * intersect with zero allocation, vs `array_intersect`/`array_union`
+    * which build two hash sets (and hash every string) PER PAIR. In a
+    * similarity join the pair side is the big side — millions of candidate
+    * pairs each carrying ~100-element arrays — so verification is the hot
+    * loop and the hash-set constant dominates the whole join. Sort each
+    * doc's array once on the (small) document side with `array_sort`, then
+    * verify pairs with this. Same value as [[jaccard]] on distinct arrays. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftInternal.column(SortedJaccardExpression(
+      GraftInternal.expression(a), GraftInternal.expression(b)))
+
+  /** Merge-intersect Jaccard over two sorted distinct UTF8 arrays (binary
+    * order, the same ordering `array_sort` uses for strings). */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 
   /** 64-bit rolling polynomial fingerprint of a string (FNV-1a). */
@@ -336,6 +366,22 @@ case class Fingerprint64Expression(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.fnv1a64($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd merge-intersect Jaccard over two sorted array<string> columns. */
+case class SortedJaccardExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextFunctions.sortedJaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextFunctions.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd one-pass language ID over StringType. */

@@ -62,8 +62,11 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketSize: Long = 2000): DataFrame = {
     // spread BEFORE the shingle pass so signature compute runs on all cores
+    // sorted once per doc: minhash is order-independent and the final pair
+    // verification gets the merge-intersect jaccard (see ngramJaccardPairs)
     val sh = spread(df.select(id.cast("long").as("id"), text.as("__text")))
-      .select(col("id"), T.charShingles(col("__text"), shingleSize).as("shingles"))
+      .select(col("id"),
+        array_sort(T.charShingles(col("__text"), shingleSize)).as("shingles"))
     // Fused signature + band fold (one expression) — projection collapse
     // cannot duplicate the k-hash signature per band. Candidates carry ONLY
     // the 8-byte ids through the join + dedup — the shingle arrays re-attach
@@ -91,7 +94,7 @@ object Dedup {
     candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", T.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -152,32 +155,59 @@ object Dedup {
 
   /** N-gram Jaccard pairs via an inverted-index join (no LSH, exact): explode
     * shingles, equi-join docs sharing a shingle, count common shingles per
-    * pair, compute |A∩B| / (|A| + |B| - |A∩B|). Exact but quadratic in the
-    * worst case — the LSH variants are the scale path; this is the oracle-able
-    * exact form. Hot shingles above `maxDocFreq` are dropped (standard
-    * inverted-index stopword cut — they only generate candidate pairs that
-    * cheaper shingles already generate). */
+    * pair, compute |A∩B| / (|A| + |B| - |A∩B|). Exact, via PREFIX FILTERING
+    * [Bayardo, Ma, Srikant: "Scaling Up All Pairs Similarity Search",
+    * WWW 2007]: order grams globally by (document frequency, gram) and join
+    * only each doc's ⌊(1−t)·n⌋+1 RAREST grams — any pair with jaccard ≥ t
+    * shares at least one prefix gram (overlap ≥ ⌈t·max(|A|,|B|)⌉, so the
+    * prefixes must intersect; longer prefixes only add candidates, never
+    * lose them). A naive full inverted-index join explodes quadratically on
+    * hot grams (a gram in half of a 10M-doc corpus alone generates 10^13
+    * candidate rows); prefixes are by construction the rarest grams, so
+    * bucket sizes stay small without any semantic cut. Candidates then
+    * verify with an exact array-intersection jaccard. `maxDocFreq` remains
+    * a safety valve (drops grams hotter than the cap from candidate
+    * generation entirely — only reachable by a doc whose every gram is
+    * hot); the default never fires below 10k-doc corpora.
+    *
+    * `shingler` picks the gram unit. This matters more than any join
+    * strategy: candidate volume is Σ df(g)², so the unit must carry enough
+    * entropy that document frequencies stay small. A corpus with a small
+    * character alphabet (or short docs) degenerates char-3-grams to a
+    * few-hundred-gram vocabulary where EVERY inverted-index scheme is
+    * quadratic; word n-grams (vocab^n) restore discrimination. */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Long = 10000): DataFrame = {
+      maxDocFreq: Long = 10000,
+      shingler: (Column, Int) => Column = T.charShingles): DataFrame = {
+    // shingle arrays are sorted ONCE here (per doc) so pair verification can
+    // run the allocation-free merge-intersect jaccard instead of per-pair
+    // hash sets — the pair side is millions of rows, the doc side thousands
     val sh = spread(df.select(id.cast("long").as("id"), text.as("__text")))
-      .select(col("id"), T.charShingles(col("__text"), shingleSize).as("shingles"))
+      .select(col("id"),
+        array_sort(shingler(col("__text"), shingleSize)).as("shingles"))
       .withColumn("n", size(col("shingles")))
     val inv = sh.select(col("id"), col("n"), explode(col("shingles")).as("g"))
-    val freq = inv.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-    val pruned = inv.join(freq.select("g"), Seq("g"))
-    val pairs = pruned.as("x").join(pruned.as("y"), Seq("g"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("common"), first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
-    pairs
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double"))
+    val freq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("g"))
+    val prefix = inv.join(freq.filter(col("df") <= maxDocFreq), Seq("g"))
+      .withColumn("__rk", row_number().over(wDoc))
+      .filter(col("__rk") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("id"), col("g"))
+    val candidates = prefix.select(col("g"), col("id").as("id_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", T.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

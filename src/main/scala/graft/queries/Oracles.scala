@@ -278,12 +278,14 @@ object Oracles {
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
         |  SELECT doc_id AS id, list_distinct(list_transform(
-        |    generate_series(0, greatest(length(s) - 3, 0)),
-        |    i -> substr(s, i + 1, 3))) AS shingles
-        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
-        |        FROM documents)),
+        |    generate_series(0, greatest(len(t) - 3, 0)),
+        |    i -> array_to_string(t[i + 1: i + 3], ' '))) AS shingles
+        |  FROM tok),
         |inv AS (SELECT id, len(shingles) AS n, unnest(shingles) AS g FROM sh),
         |pairs AS (
         |  SELECT x.id AS id_a, y.id AS id_b,
@@ -561,16 +563,24 @@ object Oracles {
         |  CAST(3 AS INTEGER) AS bands
         |FROM documents""".stripMargin,
 
+    // compaction survivor per key = the key's max-ord record (keyed routing
+    // confines each key to one partition; offsets follow ord within it)
+    "compact_topic" ->
+      """SELECT user_id, max(event_id) AS event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // independent fixpoint formulation of connected components: recursive
     // transitive closure over the SAME oracle-verified jaccard edge list,
     // then min reachable id per node
     "dup_clusters" ->
-      """WITH RECURSIVE sh AS (
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
         |  SELECT doc_id AS id, list_distinct(list_transform(
-        |    generate_series(0, greatest(length(s) - 3, 0)),
-        |    i -> substr(s, i + 1, 3))) AS shingles
-        |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
-        |        FROM documents)),
+        |    generate_series(0, greatest(len(t) - 3, 0)),
+        |    i -> array_to_string(t[i + 1: i + 3], ' '))) AS shingles
+        |  FROM tok),
         |inv AS (SELECT id, len(shingles) AS n, unnest(shingles) AS g FROM sh),
         |pairs AS (
         |  SELECT id_a, id_b FROM (

@@ -407,7 +407,8 @@ object Queries {
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(spark, dir, "documents"),
-        col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8)
+        col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8,
+        shingler = T.wordShingles)
       .orderBy(col("id_a"), col("id_b"))
 
   /** MinHash-LSH near-dup pairs (approximate; no SQL oracle). */
@@ -655,9 +656,35 @@ object Queries {
         col("channels").as("bands"))
   }
 
-  /** Duplicate CLUSTERS from near-dup pairs: the exact 3-gram Jaccard pairs
-    * (same parameters as dedup_ngram_jaccard, so the edge list itself is
-    * oracle-verified) fed through distributed connected components. Output
+  /** Kafka-style log compaction through the REAL storage path: ingest the
+    * events table into an on-disk topic keyed by user_id (murmur2 routing),
+    * run [[graft.core.log.LogRetention.compact]] (file rewrite + one-swap
+    * index replace), then scan the survivors. Keyed routing puts all of a
+    * key's records in one partition with offsets in ord (= event_id) order,
+    * so the surviving record per key is its max event_id — which the oracle
+    * recomputes with a plain argmax, independent of the hash routing. */
+  def compactTopic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.catalog.{TopicCatalog, Warehouse}
+    import graft.core.log.{LogReader, LogRetention}
+    val wh = Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-compact-q").toString)
+    TopicCatalog.createTopic(spark, wh, "ev", 4)
+    // the log schema persists (key, value) — event_id rides in value
+    LogWriter.append(spark, wh, "ev",
+      events(spark, dir).select(col("event_id"),
+        col("user_id").cast("string").as("key"),
+        col("event_id").cast("string").as("value")),
+      "event_id")
+    LogRetention.compact(spark, wh, "ev")
+    LogReader.scan(spark, wh, "ev")
+      .select(col("key").cast("long").as("user_id"),
+        col("value").cast("long").as("event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Duplicate CLUSTERS from near-dup pairs: the exact word-3-gram Jaccard
+    * pairs (same parameters as dedup_ngram_jaccard, so the edge list itself
+    * is oracle-verified) fed through distributed connected components. Output
     * is (doc_id, cluster_id = smallest reachable doc_id) for every doc in
     * any pair — the table a keep-one-per-cluster dedup policy filters on.
     * The DuckDB oracle recomputes components by recursive transitive
@@ -665,7 +692,8 @@ object Queries {
     * independent fixpoint formulation. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(t(spark, dir, "documents"),
-      col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8)
+      col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8,
+      shingler = T.wordShingles)
     Graphs.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
