@@ -52,7 +52,10 @@ object GraftExtensions {
     "vec_dot" -> { args => DotProductExpression(args.head, args(1)) },
     "vec_cosine" -> { args => CosineExpression(args.head, args(1)) },
     "srp_bucket" -> { args =>
-      SrpBucketExpression(args.head, intArg(args(1), "nBits")) })
+      SrpBucketExpression(args.head, intArg(args(1), "nBits")) },
+    "sorted_jaccard" -> { args => SortedJaccardExpression(args.head, args(1)) },
+    "zvalue" -> { args =>
+      ZValueExpression(args.head, args(1), intArg(args(2), "zvalue bits")) })
   // Composite Column functions (tokenCount, qualityScore, ...) are NOT
   // registered here: in Spark 4 the Column→Expression conversion yields an
   // unresolved ColumnNode wrapper that a function-registry builder cannot

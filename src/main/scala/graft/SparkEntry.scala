@@ -83,7 +83,10 @@ object SparkEntry {
     "decontaminate" -> (Queries.decontaminate _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "mix_weights" -> (Queries.mixWeights _),
-    "tfidf_topk" -> (Queries.tfidfTopk _))
+    "tfidf_topk" -> (Queries.tfidfTopk _),
+    "bm25_search" -> (Queries.bm25Search _),
+    "dedup_survivors" -> (Queries.dedupSurvivors _),
+    "zorder_key" -> (Queries.zorderKey _))
 
   /** DuckDB equivalents; keys without an entry get a rows-only check. */
   def oracleSql: Map[String, String] = Oracles.sql

@@ -13,6 +13,13 @@ package graft.queries
   */
 object Oracles {
 
+  /** SQL for a Morton interleave of the low `bits` of two expressions —
+    * mirrors [[graft.functions.ZOrderFunctions.interleave]] bit for bit. */
+  private def interleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a) >> $i & 1) << ${2 * i + 1}) | ((($b) >> $i & 1) << ${2 * i})"
+    }.mkString(" | ")
+
   private val revenueExpr =
     "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
@@ -598,6 +605,34 @@ object Oracles {
         |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    "dedup_survivors" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS id, list_distinct(list_transform(
+        |    generate_series(0, greatest(len(t) - 3, 0)),
+        |    i -> array_to_string(t[i + 1: i + 3], ' '))) AS shingles
+        |  FROM tok),
+        |inv AS (SELECT id, len(shingles) AS n, unnest(shingles) AS g FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT x.id AS id_a, y.id AS id_b,
+        |      count(*) AS common, any_value(x.n) AS na, any_value(y.n) AS nb
+        |    FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+        |    GROUP BY x.id, y.id)
+        |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
+        |ORDER BY doc_id""".stripMargin,
+
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, source, list_distinct(list_transform(
@@ -640,6 +675,37 @@ object Oracles {
         |       WHEN 'zh' THEN 5000 ELSE 0 END AS DOUBLE)
         |     / greatest(CAST(tokens AS DOUBLE), 1.0)), 6) AS rate
         |FROM agg ORDER BY stratum""".stripMargin,
+
+    // bit-exact Morton interleave, generated as 8 bit-pair terms
+    "zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey,
+         |  CAST(${interleaveSql("l_orderkey % 256", "l_partkey % 256", 8)}
+         |  AS BIGINT) AS zkey
+         |FROM lineitem""".stripMargin,
+
+    // constants mirror the Spark side literal-for-literal (see bm25Search)
+    "bm25_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |terms AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+        |    any_value(dl) AS dl
+        |  FROM terms WHERE term IN ('data', 'spark', 'query')
+        |  GROUP BY 1, 2),
+        |docfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+        |    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |FROM tf JOIN docfreq USING (term) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     "tfidf_topk" ->
       """WITH terms AS (

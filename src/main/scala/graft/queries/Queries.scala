@@ -699,6 +699,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Keep-one-per-cluster dedup: drop every doc that is in a duplicate
+    * cluster but is not its (min-id) representative. Cluster-based keeping
+    * is strictly safer than pair-greedy: a chain a~b~c keeps exactly one
+    * doc instead of whatever pair order happens to survive. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs,
+      col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8,
+      shingler = T.wordShingles)
+    val losers = Graphs.connectedComponents(pairs)
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, col("doc_id") === col("__loser"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination report: docs from sources src1..N that share
     * ≥ 1 distinct word 5-gram with the held-out "benchmark" source src0,
     * with the count of distinct shared grams. Corpus-side scan is never
@@ -730,6 +747,51 @@ object Queries {
         Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1),
         budget = 50000L)
       .orderBy(col("stratum"))
+
+  /** Z-order (Morton) key of (l_orderkey, l_partkey) folded to 8 bits each
+    * — the clustering key for 2-D file skipping (see
+    * [[graft.pipeline.Layout.zorderBy]]; layout benefit is spec-asserted,
+    * this query oracles the interleave arithmetic bit-for-bit). */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{ZOrderFunctions => Z}
+    t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      Z.zvalue(pmod(col("l_orderkey"), lit(256)),
+        pmod(col("l_partkey"), lit(256)), 8).as("zkey"))
+  }
+
+  /** BM25 retrieval: top-10 documents for a fixed 3-term query (k1 = 1.2,
+    * b = 0.75, Robertson-Sparck Jones idf with the +1 floor as in Lucene).
+    * Corpus stats (N, avgdl) are metadata-scale aggregates; per-term df
+    * joins broadcast (a query has a handful of terms); the final top-k is
+    * TakeOrderedAndProject — per-partition partial top-k, no global sort
+    * shuffle. Scores round to 6dp before ranking, doc_id breaks ties. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("data", "spark", "query")
+    // constants appear as the same literals in the oracle SQL — a computed
+    // k1+1 can land on a different double than the literal 2.2
+    val docs = t(spark, dir, "documents")
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      avg(T.tokenCount(col("text")).cast("double")).as("avgdl")).head()
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+    val terms = docs.select(col("doc_id"),
+        T.tokenCount(col("text")).cast("double").as("dl"),
+        explode(T.tokens(lower(col("text")))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    tf.join(broadcast(docFreq), Seq("term"))
+      .withColumn("part", idf * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+      .groupBy("doc_id")
+      .agg(round(sum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
 
   /** TF-IDF top-3 terms per document (whitespace tokens of lowercased text,
     * natural-log IDF, rank ties broken by term). Corpus size is a

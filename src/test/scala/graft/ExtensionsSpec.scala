@@ -17,7 +17,9 @@ class ExtensionsSpec extends SparkSpec {
         |       vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
         |       round(vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)), 6) AS c,
         |       srp_bucket(array(1.0f, 2.0f), 4) AS b,
-        |       lang_id('the cat sat on the mat and it is that') AS l
+        |       lang_id('the cat sat on the mat and it is that') AS l,
+        |       sorted_jaccard(array('a','b','c'), array('b','c','d')) AS sj,
+        |       zvalue(CAST(3 AS BIGINT), CAST(5 AS BIGINT), 4) AS z
         |""".stripMargin).head()
     assert(r.getAs[Int]("m") === Murmur2.hashString("hello"))
     assert(r.getAs[Long]("f") === TextFunctions.fnv1a64(
@@ -29,6 +31,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("d") === 11.0)
     assert(r.getAs[Double]("c") === 1.0)
     assert(r.getAs[String]("l") === "en")
+    assert(r.getAs[Double]("sj") === 0.5)
+    // a=0011 interleaves to odd bits (0b00001010), b=0101 to even (0b00010001)
+    assert(r.getAs[Long]("z") === (0x0AL | 0x11L))
   }
 
   test("non-literal arg to a literal parameter errors clearly") {
