@@ -113,7 +113,12 @@ object LogWriter {
     }).sortWithinPartitions(col("partition"), ord)
     val schema = sorted.schema
     val pIdx = schema.fieldIndex("partition")
-    val rdd = sorted.rdd // one lineage: numbering reuses the count job's shuffle
+    // One lineage over the UNSAFE rows (queryExecution.toRdd): numbering
+    // reuses the count job's shuffle AND neither pass pays the external-Row
+    // decode — `.rdd` would deserialize every column of every record twice
+    // (count + number) and re-encode once, which showed up as ~15% of the
+    // whole produce path at bench scale.
+    val rdd = sorted.queryExecution.toRdd
     val counts: Array[Array[(Int, Long)]] = rdd
       .mapPartitionsWithIndex { (i, it) =>
         // rows arrive grouped by partition (per-task sort) — count the runs
@@ -142,16 +147,27 @@ object LogWriter {
     val outSchema = schema.add("offset", org.apache.spark.sql.types.LongType,
       nullable = false)
     val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+      import org.apache.spark.sql.catalyst.expressions.{
+        GenericInternalRow, JoinedRow, UnsafeProjection}
       val next = scala.collection.mutable.Map.empty[Int, Long]
       bStarts.value(i).foreach { case (p, s) => next(p) = s }
+      // append `offset` with an unsafe projection over (row ++ [offset]) —
+      // no per-row Seq/Row allocation; the projection's reused buffer is
+      // safe for the immediate narrow consumer (Spark operators copy where
+      // buffering requires it)
+      val proj = UnsafeProjection.create(outSchema)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow()
       it.map { r =>
         val p = r.getInt(pIdx)
         val o = next(p)
         next(p) = o + 1
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ o)
+        extra.update(0, o)
+        proj(joined(r, extra)): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(numbered, outSchema)
+    org.apache.spark.sql.GraftInternal.internalCreateDataFrame(
+      spark, numbered, outSchema)
   }
 
   /** Append a batch of records to a topic's log.

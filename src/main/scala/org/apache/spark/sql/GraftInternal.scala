@@ -12,6 +12,19 @@ object GraftInternal {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from an InternalRow RDD without the external-Row round trip
+    * (`SparkSession.internalCreateDataFrame` is `private[sql]`). The rows
+    * must match `schema` physically; callers that transform
+    * `queryExecution.toRdd` should emit projection output directly (safe
+    * for immediate narrow consumption — Spark's own operators copy where
+    * buffering requires it). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a function builder on a LIVE session (the runtime counterpart
     * of `SparkSessionExtensions.injectFunction`, same registry). */
   def registerFunction(
