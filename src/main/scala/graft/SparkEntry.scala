@@ -86,7 +86,8 @@ object SparkEntry {
     "tfidf_topk" -> (Queries.tfidfTopk _),
     "bm25_search" -> (Queries.bm25Search _),
     "dedup_survivors" -> (Queries.dedupSurvivors _),
-    "zorder_key" -> (Queries.zorderKey _))
+    "zorder_key" -> (Queries.zorderKey _),
+    "lm_score" -> (Queries.lmScore _))
 
   /** DuckDB equivalents; keys without an entry get a rows-only check. */
   def oracleSql: Map[String, String] = Oracles.sql

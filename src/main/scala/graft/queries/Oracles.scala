@@ -676,6 +676,21 @@ object Oracles {
         |     / greatest(CAST(tokens AS DOUBLE), 1.0)), 6) AS rate
         |FROM agg ORDER BY stratum""".stripMargin,
 
+    "lm_score" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t2),
+        |model AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(-ln(CAST(cnt AS DOUBLE) / total.n)
+        |      AS DECIMAL(28,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |    6) AS nll
+        |FROM t2 JOIN model USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // bit-exact Morton interleave, generated as 8 bit-pair terms
     "zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey,

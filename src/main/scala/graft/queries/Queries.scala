@@ -748,6 +748,31 @@ object Queries {
         budget = 50000L)
       .orderBy(col("stratum"))
 
+  /** Unigram language-model quality score (the CCNet-style filter signal):
+    * train a unigram model on the corpus itself (one agg), then score each
+    * doc by mean negative log-probability of its tokens — low = fluent
+    * under the corpus distribution, high = outlier/noise. Two shuffles
+    * total (model agg + per-doc agg); the model joins back by term (at real
+    * scale: broadcast the top-K vocab and bucket the tail). Rounded to 6dp
+    * with doc_id ordering, fully SQL-expressible. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+        explode(T.tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val total = terms.count().toDouble
+    val model = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // per-token nll summed through DECIMAL so aggregation order cannot
+    // perturb low bits (the oracle sums in a different order)
+    terms.join(model, Seq("term"))
+      .withColumn("nll1",
+        (-log(col("cnt").cast("double") / total)).cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("nll1")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Z-order (Morton) key of (l_orderkey, l_partkey) folded to 8 bits each
     * — the clustering key for 2-D file skipping (see
     * [[graft.pipeline.Layout.zorderBy]]; layout benefit is spec-asserted,
