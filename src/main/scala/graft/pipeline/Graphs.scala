@@ -1,7 +1,12 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftInternal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over a pair list — the step that turns
   * near-duplicate PAIRS into duplicate CLUSTERS (one representative per
@@ -22,9 +27,19 @@ import org.apache.spark.sql.functions._
   * at 100 TB). The jump in step 2 gives the Hash-to-Min style O(log d)
   * bound [Rastogi et al., "Finding Connected Components in Map-Reduce in
   * Logarithmic Rounds", ICDE 2013], so even a pathological million-doc
-  * template chain resolves in ~20 rounds. Each round materializes only
-  * (id, lbl) pairs — 16 bytes/node — never the documents, and the edge
-  * list is materialized once (localCheckpoint) and reused every round.
+  * template chain resolves in ~20 rounds.
+  *
+  * Per-round cost is ONE job: the round's (id, lbl) rows materialize into
+  * the block manager over their UNSAFE representation (16 bytes/node, no
+  * external-Row decode) while a `LongAccumulator` counts changed labels in
+  * the same pass — there is no separate convergence-count job, and every
+  * round re-wraps the persisted rows as a fresh `LogicalRDD`, so Catalyst
+  * always optimizes a constant-depth plan (an iterative plan that only
+  * caches GROWS its logical tree every round and re-analysis dominates
+  * wall-clock long before the data does). The previous round's blocks are
+  * unpersisted as soon as the new round lands, and the edge list's on
+  * return, so block-manager footprint is O(nodes + edges), not
+  * O(rounds × nodes).
   */
 object Graphs {
 
@@ -35,23 +50,30 @@ object Graphs {
     * keep-smallest-id dedup policy needs no extra ordering pass.
     *
     * `maxRounds` is a safety bound; with pointer jumping, 32 rounds covers
-    * any graph up to diameter 2^32. Convergence is detected by a count of
-    * changed labels (metadata-scale driver read, one long per round).
+    * any graph up to diameter 2^32. Convergence is detected by the fused
+    * changed-label accumulator (task retries can only inflate the count,
+    * never fake a zero, so a spurious extra round is the worst case).
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
-    // localCheckpoint (eager) rather than persist: an iterative plan that
-    // only caches still GROWS its logical plan every round, and Catalyst
-    // re-analysis of the nested join tree dominates wall-clock long before
-    // the data does. Checkpointing truncates lineage to the materialized
-    // blocks, so every round optimizes a constant-depth plan.
-    val edges = pairs
-      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-      .union(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
-      .localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
 
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    // Persist a frame's unsafe rows and wrap them back as a
+    // lineage-truncated DataFrame (LogicalRDD). Lazy: the blocks fill the
+    // first time a job computes them (round 1 materializes edges + init
+    // labels + its own step in one job).
+    def pin(df: DataFrame): (RDD[InternalRow], DataFrame) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (rdd, GraftInternal.internalCreateDataFrame(spark, rdd, df.schema))
+    }
+
+    val (edgesRdd, edges) = pin(pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .union(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b"))))
+
+    var (labelsRdd, labels) = pin(
+      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
 
     var round = 0
     var converged = false
@@ -74,13 +96,32 @@ object Graphs {
         .select(col("x.id").as("id"),
           coalesce(col("j_lbl"), col("x.lbl")).as("lbl"),
           col("x.prev").as("prev"))
-        .localCheckpoint(true)
 
-      val changed = jumped.filter(col("lbl") =!= col("prev")).count()
-      labels = jumped.drop("prev")
-      converged = changed == 0
+      // Materialize the round AND count changed labels in the SAME job:
+      // project (id, lbl, prev) -> (id, lbl) with an unsafe projection,
+      // ticking the accumulator where lbl != prev, then persist + count.
+      val fields = jumped.schema.fields
+      val changedAcc = sc.longAccumulator("graft.cc.changed")
+      val next = jumped.queryExecution.toRdd.mapPartitions { it =>
+        val proj = UnsafeProjection.create(Seq[Expression](
+          BoundReference(0, fields(0).dataType, fields(0).nullable),
+          BoundReference(1, fields(1).dataType, fields(1).nullable)))
+        it.map { r =>
+          if (r.getLong(1) != r.getLong(2)) changedAcc.add(1L)
+          proj(r).copy(): InternalRow
+        }
+      }
+      next.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      val prevRdd = labelsRdd
+      labelsRdd = next
+      labels = GraftInternal.internalCreateDataFrame(
+        spark, next, StructType(fields.take(2)))
+      prevRdd.unpersist(blocking = false)
+      converged = changedAcc.value == 0L
       round += 1
     }
+    edgesRdd.unpersist(blocking = false)
     labels
   }
 }
