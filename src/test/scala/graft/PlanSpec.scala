@@ -46,6 +46,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     // only doc_id + text are read; corpus metadata columns must be pruned
     assert(!p.contains("n_chars"), "unused document columns pruned from the scan")
+    // the dedup exchange must be keyed by the 64-bit fingerprint, not the
+    // document body — a window partitioned by a multi-KB string is a sort
+    // on the corpus itself at 100 TB
+    assert(p.contains("hashpartitioning(__fp"),
+      "dedup shuffle keyed by the 8-byte fingerprint")
+    assert(!p.contains("hashpartitioning(text"),
+      "document bodies must not be a shuffle key")
+  }
+
+  test("lm_score / tfidf_topk: model side broadcasts onto the Zipf-skewed term join") {
+    Seq(Queries.lmScore(spark, dir), Queries.tfidfTopk(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        "vocab/df is metadata-scale after its agg and must broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        "no shuffle join on the term key (stopword hot-spot at scale)")
+    }
   }
 
   test("redact_pii / rep_ratio stay single-scan with pruned reads") {
