@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -51,7 +51,13 @@ object Pack {
     }).sortWithinPartitions(ord)
     val schema = ranged.schema
     val wIdx = schema.fieldIndex("__graft_w")
-    val rdd = ranged.rdd // ONE lineage: job 2 reuses job 1's shuffle
+    // One lineage over the UNSAFE rows (queryExecution.toRdd): the seeded
+    // pass reuses the totals job's shuffle AND neither pass pays the
+    // external-Row decode — `.rdd` would deserialize every column of every
+    // record twice (totals + sum) and re-encode once; the identical switch
+    // saved ~15% of the produce path in
+    // [[graft.core.log.LogWriter.assignOffsets]].
+    val rdd = ranged.queryExecution.toRdd
     val totals: Array[Long] = rdd
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L
@@ -63,13 +69,24 @@ object Pack {
     val bStarts = spark.sparkContext.broadcast(starts)
     val outSchema = schema.add(out, LongType, nullable = false)
     val summed = rdd.mapPartitionsWithIndex { (i, it) =>
+      import org.apache.spark.sql.catalyst.expressions.{
+        GenericInternalRow, JoinedRow, UnsafeProjection}
       var run = bStarts.value(i)
+      // append the running total with an unsafe projection over
+      // (row ++ [run]) — no per-row Seq/Row allocation; the projection's
+      // reused buffer is safe for the immediate narrow consumer
+      val proj = UnsafeProjection.create(outSchema)
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow()
       it.map { r =>
         run += r.getLong(wIdx)
-        Row.fromSeq(r.toSeq :+ run)
+        extra.update(0, run)
+        proj(joined(r, extra)): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(summed, outSchema).drop("__graft_w")
+    org.apache.spark.sql.GraftInternal
+      .internalCreateDataFrame(spark, summed, outSchema)
+      .drop("__graft_w")
   }
 
   /** Greedy in-order packing: document `d` joins the sequence in which it
