@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftInternal}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -132,17 +132,31 @@ object TextFunctions {
   def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na == 0 && nb == 0) return 1.0
     var i = 0
     var j = 0
     var inter = 0
+    var nullA = 0
+    var nullB = 0
+    // null elements are unreachable from the internal shingle expressions
+    // (containsNull = false) but CAN arrive via the SQL-registered
+    // function; skip them (isNullAt is a bitset probe, negligible next to
+    // the UTF8String compares)
     while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (a.isNullAt(i)) { nullA += 1; i += 1 }
+      else if (b.isNullAt(j)) { nullB += 1; j += 1 }
+      else {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
-    inter.toDouble / (na + nb - inter)
+    while (i < na) { if (a.isNullAt(i)) nullA += 1; i += 1 }
+    while (j < nb) { if (b.isNullAt(j)) nullB += 1; j += 1 }
+    val va = na - nullA
+    val vb = nb - nullB
+    if (va == 0 && vb == 0) 1.0
+    else inter.toDouble / (va + vb - inter)
   }
 
   /** 64-bit rolling polynomial fingerprint of a string (FNV-1a). */
@@ -370,7 +384,13 @@ case class Fingerprint64Expression(child: Expression) extends UnaryExpression {
 
 /** Codegen'd merge-intersect Jaccard over two sorted array<string> columns. */
 case class SortedJaccardExpression(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // analysis-time coercion for the SQL path: non-string arrays cast to
+  // array<string> (or fail analysis with a type message) instead of
+  // ClassCastException-ing in eval; nulls INSIDE arrays are skipped by
+  // sortedJaccard itself
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
   override def nullSafeEval(a: Any, b: Any): Any =

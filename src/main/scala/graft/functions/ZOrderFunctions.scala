@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftInternal}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -44,8 +44,14 @@ object ZOrderFunctions {
 
 /** Codegen'd Morton interleave of two long columns. */
 case class ZValueExpression(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  // analysis-time coercion for the SQL path: `zvalue(int_col, int_col, 8)`
+  // casts to long instead of ClassCastException-ing in eval (the Scala API
+  // already casts; SQL args arrive as whatever the user typed)
+  // Seq[DataType] (not AbstractDataType, which is private[sql] in Spark 4)
+  // — covariance makes the override sound
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "zvalue"
   override def nullSafeEval(a: Any, b: Any): Any =

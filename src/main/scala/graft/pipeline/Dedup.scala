@@ -194,10 +194,14 @@ object Dedup {
     val inv = sh.select(col("id"), col("n"), explode(col("shingles")).as("g"))
     val freq = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy(col("df"), col("g"))
+    // epsilon before ceil: double rounding can push t*n past the exact
+    // rational (t=0.07, n=100 → ceil 8, not 7), which would SHORTEN the
+    // prefix and silently drop qualifying pairs from an exact join. A
+    // longer prefix only adds candidates, so err on the long side.
     val prefix = inv.join(freq.filter(col("df") <= maxDocFreq), Seq("g"))
       .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <=
-        col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
       .select(col("id"), col("g"))
     val candidates = prefix.select(col("g"), col("id").as("id_a"))
       .join(prefix.select(col("g"), col("id").as("id_b")), Seq("g"))

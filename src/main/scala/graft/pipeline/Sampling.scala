@@ -23,12 +23,15 @@ object Sampling {
     * consecutive ids. Every intermediate stays under 2^47, so 64-bit
     * arithmetic never overflows regardless of ANSI mode — and the whole
     * chain is exact integer math, reproducible in any engine (the DuckDB
-    * oracle inlines the same three steps). Not cryptographic; uniform
-    * enough for corpus subsampling.
+    * oracle inlines the same three steps). The seed is `id + 1`: 0 is the
+    * Lehmer fixed point (every step maps it to itself), so an unshifted
+    * id ≡ 0 (mod 2^31−1) — notably doc_id 0 — would hash to u = 0.0 and
+    * be kept at every nonzero rate, a small deterministic bias. Not
+    * cryptographic; uniform enough for corpus subsampling.
     */
   def hashUnit(id: Column): Column = {
     val m = 2147483647L
-    val x0 = pmod(id.cast("long"), lit(m))
+    val x0 = pmod(id.cast("long") + lit(1L), lit(m))
     val x1 = x0 * 48271L % m
     val x2 = x1 * 48271L % m
     val x3 = x2 * 48271L % m

@@ -648,10 +648,12 @@ object Oracles {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical three-step MINSTD arithmetic: x <- x*48271 mod (2^31-1),
-    // iterated 3x from (doc_id mod M) — exact integer math on both engines
+    // iterated 3x from (doc_id + 1 mod M) — exact integer math on both
+    // engines; the +1 dodges the Lehmer fixed point at 0 (see
+    // graft.pipeline.Sampling.hashUnit)
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE CAST((doc_id % 2147483647) * 48271 % 2147483647
+        |WHERE CAST(((doc_id + 1) % 2147483647) * 48271 % 2147483647
         |             * 48271 % 2147483647
         |             * 48271 % 2147483647 AS DOUBLE)
         |        / 2147483647.0 <
