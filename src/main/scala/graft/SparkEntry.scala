@@ -87,7 +87,9 @@ object SparkEntry {
     "bm25_search" -> (Queries.bm25Search _),
     "dedup_survivors" -> (Queries.dedupSurvivors _),
     "zorder_key" -> (Queries.zorderKey _),
-    "lm_score" -> (Queries.lmScore _))
+    "lm_score" -> (Queries.lmScore _),
+    "chunk_docs" -> (Queries.chunkDocs _),
+    "gopher_filters" -> (Queries.gopherFilters _))
 
   /** DuckDB equivalents; keys without an entry get a rows-only check. */
   def oracleSql: Map[String, String] = Oracles.sql

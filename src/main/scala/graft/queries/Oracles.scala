@@ -741,5 +741,46 @@ object Oracles {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
-        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // 64-token chunks, 16-token overlap, stride 48; chunk count uses the
+    // same integer arithmetic as Chunking.chunkTokens ((x + 47) // 48),
+    // and DuckDB's 1-based inclusive list slice mirrors Spark's
+    // slice(toks, start, len) clamping
+    "chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |chunks AS (
+        |  SELECT doc_id, t,
+        |    unnest(range((greatest(len(t) - 16, 1) + 47) // 48)) AS cid
+        |  FROM toks)
+        |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+        |  CAST(len(t[cid*48 + 1 : cid*48 + 64]) AS INTEGER) AS n_tokens,
+        |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // thresholds compare the 6-dp ROUNDED ratios, exactly as the Spark
+    // side does, so boundary decisions are made on identical doubles
+    "gopher_filters" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS INTEGER) AS n_tokens,
+        |    round(CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |        AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
+        |    round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+        |        AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(t),
+        |      ['the', 'a', 'of', 'and', 'in', 'to', 'is'])) AS INTEGER)
+        |      AS n_stopwords
+        |  FROM d)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, n_stopwords,
+        |  (n_tokens BETWEEN 30 AND 90
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND alpha_frac >= 0.8
+        |    AND n_stopwords >= 2) AS passes
+        |FROM sig ORDER BY doc_id""".stripMargin)
 }

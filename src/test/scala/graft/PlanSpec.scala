@@ -128,6 +128,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan(df).contains("text"), "text column pruned from the sample scan")
   }
 
+  test("chunk_docs / gopher_filters: per-row transforms, no shuffle but the presentation sort") {
+    Seq(Queries.chunkDocs(spark, dir), Queries.gopherFilters(spark, dir)).foreach { df =>
+      assert(df.inputFiles.length === 1, "single documents scan")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(shuffles <= 1,
+        s"chunking/quality rules are scan-local; at most the final sort, got $shuffles")
+    }
+  }
+
   test("decontaminate: benchmark gram set broadcasts, corpus never shuffles whole rows") {
     val p = plan(Queries.decontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "bench grams join by broadcast")
