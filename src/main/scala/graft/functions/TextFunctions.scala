@@ -29,11 +29,16 @@ object TextFunctions {
   /** Number of whitespace-separated tokens. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** BPE-ish subword count: splits on word boundaries AND digit/letter runs,
-    * the usual cheap proxy for LLM token budgeting when no tokenizer is at
-    * hand (≈ GPT-2 pre-tokenizer regex, simplified). */
+  /** BPE-ish subword count: every maximal alphanumeric run plus every
+    * single non-alphanumeric character is a piece — the usual cheap proxy
+    * for LLM token budgeting when no tokenizer is at hand (≈ GPT-2
+    * pre-tokenizer regex, simplified). Counted by match extraction rather
+    * than a lookaround split: the pattern is RE2-compatible, so the exact
+    * semantics are DuckDB-oracle-checkable (and the two formulations are
+    * provably identical — a string IS a sequence of alnum runs and
+    * non-alnum chars). */
   def subwordCount(c: Column): Column =
-    size(filter(split(c, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), x => length(x) > 0))
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9]"), lit(0)))
 
   /** Count of punctuation characters from the fixed set `.,!?;:`. */
   def punctCount(c: Column): Column =

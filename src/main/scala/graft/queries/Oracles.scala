@@ -760,6 +760,14 @@ object Oracles {
         |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // identical RE2 pattern on both engines: every maximal alnum run or
+    // single non-alnum char is one subword piece
+    "subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9]'))
+        |    AS INTEGER) AS subwords
+        |FROM documents""".stripMargin,
+
     // thresholds compare the 6-dp ROUNDED ratios, exactly as the Spark
     // side does, so boundary decisions are made on identical doubles
     "gopher_filters" ->

@@ -512,8 +512,8 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.fingerprint64(col("text")).as("fp"))
 
-  /** BPE-ish subword counting (lookaround regex — no SQL oracle; the
-    * whitespace token count in text_stats is the oracle-checked form). */
+  /** BPE-ish subword counting (RE2-compatible match extraction — the
+    * DuckDB oracle runs the identical pattern). */
   def subwordCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       col("doc_id"), T.subwordCount(col("text")).as("subwords"))

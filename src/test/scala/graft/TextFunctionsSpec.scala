@@ -19,6 +19,17 @@ class TextFunctionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
   }
 
+  test("subword pieces: alnum runs + single non-alnum chars (incl. spaces)") {
+    val df = Seq(
+      ("ab1 cd-ef", 5), // "ab1", " ", "cd", "-", "ef"
+      ("hello", 1),
+      ("a  b", 4),      // two space pieces
+      ("", 0),
+      ("!?", 2)).toDF("text", "expected")
+    val got = df.select(T.subwordCount($"text").as("n"), $"expected").collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
+
   test("punctuation counting is set-exact") {
     val df = Seq("a,b.c!d?e;f:g", "none here").toDF("text")
     val got = df.select(T.punctCount($"text")).as[Int].collect().toSeq
