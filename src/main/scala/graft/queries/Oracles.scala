@@ -760,6 +760,68 @@ object Oracles {
         |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Kafka MurmurHash2 (seed 0x9747b28c = 2538058380, M = 0x5bd1e995 =
+    // 1540483477) unrolled in exact unsigned-mod-2^32 BIGINT arithmetic:
+    // the chunk fold runs as list_reduce over 4-byte little-endian words,
+    // Java's >>> becomes // 2^shift on the unsigned representation, the
+    // tail xors are conditional identity (xor 0) to mirror the fall-through
+    // switch, and (h & 0x7fffffff) % 8 is % 2^31 % 8. Max intermediate is
+    // (2^32-1)*M < 2^63, so plain BIGINT never overflows. Verified against
+    // the Murmur2Spec golden vectors.
+    "route_murmur2" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |    list_transform(list_filter(string_split(CAST(user_id AS VARCHAR), ''),
+        |        c -> c <> ''), c -> ord(c)::BIGINT) AS bs
+        |  FROM events),
+        |r AS (SELECT event_id, bs, len(bs) AS n,
+        |  list_reduce(
+        |    list_concat([xor(2538058380::BIGINT, len(bs)::BIGINT)],
+        |                range(len(bs) // 4)),
+        |    (h, i) -> xor((h * 1540483477) % 4294967296,
+        |      (xor((bs[4*i+1] + bs[4*i+2]*256 + bs[4*i+3]*65536
+        |              + bs[4*i+4]*16777216) * 1540483477 % 4294967296,
+        |           ((bs[4*i+1] + bs[4*i+2]*256 + bs[4*i+3]*65536
+        |              + bs[4*i+4]*16777216) * 1540483477 % 4294967296)
+        |             // 16777216)
+        |       * 1540483477) % 4294967296)) AS h0
+        |  FROM b),
+        |t AS (SELECT event_id, n,
+        |  xor(xor(xor(h0,
+        |    CASE WHEN n % 4 = 3  THEN bs[n - n % 4 + 3] * 65536 ELSE 0 END),
+        |    CASE WHEN n % 4 >= 2 THEN bs[n - n % 4 + 2] * 256   ELSE 0 END),
+        |    CASE WHEN n % 4 >= 1 THEN bs[n - n % 4 + 1]         ELSE 0 END)
+        |    AS ht
+        |  FROM r),
+        |m AS (SELECT event_id,
+        |  CASE WHEN n % 4 >= 1 THEN (ht * 1540483477) % 4294967296 ELSE ht END
+        |    AS h2 FROM t),
+        |f AS (SELECT event_id,
+        |  (xor(h2, h2 // 8192) * 1540483477) % 4294967296 AS f2 FROM m)
+        |SELECT event_id,
+        |  CAST(xor(f2, f2 // 32768) % 2147483648 % 8 AS INTEGER) AS partition
+        |FROM f""".stripMargin,
+
+    // FNV-1a 64 unrolled in exact HUGEINT arithmetic: xor of the low byte
+    // (the only byte the xor can touch — inputs are ASCII, so code point =
+    // UTF-8 byte) then multiply mod 2^64, folded over the characters from
+    // the offset basis; the final CASE re-signs the unsigned result into
+    // the Spark long. Verified char-for-char against fnv1a64 golden values.
+    "fingerprints" ->
+      """SELECT doc_id, CAST(
+        |  CASE WHEN fp >= 9223372036854775808::HUGEINT
+        |       THEN fp - 18446744073709551616::HUGEINT ELSE fp END
+        |  AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_concat([14695981039346656037::HUGEINT],
+        |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |                     c -> ord(c)::HUGEINT)),
+        |    (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS fp
+        |  FROM documents)""".stripMargin,
+
     // identical RE2 pattern on both engines: every maximal alnum run or
     // single non-alnum char is one subword piece
     "subword_count" ->
