@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Persisted inverted-file (IVF) ANN index.
+  *
+  * [[Similarity.ivfTopK]] retrains centroids and re-assigns the corpus on
+  * every call — fine for one-shot queries, wrong at 100 TB where the
+  * assignment pass alone reads the whole corpus. This index does the
+  * expensive work ONCE:
+  *
+  *   - `build` trains the same deterministic centroids, assigns every row
+  *     to its cell (one broadcast-join pass over the corpus), and writes
+  *     the corpus `partitionBy("cell")` — one parquet directory per cell —
+  *     plus a tiny centroids table.
+  *   - `topK` reads the centroids (metadata-scale), picks each query's
+  *     `nProbe` nearest cells, and scans ONLY those cells' files: the
+  *     `cell IN (...)` filter is a partition-directory prune, so a probe
+  *     of 2 of 16 cells reads ~1/8 of the corpus bytes no matter how big
+  *     the corpus is. Candidate re-rank is the shared exact-cosine top-k.
+  *
+  * Results are IDENTICAL to [[Similarity.ivfTopK]] for equal parameters
+  * (same bounded orderBy+limit sample, same Lloyd iterations, same
+  * tie-breaks) — spec-asserted, so the persisted path inherits the
+  * in-memory path's recall bounds.
+  */
+object IvfIndex {
+
+  /** Build the index at `path` (overwrites): `path/centroids` (cell, cvec)
+    * and `path/cells/cell=N/...` with (id, vec) rows. `repartition(cell)`
+    * before the partitioned write yields one file per cell per shuffle
+    * partition instead of one per input task — the file-count lever that
+    * keeps a 1000-task build from writing 16k tiny files. */
+  def build(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      path: String,
+      nCells: Int = 16,
+      sampleSize: Int = 2000,
+      iterations: Int = 5): Unit = {
+    val prepared = corpus.select(id.cast("long").as("id"), vec.as("vec"))
+    val centroidDf =
+      Similarity.trainCentroidsDf(prepared, nCells, sampleSize, iterations)
+    centroidDf.write.mode("overwrite").parquet(s"$path/centroids")
+    Similarity.assignCells(prepared, centroidDf)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** The cell-pruned corpus scan a probe set touches — exposed so callers
+    * (and specs) can assert the file pruning. `cells` is metadata-scale
+    * (bounded by nCells). */
+  def prunedCells(spark: SparkSession, path: String, cells: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isInCollection(cells))
+
+  /** Approximate top-k against a built index. One driver-side centroid
+    * read, one pruned corpus scan, one broadcast join, one window re-rank.
+    * Output: (qid, neighbor_id, rank, cosine) — identical to
+    * [[Similarity.ivfTopK]] with the build's parameters. */
+  def topK(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val centroidDf = spark.read.parquet(s"$path/centroids")
+    val probes = Similarity.probeCells(queries, centroidDf, nProbe)
+    // the distinct probed-cell set is bounded by nCells — a metadata-scale
+    // driver read that buys the partition-directory prune below
+    val cells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val candidates = prunedCells(spark, path, cells)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cosine", V.cosine(col("qvec"), col("vec")))
+    Similarity.rerank(candidates, k)
+  }
+}

@@ -77,7 +77,10 @@ object Similarity {
         col("rank").cast("int").as("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** IVF approximate top-k: cluster on a sample, probe nearest cells. */
+  /** IVF approximate top-k: cluster on a sample, probe nearest cells.
+    * Trains per call; [[IvfIndex]] persists the same centroids + cell
+    * assignment on disk so the (expensive) build amortizes across queries
+    * — its results are identical by construction for equal parameters. */
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame,  // (id, vec)
@@ -86,12 +89,27 @@ object Similarity {
       nProbe: Int = 2,
       sampleSize: Int = 2000,
       iterations: Int = 5): DataFrame = {
+    val centroidDf = trainCentroidsDf(corpus, nCells, sampleSize, iterations)
+    val assigned = assignCells(corpus, centroidDf)
+    val probes = probeCells(queries, centroidDf, nProbe)
+    val candidates = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cosine", V.cosine(col("qvec"), col("vec")))
+    rerank(candidates, k)
+  }
+
+  /** Train IVF centroids driver-side on a bounded sample (metadata-scale).
+    * orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    * driver merge — no full sort), and pins the sample: a bare limit()
+    * takes whatever partitions answer first, so centroids (and the whole
+    * ANN output) would vary run to run. Deterministic for fixed input +
+    * parameters. Returns (cell int, cvec array<float>). */
+  private[pipeline] def trainCentroidsDf(
+      corpus: DataFrame, // (id, vec)
+      nCells: Int,
+      sampleSize: Int,
+      iterations: Int): DataFrame = {
     val spark = corpus.sparkSession
-    // --- train centroids driver-side on a bounded sample (metadata-scale).
-    // orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
-    // driver merge — no full sort), and pins the sample: a bare limit()
-    // takes whatever partitions answer first, so centroids (and the whole
-    // ANN output) would vary run to run. ---
     val sample = corpus.select("id", "vec").orderBy("id").limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty corpus")
@@ -111,30 +129,37 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    val centroidDf = spark.createDataFrame(
+    spark.createDataFrame(
       centroids.toIndexedSeq.zipWithIndex.map { case (v, i) =>
         (i, v.map(_.toFloat).toSeq) }
     ).toDF("cell", "cvec")
+  }
 
-    // --- assign corpus rows to their nearest cell (broadcast centroids) ---
+  /** Assign each corpus row to its nearest cell (broadcast centroids).
+    * Returns (id, vec, cell). */
+  private[pipeline] def assignCells(
+      corpus: DataFrame, centroidDf: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("id")).orderBy(col("cdist").desc, col("cell"))
-    val assigned = corpus.join(broadcast(centroidDf))
+    corpus.join(broadcast(centroidDf))
       .withColumn("cdist", V.cosine(col("vec"), col("cvec")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select("id", "vec", "cell")
+  }
 
-    // --- probe: each query searches its nProbe nearest cells ---
+  /** Each query's `nProbe` nearest cells. Returns (qid, qvec, cell). */
+  private[pipeline] def probeCells(
+      queries: DataFrame, centroidDf: DataFrame, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell"))
-    val probes = queries.join(broadcast(centroidDf))
+    queries.join(broadcast(centroidDf))
       .withColumn("cdist", V.cosine(col("qvec"), col("cvec")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nProbe)
       .select("qid", "qvec", "cell")
+  }
 
-    val candidates = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("qid") =!= col("id"))
-      .withColumn("cosine", V.cosine(col("qvec"), col("vec")))
+  /** Exact cosine re-rank of candidate (qid, id, cosine) rows to top-k. */
+  private[pipeline] def rerank(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
