@@ -7,7 +7,7 @@ import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
-import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, Multimodal, Sampling, Similarity}
+import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, Multimodal, Quality, Sampling, Similarity}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
   * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
@@ -880,35 +880,15 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"), col("chunk_id"))
 
-  /** Gopher-style document quality rules [Rae et al., "Scaling Language
-    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
-    * Appendix A] — the published heuristic filter set LLM corpora are
-    * cleaned with, scaled to this corpus's 10-99-token documents:
-    * token count in [30, 90], mean word length in [3, 10], ≥ 80% of
-    * tokens containing an alphabetic character, and ≥ 2 distinct
-    * stopwords present. One codegen'd pass over the scan — every signal
-    * is a higher-order array function on the token list, no shuffle but
-    * the presentation sort. Thresholds compare the 6-dp ROUNDED ratios so
-    * both engines decide boundaries on identical doubles. */
-  def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
-    val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
-    docs.select(
-        col("doc_id"), col("n_tokens"),
-        round(aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
-          .cast("double") / col("n_tokens").cast("double"), 6)
-          .as("mean_word_len"),
-        round(size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("double") /
-          col("n_tokens").cast("double"), 6).as("alpha_frac"),
-        size(array_intersect(array_distinct(col("toks")),
-          array(stopwords.map(lit): _*))).as("n_stopwords"))
-      .withColumn("passes",
-        col("n_tokens").between(30, 90) &&
-          col("mean_word_len").between(3.0, 10.0) &&
-          col("alpha_frac") >= 0.8 &&
-          col("n_stopwords") >= 2)
+  /** Gopher-style document quality rules ([[graft.pipeline.Quality]]) —
+    * the published heuristic filter set, with thresholds scaled to this
+    * corpus's 10-99-token documents: token count in [30, 90], mean word
+    * length in [3, 10], ≥ 80% alphabetic tokens, ≥ 2 distinct stopwords.
+    * Row-local codegen'd pass; the presentation sort is the only
+    * exchange. */
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame =
+    Quality.gopherSignals(t(spark, dir, "documents"),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 }
