@@ -48,7 +48,8 @@ object Bench {
     "q_events_hourly" -> 0.25, "dedup_exact" -> 0.2, "dedup_minhash" -> 2.3,
     "dedup_simhash" -> 2.4, "text_stats" -> 1.4, "lang_id" -> 0.6,
     "ann_brute" -> 0.9, "ann_srp" -> 0.5, "pipeline_clean" -> 0.9,
-    "rep_ratio" -> 0.6, "dup_clusters" -> 5.0, "tfidf_topk" -> 1.2)
+    "rep_ratio" -> 0.6, "dup_clusters" -> 5.0, "tfidf_topk" -> 1.2,
+    "chunk_docs" -> 0.7, "gopher_filters" -> 0.6)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -167,7 +168,9 @@ object Bench {
       "pipeline_clean" -> (Queries.pipelineClean _),
       "rep_ratio" -> (Queries.repRatio _),
       "dup_clusters" -> (Queries.dupClusters _),
-      "tfidf_topk" -> (Queries.tfidfTopk _))
+      "tfidf_topk" -> (Queries.tfidfTopk _),
+      "chunk_docs" -> (Queries.chunkDocs _),
+      "gopher_filters" -> (Queries.gopherFilters _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass
