@@ -760,6 +760,11 @@ object Oracles {
         |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Spark xxhash64 (standard XXH64, seed 42) + XxHash64.hashInt unrolled
+    // in HUGEINT — see XxHash64Sql for the construction rules and
+    // tools/gen_xxh64_oracle.py for the row-for-row validation harness
+    "multimodal_decode" -> XxHash64Sql.multimodalDecodeSql,
+
     // Kafka MurmurHash2 (seed 0x9747b28c = 2538058380, M = 0x5bd1e995 =
     // 1540483477) unrolled in exact unsigned-mod-2^32 BIGINT arithmetic:
     // the chunk fold runs as list_reduce over 4-byte little-endian words,

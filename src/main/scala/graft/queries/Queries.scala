@@ -604,9 +604,11 @@ object Queries {
         col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"))
 
-  /** Multimodal decode/resize/sample stubs (no SQL oracle — stub features).
-    * Projects SCALAR columns only (the driver's rows-only check sorts the
-    * pandas frame; struct/array-of-binary columns are unsortable there). */
+  /** Multimodal decode/resize/sample stubs. Oracle-checked: the stub's
+    * xxhash64-derived dimensions and hashInt-derived features are unrolled
+    * in exact HUGEINT SQL ([[XxHash64Sql]]). Projects SCALAR columns only
+    * (the driver's check sorts the pandas frame; struct/array-of-binary
+    * columns are unsortable there). */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     val withBin = Multimodal.withMeta(t(spark, dir, "documents"),
       col("text").cast("binary"), "image/fake")
