@@ -760,6 +760,12 @@ object Oracles {
         |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // SRP-LSH surfaces: deterministic splitmix64 hyperplanes inlined as
+    // literals (computed by VectorFunctions.plane itself), index-order
+    // cosine folds, multi-probe as bit_count(xor) <= probe — see SrpSql
+    "ann_srp" -> SrpSql.annSrpSql,
+    "dedup_embedding" -> SrpSql.dedupEmbeddingSql,
+
     // Spark xxhash64 (standard XXH64, seed 42) + XxHash64.hashInt unrolled
     // in HUGEINT — see XxHash64Sql for the construction rules and
     // tools/gen_xxh64_oracle.py for the row-for-row validation harness
