@@ -760,6 +760,11 @@ object Oracles {
         |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // MinHash / SimHash LSH dedup: FNV-based signatures, band folds, and
+    // bucket joins unrolled in exact HUGEINT SQL — see LshSql
+    "dedup_minhash" -> LshSql.dedupMinhashSql,
+    "dedup_simhash" -> LshSql.dedupSimhashSql,
+
     // SRP-LSH surfaces: deterministic splitmix64 hyperplanes inlined as
     // literals (computed by VectorFunctions.plane itself), index-order
     // cosine folds, multi-probe as bit_count(xor) <= probe — see SrpSql
