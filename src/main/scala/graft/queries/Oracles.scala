@@ -760,6 +760,11 @@ object Oracles {
         |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // IVF ANN: the deterministic Lloyd trainer replayed iteration by
+    // iteration (assign / collect-in-id-order / fold-update), float-cast
+    // centroids, ordered-fold cosines — see IvfSql
+    "ann_ivf" -> IvfSql.annIvfSql,
+
     // MinHash / SimHash LSH dedup: FNV-based signatures, band folds, and
     // bucket joins unrolled in exact HUGEINT SQL — see LshSql
     "dedup_minhash" -> LshSql.dedupMinhashSql,
