@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_fingerprint" -> (Queries.dedupFingerprint _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_incremental" -> (Queries.dedupIncremental _),
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),

@@ -22,7 +22,7 @@ object Dedup {
     * parquet split, which would serialize all shingle/minhash compute on a
     * single core. The shuffled payload is the narrow (id, text) projection —
     * one pass of the raw bytes, the standard price for balanced compute. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartition(p)
   }

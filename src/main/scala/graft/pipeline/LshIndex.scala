@@ -1,0 +1,186 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Persisted MinHash-LSH index for INCREMENTAL near-dup detection.
+  *
+  * [[Dedup.minhashPairs]] re-shingles and re-signs the whole corpus on
+  * every call — the right shape for a one-shot dedup, the wrong one for a
+  * living corpus where each new crawl batch must be checked against
+  * everything already ingested. At 100 TB the corpus-side signature pass
+  * alone re-reads every document body; this index pays that cost ONCE:
+  *
+  *   - `build` computes each document's sorted shingle set and its LSH
+  *     band keys, and persists BOTH — `path/shingles` (id, shingles) for
+  *     exact-Jaccard verification and `path/buckets` (id, band, bucket)
+  *     for candidate generation. The raw text is never needed again.
+  *   - `append` adds a batch's signatures to the same directories — the
+  *     steady-state ingest step, touching only the new documents.
+  *   - `probe` checks a new batch against the index: the batch's band
+  *     keys (16 bytes/row × bands — metadata-scale next to the corpus)
+  *     BROADCAST against the index's bucket table, so the corpus-side
+  *     candidate scan is a broadcast-hash-join with no corpus shuffle.
+  *     Candidate pairs carry only 8-byte ids; shingle sets re-attach for
+  *     the exact-Jaccard verify, and only for documents that appear in
+  *     some candidate pair.
+  *
+  * Band parameters are stamped into `path/meta` at build time and read
+  * back on probe/append, so a probe can never silently use a different
+  * hash family than the index it queries.
+  *
+  * Degenerate-bucket guard: a bucket shared by more than `maxBucketSize`
+  * corpus documents is non-discriminative (stop-shingle collisions) and
+  * would emit O(bucket) candidates per matching batch row; probe drops
+  * such buckets, mirroring [[Dedup.minhashPairs]]. The sizes are counted
+  * over the ids-only bucket table (16 B/row), never the documents.
+  */
+object LshIndex {
+
+  /** Sorted distinct shingle sets: (id, shingles). Identical preparation
+    * to [[Dedup.minhashPairs]] so probe results line up with the batch
+    * pipeline bit-for-bit. */
+  private def shingleSets(
+      df: DataFrame, id: Column, text: Column, shingleSize: Int): DataFrame =
+    Dedup.spread(df.select(id.cast("long").as("id"), text.as("__text")))
+      .select(col("id"),
+        array_sort(T.charShingles(col("__text"), shingleSize)).as("shingles"))
+
+  /** LSH band keys from a shingle-set frame: (id, band, bucket). */
+  private def bandKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sh.select(col("id"),
+        posexplode(T.minhashBands(col("shingles"), numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  private def writeSignatures(
+      sh: DataFrame, numHashes: Int, bands: Int, path: String,
+      mode: String): Unit = {
+    sh.write.mode(mode).parquet(s"$path/shingles")
+    bandKeys(sh, numHashes, bands).write.mode(mode).parquet(s"$path/buckets")
+  }
+
+  /** Build the index at `path` (overwrites). One pass over the corpus
+    * text; everything the probe path needs is persisted. */
+  def build(
+      corpus: DataFrame,
+      id: Column,
+      text: Column,
+      path: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val sh = shingleSets(corpus, id, text, shingleSize)
+    writeSignatures(sh, numHashes, bands, path, "overwrite")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select("shingle_size", "num_hashes", "bands").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
+  }
+
+  /** Add a batch to the index — the steady-state ingest step. Touches
+    * only the new documents; the existing index files are untouched. */
+  def append(batch: DataFrame, id: Column, text: Column, path: String): Unit = {
+    val (shingleSize, numHashes, bands) = readMeta(batch.sparkSession, path)
+    val sh = shingleSets(batch, id, text, shingleSize)
+    writeSignatures(sh, numHashes, bands, path, "append")
+  }
+
+  /** The full steady-state ingest step, shaped as a `foreachBatch` body
+    * for a streaming curation pipeline (the near-dup sibling of
+    * [[graft.streaming.StreamDedup]], with UNBOUNDED history — the index
+    * on disk is the state, so no watermark horizon applies):
+    *
+    *   1. probe the batch against the index, drop every batch doc with a
+    *      near-dup already in the corpus;
+    *   2. dedup WITHIN the batch (same LSH parameters, keep-lowest-id);
+    *   3. append the survivors' signatures to the index;
+    *   4. return the survivors (persisted — the append already paid for
+    *      their computation; caller unpersists after its own sink).
+    *
+    * Replay-safe without coordination: probe ignores id-equal pairs, so
+    * a replayed batch that already appended its signatures re-derives
+    * the SAME survivor set (its own index rows only produce self-pairs),
+    * and re-appending adds redundant rows that cannot change any future
+    * probe's verdict. A crash between append and the caller's sink costs
+    * storage, never correctness. */
+  def ingestBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double = 0.6,
+      maxBucketSize: Long = 2000): DataFrame = {
+    val (shingleSize, numHashes, bands) = readMeta(spark, path)
+    val dupOfCorpus = probe(spark, path, batch, id, text,
+        threshold, maxBucketSize)
+      .select(col("batch_id").as("__dup")).distinct()
+    val clean = batch.join(dupOfCorpus, id.cast("long") === col("__dup"),
+      "left_anti")
+    val survivors = Dedup.minhashDedup(clean, id, text,
+      shingleSize, numHashes, bands, threshold).persist()
+    append(survivors, id, text, path)
+    survivors
+  }
+
+  /** Near-duplicate pairs between a new batch and the indexed corpus:
+    * (batch_id, corpus_id, jaccard) with jaccard ≥ `threshold`, one row
+    * per cross pair. The batch side is broadcast through candidate
+    * generation (a crawl batch is small next to the corpus); the corpus
+    * text is never read — verification runs over the persisted shingle
+    * sets. Within-batch duplicates are out of scope here (run
+    * [[Dedup.minhashPairs]] on the batch, or `append` survivors and let
+    * the next probe see them). */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double = 0.6,
+      maxBucketSize: Long = 2000): DataFrame = {
+    val (shingleSize, numHashes, bands) = readMeta(spark, path)
+    val corpusKeys = spark.read.parquet(s"$path/buckets")
+    // guard sizes count CORPUS entries only: a singleton corpus bucket is
+    // still a valid probe target (unlike the self-join case, where a
+    // bucket needs ≥2 members to produce a pair)
+    val okBuckets = corpusKeys.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val bsh = shingleSets(batch, id, text, shingleSize)
+    val batchKeys = bandKeys(bsh, numHashes, bands)
+    val candidates = corpusKeys
+      .join(okBuckets, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id").as("corpus_id"))
+      .join(broadcast(batchKeys
+          .select(col("band"), col("bucket"), col("id").as("batch_id"))),
+        Seq("band", "bucket"))
+      // a doc is never its own near-dup: id-equal pairs arise only when a
+      // replayed batch meets its own appended signatures, and dropping
+      // them is what makes ingestBatch's replay re-derive identical
+      // survivors instead of self-matching the whole batch away
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    candidates
+      .join(spark.read.parquet(s"$path/shingles")
+          .select(col("id").as("corpus_id"), col("shingles").as("__sh_c")),
+        Seq("corpus_id"))
+      .join(bsh.select(col("id").as("batch_id"), col("shingles").as("__sh_b")),
+        Seq("batch_id"))
+      .withColumn("jaccard", T.jaccardSorted(col("__sh_b"), col("__sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

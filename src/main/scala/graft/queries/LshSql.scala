@@ -85,9 +85,12 @@ object LshSql {
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
-  /** minhashPairs(char 5-shingles, k = 128, bands = 16, threshold = 0.6,
-    * maxBucketSize = 2000) — output (id_a, id_b, jaccard). */
-  lazy val dedupMinhashSql: String = {
+  /** The shared MinHash signature chain (char 5-shingles, k = 128,
+    * bands = 16): every doc's per-band bucket keys in `keys`, shingle
+    * sets + sizes in `szs`. Tail CTEs pick the join topology (self-join
+    * for [[dedupMinhashSql]], corpus-vs-batch for
+    * [[dedupIncrementalSql]]). */
+  private lazy val minhashKeysCte: String = {
     val mixC = BigInt("9e3779b97f4a7c15", 16)
     val mixK = BigInt("ff51afd7ed558ccd", 16)
     val fnvP = BigInt("100000001b3", 16)
@@ -119,7 +122,13 @@ object LshSql {
        |    list_concat([${xor64(s"$fnvBasis::HUGEINT", "band::HUGEINT")}],
        |                sigu[CAST(band*8+1 AS BIGINT):CAST(band*8+8 AS BIGINT)]),
        |    (h, s) -> ${mulc(xor64("h", "s"), fnvP)}) AS key
-       |  FROM bnd),
+       |  FROM bnd)""".stripMargin
+  }
+
+  /** minhashPairs(char 5-shingles, k = 128, bands = 16, threshold = 0.6,
+    * maxBucketSize = 2000) — output (id_a, id_b, jaccard). */
+  lazy val dedupMinhashSql: String =
+    s"""$minhashKeysCte,
        |ok AS (SELECT band, key FROM keys GROUP BY band, key
        |       HAVING count(*) > 1 AND count(*) <= 2000),
        |kept AS (SELECT k.* FROM keys k JOIN ok USING (band, key)),
@@ -131,5 +140,27 @@ object LshSql {
        |    CAST(sa.n + sb.n - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jac
        |  FROM cand JOIN szs sa ON sa.doc_id = id_a JOIN szs sb ON sb.doc_id = id_b)
        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM verify WHERE jac >= 0.6""".stripMargin
-  }
+
+  /** LshIndex.probe over a corpus/batch split of `documents`
+    * (doc_id % 4 != 0 indexed, % 4 = 0 probed; same LSH parameters as
+    * [[dedupMinhashSql]]). The bucket guard counts CORPUS entries only
+    * and has no lower bound — a singleton corpus bucket is a valid probe
+    * target — and pairs cross the split instead of self-joining.
+    * Output (batch_id, corpus_id, jaccard). */
+  lazy val dedupIncrementalSql: String =
+    s"""$minhashKeysCte,
+       |ok AS (SELECT band, key FROM keys WHERE doc_id % 4 <> 0
+       |       GROUP BY band, key HAVING count(*) <= 2000),
+       |ckept AS (SELECT k.* FROM keys k JOIN ok USING (band, key)
+       |          WHERE k.doc_id % 4 <> 0),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM ckept c JOIN keys b
+       |    ON c.band = b.band AND c.key = b.key AND b.doc_id % 4 = 0),
+       |verify AS (SELECT batch_id, corpus_id,
+       |    CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
+       |    CAST(sb.n + sc.n - len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) AS jac
+       |  FROM cand JOIN szs sb ON sb.doc_id = batch_id
+       |            JOIN szs sc ON sc.doc_id = corpus_id)
+       |SELECT batch_id, corpus_id, round(jac, 6) AS jaccard
+       |FROM verify WHERE jac >= 0.6""".stripMargin
 }

@@ -767,6 +767,7 @@ object Oracles {
 
     // MinHash / SimHash LSH dedup: FNV-based signatures, band folds, and
     // bucket joins unrolled in exact HUGEINT SQL — see LshSql
+    "dedup_incremental" -> LshSql.dedupIncrementalSql,
     "dedup_minhash" -> LshSql.dedupMinhashSql,
     "dedup_simhash" -> LshSql.dedupSimhashSql,
 

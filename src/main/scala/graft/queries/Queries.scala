@@ -7,7 +7,7 @@ import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
-import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, Multimodal, Quality, Sampling, Similarity}
+import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
   * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
@@ -416,6 +416,34 @@ object Queries {
     Dedup.minhashPairs(t(spark, dir, "documents"),
       col("doc_id"), col("text"), shingleSize = 5,
       numHashes = 128, bands = 16, threshold = 0.6)
+
+  private val lshIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental near-dup detection against a persisted LSH index: docs
+    * with doc_id % 4 != 0 are the standing corpus (indexed once per input
+    * dir, memoized), the rest arrive as the "new batch" and are probed
+    * against the index — the living-corpus shape where each crawl batch
+    * checks against everything already ingested without re-mining it.
+    * Same LSH parameters as [[dedupMinhash]], so the oracle reuses its
+    * exact HUGEINT signature SQL with a corpus/batch split. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = lshIndexes.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      LshIndex.build(docs.filter(col("doc_id") % 4 =!= 0),
+        col("doc_id"), col("text"),
+        root.toString, shingleSize = 5, numHashes = 128, bands = 16)
+      root.toString
+    })
+    LshIndex.probe(spark, path, docs.filter(col("doc_id") % 4 === 0),
+        col("doc_id"), col("text"), threshold = 0.6)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
 
   /** SimHash near-dup pairs (approximate; no SQL oracle). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, LshIndex}
+
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def corpus = docs.filter($"doc_id" % 4 =!= 0)
+  private def batch = docs.filter($"doc_id" % 4 === 0)
+
+  test("probe equals the cross-pair restriction of the batch pipeline") {
+    val path = tmpDir("graft-lsh-eq")
+    LshIndex.build(corpus, $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    val probed = LshIndex.probe(spark, path, batch, $"doc_id", $"text",
+        threshold = 0.6)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // the one-shot pipeline over the union, restricted to pairs that
+    // cross the corpus/batch split — identical hash family, shingling,
+    // and verification, so the sets must match exactly
+    val full = Dedup.minhashPairs(docs, $"doc_id", $"text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+      .collect {
+        case (a, b, j) if a % 4 == 0 && b % 4 != 0 => (a, b, j)
+        case (a, b, j) if b % 4 == 0 && a % 4 != 0 => (b, a, j)
+      }.toSet
+    assert(probed.nonEmpty, "testdata must contain cross-split near-dups")
+    assert(probed === full)
+  }
+
+  test("append extends the index: probe equals a fresh full build") {
+    val half1 = corpus.filter($"doc_id" % 2 === 1)
+    val half2 = corpus.filter($"doc_id" % 2 === 0)
+    val inc = tmpDir("graft-lsh-inc")
+    LshIndex.build(half1, $"doc_id", $"text", inc,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    LshIndex.append(half2, $"doc_id", $"text", inc)
+    val fresh = tmpDir("graft-lsh-fresh")
+    LshIndex.build(corpus, $"doc_id", $"text", fresh,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    def run(p: String) =
+      LshIndex.probe(spark, p, batch, $"doc_id", $"text", threshold = 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(inc) === run(fresh))
+  }
+
+  test("probe broadcasts the batch side and never rereads corpus text") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = tmpDir("graft-lsh-plan")
+    LshIndex.build(corpus, $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    val mem = batch.select($"doc_id", $"text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text")
+    val probed = LshIndex.probe(spark, path, mem, $"doc_id", $"text")
+    // with the batch fully in memory, every file the probe reads must be
+    // an index file — the corpus documents.parquet is never touched
+    assert(probed.inputFiles.nonEmpty)
+    assert(probed.inputFiles.forall(_.contains(path)),
+      s"probe must read only the index, got ${probed.inputFiles.toSeq}")
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    assert(plan.toString.contains("BroadcastHashJoin") ||
+      plan.collectWithSubqueries { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "candidate generation must broadcast the batch's band keys")
+  }
+
+  test("degenerate corpus buckets are dropped by maxBucketSize") {
+    val repeated = (1L to 6L).map(i => (i, "the same exact document text"))
+      .toDF("doc_id", "text")
+    val probe1 = Seq((100L, "the same exact document text"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("graft-lsh-guard")
+    LshIndex.build(repeated, $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    val guarded = LshIndex.probe(spark, path, probe1, $"doc_id", $"text",
+      threshold = 0.6, maxBucketSize = 3)
+    assert(guarded.count() === 0L,
+      "every bucket holds all 6 corpus docs > maxBucketSize=3 → no candidates")
+    val open = LshIndex.probe(spark, path, probe1, $"doc_id", $"text",
+      threshold = 0.6, maxBucketSize = 10)
+    assert(open.count() === 6L)
+    assert(open.select(max($"jaccard")).head.getDouble(0) === 1.0)
+  }
+}
