@@ -49,7 +49,7 @@ object Bench {
     "dedup_simhash" -> 2.4, "text_stats" -> 1.4, "lang_id" -> 0.6,
     "ann_brute" -> 0.9, "ann_srp" -> 0.5, "pipeline_clean" -> 0.9,
     "rep_ratio" -> 0.6, "dup_clusters" -> 5.0, "tfidf_topk" -> 1.2,
-    "chunk_docs" -> 0.7, "gopher_filters" -> 0.6)
+    "chunk_docs" -> 0.7, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.5)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -160,6 +160,7 @@ object Bench {
       "q_events_hourly" -> (Queries.qEventsHourly _),
       "dedup_exact" -> (Queries.dedupExact _),
       "dedup_minhash" -> (Queries.dedupMinhash _),
+      "dedup_incremental" -> (Queries.dedupIncremental _),
       "dedup_simhash" -> (Queries.dedupSimhash _),
       "text_stats" -> (Queries.textStats _),
       "lang_id" -> (Queries.langId _),

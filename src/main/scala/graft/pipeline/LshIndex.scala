@@ -150,15 +150,22 @@ object LshIndex {
       maxBucketSize: Long = 2000): DataFrame = {
     val (shingleSize, numHashes, bands) = readMeta(spark, path)
     val corpusKeys = spark.read.parquet(s"$path/buckets")
+    val bsh = shingleSets(batch, id, text, shingleSize)
+    val batchKeys = bandKeys(bsh, numHashes, bands)
     // guard sizes count CORPUS entries only: a singleton corpus bucket is
     // still a valid probe target (unlike the self-join case, where a
-    // bucket needs ≥2 members to produce a pair)
-    val okBuckets = corpusKeys.groupBy("band", "bucket")
+    // bucket needs ≥2 members to produce a pair). Counting is restricted
+    // to buckets the batch actually hits — the broadcast semi-join prunes
+    // at the bucket-table scan, so the size aggregation shuffles
+    // batch-scale rows, not one row per distinct corpus bucket; buckets
+    // the batch misses produce no candidates and need no size.
+    val okBuckets = corpusKeys
+      .join(broadcast(batchKeys.select("band", "bucket").distinct()),
+        Seq("band", "bucket"))
+      .groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
       .select("band", "bucket")
-    val bsh = shingleSets(batch, id, text, shingleSize)
-    val batchKeys = bandKeys(bsh, numHashes, bands)
     val candidates = corpusKeys
       .join(okBuckets, Seq("band", "bucket"))
       .select(col("band"), col("bucket"), col("id").as("corpus_id"))
