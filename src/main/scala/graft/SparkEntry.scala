@@ -83,6 +83,7 @@ object SparkEntry {
     "dup_clusters" -> (Queries.dupClusters _),
     "decontaminate" -> (Queries.decontaminate _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "shuffle_shards" -> (Queries.shuffleShards _),
     "mix_weights" -> (Queries.mixWeights _),
     "tfidf_topk" -> (Queries.tfidfTopk _),
     "bm25_search" -> (Queries.bm25Search _),

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling and mixture planning — the operators a
@@ -52,6 +53,36 @@ object Sampling {
       when(stratum === k, lit(r)).otherwise(acc)
     }
     df.filter(hashUnit(id) < rate)
+  }
+
+  /** Deterministic global shuffle into `numShards` shards — the standard
+    * pretraining step that destroys crawl/source locality before sequence
+    * packing, so every training shard is an unbiased corpus sample and
+    * data order is reproducible across reruns and engines.
+    *
+    * shard = xxhash64(id) mod numShards; within-shard order =
+    * xxhash64(id, seed) with id as the tie-break. Both hashes are Spark's
+    * codegen'd XXH64 builtin over the 8-byte id — no text is hashed, and
+    * the DuckDB oracle replays the identical bit pattern in HUGEINT SQL.
+    *
+    * Scale shape: ONE hash shuffle (partition by shard) and an
+    * independent per-shard sort for `row_number` — there is no global
+    * sort and no driver involvement. Shards are the write unit: pick
+    * numShards so a shard ≈ one output file (thousands at 100 TB), and
+    * the per-shard sorts stay memory-sized regardless of corpus size.
+    * A skewed shard is impossible by construction (ids hash uniformly).
+    *
+    * Returns the input columns plus (shard, pos); pos is dense 0..k-1
+    * within each shard. */
+  def shuffleShards(
+      df: DataFrame, id: Column, numShards: Int, seed: Long): DataFrame = {
+    val idL = id.cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__order"), idL)
+    df.withColumn("shard",
+        pmod(xxhash64(idL), lit(numShards.toLong)).cast("int"))
+      .withColumn("__order", xxhash64(idL, lit(seed)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+      .drop("__order")
   }
 
   /** Mixture plan: given per-stratum target WEIGHTS and a global token

@@ -661,6 +661,9 @@ object Oracles {
         |            WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.75 ELSE 0.0 END
         |ORDER BY doc_id""".stripMargin,
 
+    // Spark XXH64 hashLong chain replayed in HUGEINT SQL — see XxHash64Sql
+    "shuffle_shards" -> XxHash64Sql.shuffleShardsSql,
+
     // target token counts are exact integers on both sides (no double→int
     // conversion in SQL)
     "mix_weights" ->

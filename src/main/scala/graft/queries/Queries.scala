@@ -791,6 +791,16 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic global shuffle into 64 shards: shard + dense in-shard
+    * position from seeded xxhash64 of doc_id — one hash shuffle, per-shard
+    * sorts, no global order. The oracle replays Spark's XXH64 hashLong
+    * chain bit-for-bit in HUGEINT SQL. */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(t(spark, dir, "documents"),
+        col("doc_id"), numShards = 64, seed = 7L)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
   /** Corpus mixture plan: per-language sampling rates that hit a 50k-token
     * budget at target weights — one metadata-scale aggregation. */
   def mixWeights(spark: SparkSession, dir: String): DataFrame =

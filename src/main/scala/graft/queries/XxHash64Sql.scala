@@ -103,6 +103,52 @@ object XxHash64Sql {
        |${tag}5 AS (SELECT *, ${xor64(d, s"$d // 4294967296")} AS $hOut FROM ${tag}4)""".stripMargin
   }
 
+  /** Staged CTEs for Spark's `XXH64.hashLong(input, seed)`:
+    * h = seed + P5 + 8; h ^= rotl(input·P2, 31)·P1;
+    * h = rotl(h, 27)·P1 + P4; fmix(h) — `uCol`/`seedExpr` are HUGEINT
+    * expressions valid in `src`'s scope, result lands in `outCol` of the
+    * returned (ctes, lastCteName). */
+  private def hashLongStages(tag: String, uCol: String, seedExpr: String,
+      outCol: String, src: String): (String, String) = {
+    val (a, b, c) = (s"${tag}_a", s"${tag}_b", s"${tag}_c")
+    val k = mul(rotl(mul(uCol, P2), 31), P1)
+    val head =
+      s"""${tag}h1 AS (SELECT *,
+         |  ${add(add(seedExpr, s"$P5::HUGEINT"), "8::HUGEINT")} AS $a FROM $src),
+         |${tag}h2 AS (SELECT *, ${xor64(a, k)} AS $b FROM ${tag}h1),
+         |${tag}h3 AS (SELECT *,
+         |  ${add(mul(rotl(b, 27), P1), s"$P4::HUGEINT")} AS $c FROM ${tag}h2),
+         |${avalanche(s"${tag}v", c, outCol, s"${tag}h3")}""".stripMargin
+    (head, s"${tag}v5")
+  }
+
+  /** shuffle_shards oracle: Sampling.shuffleShards(documents, doc_id,
+    * numShards = 64, seed = 7) — shard = xxhash64(doc_id) mod 64, order =
+    * xxhash64(doc_id, 7) (seed chaining: hashLong(7, hashLong(doc_id,
+    * 42))), pos = dense rank within shard. Output (doc_id, shard, pos). */
+  lazy val shuffleShardsSql: String = {
+    val uid = "((doc_id::HUGEINT % 18446744073709551616::HUGEINT) + " +
+      "18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT"
+    val (c1, last1) = hashLongStages("x1", "uid", "42::HUGEINT", "hu1", "b0")
+    val (c2, last2) = hashLongStages("x2", "useed", "hu1", "hu2", last1)
+    s"""WITH b0 AS (
+       |  SELECT doc_id, $uid AS uid, 7::HUGEINT AS useed FROM documents),
+       |$c1,
+       |$c2,
+       |signedh AS (SELECT doc_id,
+       |  CASE WHEN hu1 >= 9223372036854775808::HUGEINT
+       |       THEN hu1 - 18446744073709551616::HUGEINT ELSE hu1 END AS h1,
+       |  CASE WHEN hu2 >= 9223372036854775808::HUGEINT
+       |       THEN hu2 - 18446744073709551616::HUGEINT ELSE hu2 END AS h2
+       |  FROM $last2),
+       |sharded AS (SELECT doc_id,
+       |  CAST(((h1 % 64) + 64) % 64 AS INTEGER) AS shard, h2 FROM signedh)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
+       |       AS INTEGER) AS pos
+       |FROM sharded ORDER BY shard, pos""".stripMargin
+  }
+
   /** The full multimodal_decode oracle query. */
   lazy val multimodalDecodeSql: String = {
     val init = Seq((42 + P1 + P2) % M64, (42 + P2) % M64, BigInt(42),

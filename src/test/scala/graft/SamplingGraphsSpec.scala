@@ -74,4 +74,24 @@ class SamplingGraphsSpec extends SparkSpec {
     // a: 20 tokens available, target 5 → rate 0.25; b: 5 available, target 5 → rate 1.0
     assert(plan.toSeq == Seq(("a", 20L, 5L, 0.25), ("b", 5L, 5L, 1.0)))
   }
+
+  test("shuffle shards: deterministic permutation, dense pos, one exchange") {
+    val df = (0L until 5000L).toDF("id")
+    val out = Sampling.shuffleShards(df, col("id"), numShards = 16, seed = 7L)
+      .select("id", "shard", "pos")
+    val rows = out.as[(Long, Int, Int)].collect()
+    assert(rows.map(_._1).toSet == (0L until 5000L).toSet) // a permutation: nothing lost
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 16).toSet))
+    byShard.foreach { case (_, rs) => // pos dense 0..k-1 within every shard
+      assert(rs.map(_._3).sorted.toSeq == (0 until rs.length).toSeq)
+    }
+    // uniform hash: no shard more than 2x the mean
+    assert(byShard.values.map(_.length).max < 2 * 5000 / 16)
+    assert(out.as[(Long, Int, Int)].collect().toSet == rows.toSet) // re-run identical
+    // scale shape: one hash exchange for the window, no global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
 }
