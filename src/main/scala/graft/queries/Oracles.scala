@@ -779,6 +779,7 @@ object Oracles {
     // cosine folds, multi-probe as bit_count(xor) <= probe — see SrpSql
     "ann_srp" -> SrpSql.annSrpSql,
     "dedup_embedding" -> SrpSql.dedupEmbeddingSql,
+    "dedup_embedding_incremental" -> SrpSql.dedupEmbeddingIncrementalSql,
 
     // Spark xxhash64 (standard XXH64, seed 42) + XxHash64.hashInt unrolled
     // in HUGEINT — see XxHash64Sql for the construction rules and

@@ -7,7 +7,7 @@ import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
-import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity}
+import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, SrpIndex}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
   * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
@@ -454,6 +454,31 @@ object Queries {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.35, nBits = 4)
+
+  private val srpIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental embedding near-dup against a persisted SRP index —
+    * [[dedupIncremental]]'s embedding-side sibling: vec_id % 4 != 0 is the
+    * standing corpus (indexed once per input dir, memoized), the rest
+    * probe against it. Same planes/threshold as [[dedupEmbedding]], so the
+    * oracle reuses its inlined-hyperplane SQL with a split tail. */
+  def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val path = srpIndexes.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-srp-idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      SrpIndex.build(emb.filter(col("vec_id") % 4 =!= 0),
+        col("vec_id"), col("embedding"), root.toString, nBits = 4)
+      root.toString
+    })
+    SrpIndex.probe(spark, path, emb.filter(col("vec_id") % 4 === 0),
+        col("vec_id"), col("embedding"), threshold = 0.35)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
 
   /** Text statistics: chars, tokens, subwords, punctuation. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
