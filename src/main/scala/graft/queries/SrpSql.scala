@@ -76,15 +76,20 @@ object SrpSql {
   /** SrpIndex.probe over a corpus/batch split of `embeddings`
     * (vec_id % 4 != 0 indexed, % 4 = 0 probed; same planes/threshold as
     * [[dedupEmbeddingSql]]). The splits are disjoint, so pairs cross the
-    * split instead of self-joining. Output (batch_id, corpus_id, cosine),
-    * ordered. */
+    * split instead of self-joining, and the probe's maxBucketSize = 2000
+    * guard is mirrored (corpus-entry counts, no lower bound) so the
+    * oracle stays exact at scales where a bucket overflows. Output
+    * (batch_id, corpus_id, cosine), ordered. */
   lazy val dedupEmbeddingIncrementalSql: String =
     s"""WITH planes AS (SELECT ${planesSql(4)} AS pl),
        |bkt AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
        |        FROM embeddings CROSS JOIN planes),
+       |ok AS (SELECT bucket FROM bkt WHERE vec_id % 4 <> 0
+       |       GROUP BY bucket HAVING count(*) <= 2000),
        |p AS (SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
        |        ${cosSql("b.embedding", "c.embedding")} AS cos
-       |      FROM bkt c JOIN bkt b ON c.bucket = b.bucket
+       |      FROM bkt c JOIN ok USING (bucket) JOIN bkt b
+       |        ON c.bucket = b.bucket
        |        AND c.vec_id % 4 <> 0 AND b.vec_id % 4 = 0)
        |SELECT batch_id, corpus_id, round(cos, 6) AS cosine FROM p
        |WHERE cos >= 0.35 ORDER BY batch_id, corpus_id""".stripMargin
