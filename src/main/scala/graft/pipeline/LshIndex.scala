@@ -26,16 +26,34 @@ import graft.functions.{TextFunctions => T}
   *     the exact-Jaccard verify, and only for documents that appear in
   *     some candidate pair.
   *
-  * Band parameters are stamped into `path/meta` at build time and read
-  * back on probe/append, so a probe can never silently use a different
-  * hash family than the index it queries.
+  * '''Shard-pruned layout.''' Both tables are written with a `shard`
+  * partition column — `pmod(bucket, numShards)` for buckets,
+  * `pmod(id, numShards)` for shingles — so a probe reads ONLY the
+  * directories its batch can possibly hit (`shard IN (...)` is a
+  * partition-DIRECTORY prune, the same shape [[IvfIndex]] proves with its
+  * `cell=N` layout). Without this, every probe re-reads the whole index:
+  * O(corpus) bytes per crawl batch, growing with the corpus instead of
+  * the batch. The shard sets handed to the prune are collected
+  * driver-side but bounded by `numShards` — metadata-scale, exactly like
+  * [[IvfIndex.topK]]'s probed-cell list. `numShards` is also the
+  * file-count lever: `repartition(shard)` before the partitioned write
+  * yields one file per shard per append, so raise it with corpus size
+  * (64 here; O(corpus bytes / target file size) on a real cluster).
+  *
+  * Band parameters and the shard count are stamped into `path/meta` at
+  * build time and read back on probe/append, so a probe can never
+  * silently use a different hash family — or a different sharding — than
+  * the index it queries.
   *
   * Degenerate-bucket guard: a bucket shared by more than `maxBucketSize`
   * corpus documents is non-discriminative (stop-shingle collisions) and
   * would emit O(bucket) candidates per matching batch row; probe drops
-  * such buckets, mirroring [[Dedup.minhashPairs]]. The sizes are counted
-  * over the ids-only bucket table (16 B/row), never the documents.
-  */
+  * such buckets, mirroring [[Dedup.minhashPairs]]. Sizes are counted as
+  * DISTINCT ids over the ids-only bucket table, so a replayed `append`
+  * (which duplicates index rows, never ids) cannot push a bucket over
+  * the guard; the shingle side is likewise deduped by id before the
+  * verify join, keeping probe's one-row-per-cross-pair contract under
+  * replay. */
 object LshIndex {
 
   /** Sorted distinct shingle sets: (id, shingles). Identical preparation
@@ -55,10 +73,15 @@ object LshIndex {
       .withColumnRenamed("col", "bucket")
 
   private def writeSignatures(
-      sh: DataFrame, numHashes: Int, bands: Int, path: String,
-      mode: String): Unit = {
-    sh.write.mode(mode).parquet(s"$path/shingles")
-    bandKeys(sh, numHashes, bands).write.mode(mode).parquet(s"$path/buckets")
+      sh: DataFrame, numHashes: Int, bands: Int, numShards: Int,
+      path: String, mode: String): Unit = {
+    sh.withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
+    bandKeys(sh, numHashes, bands)
+      .withColumn("shard", pmod(col("bucket"), lit(numShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/buckets")
   }
 
   /** Build the index at `path` (overwrites). One pass over the corpus
@@ -70,29 +93,44 @@ object LshIndex {
       path: String,
       shingleSize: Int = 5,
       numHashes: Int = 128,
-      bands: Int = 16): Unit = {
+      bands: Int = 16,
+      numShards: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((shingleSize, numHashes, bands))
-      .toDF("shingle_size", "num_hashes", "bands")
+    Seq((shingleSize, numHashes, bands, numShards))
+      .toDF("shingle_size", "num_hashes", "bands", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val sh = shingleSets(corpus, id, text, shingleSize)
-    writeSignatures(sh, numHashes, bands, path, "overwrite")
+    writeSignatures(sh, numHashes, bands, numShards, path, "overwrite")
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Int) = {
     val m = spark.read.parquet(s"$path/meta")
-      .select("shingle_size", "num_hashes", "bands").head()
-    (m.getInt(0), m.getInt(1), m.getInt(2))
+      .select("shingle_size", "num_hashes", "bands", "num_shards").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
   }
 
   /** Add a batch to the index — the steady-state ingest step. Touches
-    * only the new documents; the existing index files are untouched. */
+    * only the new documents; the existing index files are untouched
+    * (each append adds one file per hit shard directory — see
+    * [[compact]] for keeping the per-directory file count bounded). */
   def append(batch: DataFrame, id: Column, text: Column, path: String): Unit = {
-    val (shingleSize, numHashes, bands) = readMeta(batch.sparkSession, path)
+    val (shingleSize, numHashes, bands, numShards) =
+      readMeta(batch.sparkSession, path)
     val sh = shingleSets(batch, id, text, shingleSize)
-    writeSignatures(sh, numHashes, bands, path, "append")
+    writeSignatures(sh, numHashes, bands, numShards, path, "append")
   }
+
+  /** The shard-pruned bucket-table scan a probe's shard set touches —
+    * exposed so callers (and specs) can assert the directory pruning. */
+  def prunedBuckets(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/buckets")
+      .filter(col("shard").isInCollection(shards))
+
+  /** The shard-pruned shingle-table scan — see [[prunedBuckets]]. */
+  def prunedShingles(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/shingles")
+      .filter(col("shard").isInCollection(shards))
 
   /** The full steady-state ingest step, shaped as a `foreachBatch` body
     * for a streaming curation pipeline (the near-dup sibling of
@@ -110,8 +148,9 @@ object LshIndex {
     * a replayed batch that already appended its signatures re-derives
     * the SAME survivor set (its own index rows only produce self-pairs),
     * and re-appending adds redundant rows that cannot change any future
-    * probe's verdict. A crash between append and the caller's sink costs
-    * storage, never correctness. */
+    * probe's verdict — bucket sizes are counted as distinct ids and the
+    * verify side is deduped by id. A crash between append and the
+    * caller's sink costs storage, never correctness. */
   def ingestBatch(
       spark: SparkSession,
       path: String,
@@ -120,7 +159,7 @@ object LshIndex {
       text: Column,
       threshold: Double = 0.6,
       maxBucketSize: Long = 2000): DataFrame = {
-    val (shingleSize, numHashes, bands) = readMeta(spark, path)
+    val (shingleSize, numHashes, bands, _) = readMeta(spark, path)
     val dupOfCorpus = probe(spark, path, batch, id, text,
         threshold, maxBucketSize)
       .select(col("batch_id").as("__dup")).distinct()
@@ -137,9 +176,10 @@ object LshIndex {
     * per cross pair. The batch side is broadcast through candidate
     * generation (a crawl batch is small next to the corpus); the corpus
     * text is never read — verification runs over the persisted shingle
-    * sets. Within-batch duplicates are out of scope here (run
-    * [[Dedup.minhashPairs]] on the batch, or `append` survivors and let
-    * the next probe see them). */
+    * sets, and only the shard directories the batch's buckets (then the
+    * candidates' ids) can hit are scanned at all. Within-batch
+    * duplicates are out of scope here (run [[Dedup.minhashPairs]] on the
+    * batch, or `append` survivors and let the next probe see them). */
   def probe(
       spark: SparkSession,
       path: String,
@@ -148,22 +188,29 @@ object LshIndex {
       text: Column,
       threshold: Double = 0.6,
       maxBucketSize: Long = 2000): DataFrame = {
-    val (shingleSize, numHashes, bands) = readMeta(spark, path)
-    val corpusKeys = spark.read.parquet(s"$path/buckets")
+    val (shingleSize, numHashes, bands, numShards) = readMeta(spark, path)
     val bsh = shingleSets(batch, id, text, shingleSize)
     val batchKeys = bandKeys(bsh, numHashes, bands)
-    // guard sizes count CORPUS entries only: a singleton corpus bucket is
-    // still a valid probe target (unlike the self-join case, where a
-    // bucket needs ≥2 members to produce a pair). Counting is restricted
-    // to buckets the batch actually hits — the broadcast semi-join prunes
-    // at the bucket-table scan, so the size aggregation shuffles
-    // batch-scale rows, not one row per distinct corpus bucket; buckets
-    // the batch misses produce no candidates and need no size.
+    // the batch's bucket-shard hit set: bounded by numShards — a
+    // metadata-scale driver round-trip that buys the directory prune on
+    // the corpus bucket table (IvfIndex.topK's probed-cell shape)
+    val bucketShards = batchKeys
+      .select(pmod(col("bucket"), lit(numShards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpusKeys = prunedBuckets(spark, path, bucketShards)
+    // guard sizes count DISTINCT CORPUS ids only: a singleton corpus
+    // bucket is still a valid probe target (unlike the self-join case,
+    // where a bucket needs ≥2 members to produce a pair), and a replayed
+    // append duplicates rows but never ids, so replay cannot push a
+    // bucket over the guard. Counting is restricted to buckets the batch
+    // actually hits — the broadcast semi-join prunes at the (already
+    // shard-pruned) bucket-table scan, so the size aggregation shuffles
+    // batch-scale rows, not one row per distinct corpus bucket.
     val okBuckets = corpusKeys
       .join(broadcast(batchKeys.select("band", "bucket").distinct()),
         Seq("band", "bucket"))
       .groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
+      .agg(countDistinct(col("id")).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
       .select("band", "bucket")
     val candidates = corpusKeys
@@ -179,8 +226,25 @@ object LshIndex {
       .filter(col("batch_id") =!= col("corpus_id"))
       .select("batch_id", "corpus_id")
       .distinct()
+    // the candidates' id-shard hit set, again bounded by numShards. The
+    // guard is deliberately skipped here — a SUPERSET of shards only
+    // widens the prune, and skipping it keeps this the sole extra action
+    // (no persist of candidates to leak, no second guard aggregation)
+    val idShards = corpusKeys
+      .join(broadcast(batchKeys.select("band", "bucket").distinct()),
+        Seq("band", "bucket"))
+      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // dedupe by id before the verify join: a replayed append duplicates
+    // (id, shingles) rows verbatim; without this the verify would emit
+    // duplicate (batch_id, corpus_id) pairs. The aggregation touches only
+    // candidate-shard rows semi-restricted to candidate ids.
+    val corpusSh = prunedShingles(spark, path, idShards)
+      .join(candidates.select(col("corpus_id")).distinct(),
+        col("id") === col("corpus_id"), "left_semi")
+      .groupBy("id").agg(first(col("shingles")).as("shingles"))
     candidates
-      .join(spark.read.parquet(s"$path/shingles")
+      .join(corpusSh
           .select(col("id").as("corpus_id"), col("shingles").as("__sh_c")),
         Seq("corpus_id"))
       .join(bsh.select(col("id").as("batch_id"), col("shingles").as("__sh_b")),

@@ -11,56 +11,87 @@ import graft.functions.{VectorFunctions => V}
   * call; a living corpus should pay the corpus-side pass ONCE:
   *
   *   - `build` computes each vector's sign-random-projection bucket and
-  *     persists `path/buckets` (id, bucket — 16 B/row candidate surface)
-  *     and `path/vectors` (id, v) for the exact-cosine verify.
+  *     persists `path/buckets` (id rows under `bucket=N` directories —
+  *     the 2^nBits-ary twin of [[IvfIndex]]'s `cell=N` layout) and
+  *     `path/vectors` (id, v under `shard=pmod(id, numShards)`
+  *     directories) for the exact-cosine verify.
   *   - `append` adds a batch's signatures — the steady-state ingest step,
   *     touching only the new vectors.
-  *   - `probe` checks a new batch against the index: batch buckets
-  *     BROADCAST against the corpus bucket table (no corpus shuffle),
-  *     candidates carry only 8-byte ids, and corpus vectors re-attach
-  *     solely for ids that appear in some candidate pair.
+  *   - `probe` checks a new batch against the index: the batch's DISTINCT
+  *     buckets (≤ min(batch, 2^nBits) values, collected driver-side —
+  *     metadata-scale) prune the bucket read to exactly the hit
+  *     directories, batch buckets BROADCAST against that pruned scan (no
+  *     corpus shuffle), candidates carry only 8-byte ids, and corpus
+  *     vectors re-attach solely for candidate id shards.
   *
-  * `nBits` is stamped into `path/meta` at build time and read back on
-  * probe/append, so a probe can never hash with a different plane family
+  * `nBits` and the vector shard count are stamped into `path/meta` at
+  * build time and read back on probe/append, so a probe can never hash
+  * with a different plane family — or prune with a different sharding —
   * than the index it queries (the planes themselves are deterministic
   * splitmix64 values per (bit, dim) — see
   * [[graft.functions.VectorFunctions.plane]]).
   *
   * Degenerate-bucket guard: same shape as [[LshIndex.probe]] — corpus
-  * bucket sizes are counted only for buckets the batch actually hits
-  * (broadcast semi-join prunes at the scan), and buckets larger than
-  * `maxBucketSize` are dropped as non-discriminative. */
+  * bucket sizes are counted as DISTINCT ids, only for buckets the batch
+  * actually hits, and buckets larger than `maxBucketSize` are dropped as
+  * non-discriminative; distinct-id counting plus the by-id dedupe of the
+  * vector side keep probe's one-row-per-cross-pair contract under
+  * replayed appends. */
 object SrpIndex {
 
   private def signatures(
       df: DataFrame, id: Column, vec: Column, nBits: Int): DataFrame =
     Dedup.spread(df.select(id.cast("long").as("id"), vec.as("v")))
-      .withColumn("bucket", V.srpBucket(col("v"), nBits))
+      // int partition-column values round-trip through directory names
+      // verbatim (nBits ≤ 30 by construction: srp produces < 2^nBits)
+      .withColumn("bucket", V.srpBucket(col("v"), nBits).cast("int"))
 
-  private def writeSignatures(sig: DataFrame, path: String, mode: String): Unit = {
-    sig.select("id", "bucket").write.mode(mode).parquet(s"$path/buckets")
-    sig.select("id", "v").write.mode(mode).parquet(s"$path/vectors")
+  private def writeSignatures(
+      sig: DataFrame, numShards: Int, path: String, mode: String): Unit = {
+    sig.select("id", "bucket")
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/buckets")
+    sig.select(col("id"), col("v"))
+      .withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/vectors")
   }
 
   /** Build the index at `path` (overwrites). One pass over the corpus. */
   def build(
       corpus: DataFrame, id: Column, vec: Column, path: String,
-      nBits: Int = 8): Unit = {
+      nBits: Int = 8, numShards: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(nBits).toDF("n_bits")
+    Seq((nBits, numShards)).toDF("n_bits", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    writeSignatures(signatures(corpus, id, vec, nBits), path, "overwrite")
+    writeSignatures(signatures(corpus, id, vec, nBits), numShards, path,
+      "overwrite")
   }
 
-  private def readMeta(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").select("n_bits").head().getInt(0)
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select("n_bits", "num_shards").head()
+    (m.getInt(0), m.getInt(1))
+  }
 
   /** Add a batch to the index — the steady-state ingest step. */
-  def append(batch: DataFrame, id: Column, vec: Column, path: String): Unit =
-    writeSignatures(
-      signatures(batch, id, vec, readMeta(batch.sparkSession, path)),
-      path, "append")
+  def append(batch: DataFrame, id: Column, vec: Column, path: String): Unit = {
+    val (nBits, numShards) = readMeta(batch.sparkSession, path)
+    writeSignatures(signatures(batch, id, vec, nBits), numShards, path,
+      "append")
+  }
+
+  /** The bucket-pruned scan a probe's bucket set touches — exposed so
+    * callers (and specs) can assert the directory pruning. */
+  def prunedBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/buckets")
+      .filter(col("bucket").isInCollection(buckets))
+
+  /** The shard-pruned vector-table scan — see [[prunedBuckets]]. */
+  def prunedVectors(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("shard").isInCollection(shards))
 
   /** Near-duplicate pairs between a new batch and the indexed corpus:
     * (batch_id, corpus_id, cosine) with cosine ≥ `threshold`. Bucket
@@ -76,13 +107,19 @@ object SrpIndex {
       vec: Column,
       threshold: Double = 0.95,
       maxBucketSize: Long = 2000): DataFrame = {
-    val nBits = readMeta(spark, path)
-    val corpusKeys = spark.read.parquet(s"$path/buckets")
+    val (nBits, numShards) = readMeta(spark, path)
     val bsig = signatures(batch, id, vec, nBits)
+    // the batch's distinct buckets — bounded by min(batch rows, 2^nBits);
+    // this IS the candidate surface, so the prune is exact: only hit
+    // bucket directories are ever opened (IvfIndex.topK's probed-cell
+    // shape, with SRP buckets as the cells)
+    val hitBuckets = bsig.select("bucket")
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpusKeys = prunedBuckets(spark, path, hitBuckets)
     val okBuckets = corpusKeys
       .join(broadcast(bsig.select("bucket").distinct()), Seq("bucket"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("bsz"))
+      .agg(countDistinct(col("id")).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
       .select("bucket")
     val candidates = corpusKeys
@@ -93,9 +130,19 @@ object SrpIndex {
       .filter(col("batch_id") =!= col("corpus_id"))
       .select("batch_id", "corpus_id")
       .distinct()
+    // candidate id shards (guard deliberately skipped — a superset only
+    // widens the prune); bounded by numShards, the sole extra action
+    val idShards = corpusKeys
+      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // dedupe by id before the verify join — replayed appends duplicate
+    // (id, v) rows verbatim and must not duplicate output pairs
+    val corpusVec = prunedVectors(spark, path, idShards)
+      .join(candidates.select(col("corpus_id")).distinct(),
+        col("id") === col("corpus_id"), "left_semi")
+      .groupBy("id").agg(first(col("v")).as("v"))
     candidates
-      .join(spark.read.parquet(s"$path/vectors")
-          .select(col("id").as("corpus_id"), col("v").as("__vc")),
+      .join(corpusVec.select(col("id").as("corpus_id"), col("v").as("__vc")),
         Seq("corpus_id"))
       .join(bsig.select(col("id").as("batch_id"), col("v").as("__vb")),
         Seq("batch_id"))

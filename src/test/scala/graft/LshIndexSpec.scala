@@ -74,6 +74,74 @@ class LshIndexSpec extends SparkSpec {
       "candidate generation must broadcast the batch's band keys")
   }
 
+  test("probe scans only batch-hit shard directories (partition prune)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = tmpDir("graft-lsh-prune")
+    LshIndex.build(corpus, $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16, numShards = 64)
+    val totalBucketFiles =
+      spark.read.parquet(s"$path/buckets").inputFiles.length
+    val totalShingleFiles =
+      spark.read.parquet(s"$path/shingles").inputFiles.length
+    assert(totalBucketFiles > 16 && totalShingleFiles > 16,
+      "need more shard files than a 1-doc batch can hit")
+    // a single-document batch emits exactly `bands` band keys, so its
+    // bucket-shard hit set is ≤ 16 of the 64 shard directories; the
+    // shingle side prunes to the candidates' id shards
+    val one = batch.orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text")
+    val probed = LshIndex.probe(spark, path, one, $"doc_id", $"text",
+      threshold = 0.0)
+    probed.collect()
+    val root = probed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    val scans = allFileScans(root)
+    def scansOf(table: String) = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(table)))
+    val bucketScans = scansOf("buckets")
+    val shingleScans = scansOf("shingles")
+    assert(bucketScans.nonEmpty && shingleScans.nonEmpty)
+    bucketScans.foreach { s =>
+      assert(s.toString.contains("PartitionFilters"),
+        "shard predicate must land in PartitionFilters")
+      val n = s.metrics("numFiles").value
+      assert(n <= 16 && n < totalBucketFiles,
+        s"1-doc probe must read ≤16 bucket shard files, got $n of $totalBucketFiles")
+    }
+    shingleScans.foreach { s =>
+      val n = s.metrics("numFiles").value
+      assert(n < totalShingleFiles,
+        s"shingle verify must prune to candidate id shards, got $n of $totalShingleFiles")
+    }
+  }
+
+  test("replayed append changes neither probe pairs nor the bucket guard") {
+    val repeated = (1L to 6L).map(i => (i, "the same exact document text"))
+      .toDF("doc_id", "text")
+    val probe1 = Seq((100L, "the same exact document text"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("graft-lsh-replay")
+    LshIndex.build(repeated.filter($"doc_id" <= 3), $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    val tail = repeated.filter($"doc_id" > 3)
+    LshIndex.append(tail, $"doc_id", $"text", path)
+    // replay the SAME append (crash-after-append recovery): index rows
+    // duplicate, ids do not
+    LshIndex.append(tail, $"doc_id", $"text", path)
+    // maxBucketSize=8: raw row count per bucket is now 9 (> 8) but the
+    // distinct-id count stays 6 (≤ 8) — replay must not trip the guard
+    val out = LshIndex.probe(spark, path, probe1, $"doc_id", $"text",
+        threshold = 0.6, maxBucketSize = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 6, s"one row per cross pair under replay, got ${out.length}")
+    assert(out.toSet.size === 6, "verify side must dedupe replayed shingle rows")
+    assert(out.forall(_._3 === 1.0))
+  }
+
   test("degenerate corpus buckets are dropped by maxBucketSize") {
     val repeated = (1L to 6L).map(i => (i, "the same exact document text"))
       .toDF("doc_id", "text")

@@ -69,6 +69,71 @@ class SrpIndexSpec extends SparkSpec {
       "candidate generation must broadcast the batch's buckets")
   }
 
+  test("probe scans only batch-hit bucket directories (partition prune)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = tmpDir("graft-srp-prune")
+    SrpIndex.build(corpus, $"vec_id", $"embedding", path, nBits = 4,
+      numShards = 64)
+    val totalBucketFiles =
+      spark.read.parquet(s"$path/buckets").inputFiles.length
+    val totalVectorFiles =
+      spark.read.parquet(s"$path/vectors").inputFiles.length
+    assert(totalBucketFiles > 2 && totalVectorFiles > 2,
+      "need more files than a 1-vector batch can hit")
+    // a single-vector batch hashes to exactly ONE srp bucket, so the
+    // bucket scan must open exactly one bucket directory; the vector
+    // side prunes to the candidates' id shards
+    val one = batch.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"embedding").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toDF("vec_id", "embedding")
+    val probed = SrpIndex.probe(spark, path, one, $"vec_id", $"embedding",
+      threshold = -1.0)
+    probed.collect()
+    val root = probed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    val scans = allFileScans(root)
+    def scansOf(table: String) = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(table)))
+    val bucketScans = scansOf("buckets")
+    val vectorScans = scansOf("vectors")
+    assert(bucketScans.nonEmpty && vectorScans.nonEmpty)
+    bucketScans.foreach { s =>
+      assert(s.toString.contains("PartitionFilters"),
+        "bucket predicate must land in PartitionFilters")
+      val n = s.metrics("numFiles").value
+      assert(n === 1L,
+        s"1-vector probe hits one srp bucket → one file, got $n of $totalBucketFiles")
+    }
+    vectorScans.foreach { s =>
+      val n = s.metrics("numFiles").value
+      assert(n < totalVectorFiles,
+        s"cosine verify must prune to candidate id shards, got $n of $totalVectorFiles")
+    }
+  }
+
+  test("replayed append changes neither probe pairs nor the bucket guard") {
+    val v = (0 until 64).map(_.toFloat)
+    val repeated = (1L to 6L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val probe1 = Seq((100L, v)).toDF("vec_id", "embedding")
+    val path = tmpDir("graft-srp-replay")
+    SrpIndex.build(repeated.filter($"vec_id" <= 3), $"vec_id", $"embedding",
+      path, nBits = 4)
+    val tail = repeated.filter($"vec_id" > 3)
+    SrpIndex.append(tail, $"vec_id", $"embedding", path)
+    // replay the SAME append: rows duplicate, ids do not
+    SrpIndex.append(tail, $"vec_id", $"embedding", path)
+    // maxBucketSize=8: raw rows per bucket now 9 (> 8), distinct ids 6
+    val out = SrpIndex.probe(spark, path, probe1, $"vec_id", $"embedding",
+        threshold = 0.35, maxBucketSize = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 6, s"one row per cross pair under replay, got ${out.length}")
+    assert(out.toSet.size === 6, "verify side must dedupe replayed vector rows")
+    assert(out.forall(_._3 === 1.0))
+  }
+
   test("degenerate corpus buckets are dropped by maxBucketSize") {
     val v = (0 until 64).map(_.toFloat)
     val repeated = (1L to 6L).map(i => (i, v)).toDF("vec_id", "embedding")
