@@ -74,6 +74,9 @@ object SparkEntry {
     "token_histogram" -> (Queries.tokenHistogram _),
     "q_heavy_hitters" -> (Queries.qHeavyHitters _),
     "subword_count" -> (Queries.subwordCount _),
+    "bpe_vocab" -> (Queries.bpeVocab _),
+    "bpe_tokenize" -> (Queries.bpeTokenize _),
+    "pack_sequences_bpe" -> (Queries.packSequencesBpe _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),

@@ -97,19 +97,21 @@ object Pack {
     * SQL-checkable: `seq_id = (sum(tokens) over (order by id) - tokens) //
     * budget`.
     *
-    * Output: `doc_id`, `tokens` (whitespace count,
-    * [[TextFunctions.tokenCount]]), `cum_tokens` (inclusive running total),
-    * `seq_id`.
+    * Output: `doc_id`, `tokens` (by `tokenCount` — whitespace
+    * [[TextFunctions.tokenCount]] by default; pass a trained
+    * [[Bpe.BpeModel]]`.tokenCount` to budget in real subword tokens),
+    * `cum_tokens` (inclusive running total), `seq_id`.
     */
   def packSequences(
       docs: DataFrame,
       id: Column,
       text: Column,
       budget: Long,
-      parallelism: Option[Int] = None): DataFrame = {
+      parallelism: Option[Int] = None,
+      tokenCount: Column => Column = TextFunctions.tokenCount): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val withTokens = docs.select(
-      id.as("doc_id"), TextFunctions.tokenCount(text).as("tokens"))
+      id.as("doc_id"), tokenCount(text).as("tokens"))
     prefixSum(withTokens, col("doc_id"), col("tokens"), "cum_tokens", parallelism)
       .withColumn("seq_id", expr(s"(cum_tokens - tokens) div $budget"))
   }

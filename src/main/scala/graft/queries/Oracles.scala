@@ -763,6 +763,13 @@ object Oracles {
         |  array_to_string(t[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Corpus-trained BPE: the frequency-ranked merge loop unrolled round
+    // by round (vocab head, pair counts, argmax, replace rewrite), then
+    // the rank-ordered replace chain applied to every word — see BpeSql
+    "bpe_vocab" -> BpeSql.bpeVocabSql,
+    "bpe_tokenize" -> BpeSql.bpeTokenizeSql,
+    "pack_sequences_bpe" -> BpeSql.packSequencesBpeSql,
+
     // IVF ANN: the deterministic Lloyd trainer replayed iteration by
     // iteration (assign / collect-in-id-order / fold-update), float-cast
     // centroids, ordered-fold cosines — see IvfSql

@@ -571,6 +571,47 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.subwordCount(col("text")).as("subwords"))
 
+  /** Corpus-trained BPE merge table (rank, lft, rgt): the published
+    * frequency-ranked pair-merge loop over the top-256 word types, 32
+    * merges — one word-count shuffle plus a bounded driver loop, and the
+    * DuckDB oracle replays every round exactly
+    * ([[graft.queries.BpeSql.bpeVocabSql]]). */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = graft.pipeline.Bpe.train(t(spark, dir, "documents"), col("text"),
+      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    m.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "lft", "rgt")
+  }
+
+  /** Real subword token counts per document: train BPE on the corpus
+    * (same parameters as [[bpeVocab]]), then apply the merge chain to
+    * every word — a codegen'd replace chain on the scan, no shuffle on
+    * the apply side. Output (doc_id, n_words, n_bpe) pins both the
+    * whitespace-word and subword budgets. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val m = graft.pipeline.Bpe.train(docs, col("text"),
+      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    docs.select(col("doc_id"),
+      size(graft.pipeline.Bpe.words(col("text"))).as("n_words"),
+      m.tokenCount(col("text")).as("n_bpe"))
+  }
+
+  /** [[packSequences]] with the budget denominated in REAL subword
+    * tokens: train BPE on the corpus, hand the model's counter to the
+    * distributed prefix sum. The whitespace budget under-counts ~1.3–1.7×
+    * on English — packing to 512 whitespace tokens overfills model
+    * context; this is the corrected pipeline. */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val m = graft.pipeline.Bpe.train(docs, col("text"),
+      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    graft.pipeline.Pack.packSequences(docs, col("doc_id"), col("text"),
+      budget = 512, tokenCount = m.tokenCount)
+  }
+
   /** Per-vector max-abs int8 quantization of the embedding column,
     * exploded to (vec_id, pos, q) integer rows for exact cross-engine
     * comparison. */
