@@ -36,12 +36,19 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact dedup at scale: groupBy a 64-bit fingerprint of the text rather
-    * than the text itself, so the shuffle carries 8 bytes per row instead of
-    * the document body. Collision probability at 2^64 is negligible for
-    * dedup purposes (and acceptable: a collision only drops one extra doc). */
+  /** Exact dedup at scale: groupBy a 128-bit fingerprint of the text rather
+    * than the text itself, so the shuffle carries 16 bytes per row instead
+    * of the document body. The key pairs two INDEPENDENT 64-bit hash
+    * families (the repo's FNV-1a expression and Spark's codegen'd XXH64) —
+    * a single 64-bit key would silently drop distinct documents by
+    * birthday collision at multi-billion-document scale (~n²/2⁶⁵; near
+    * certainty at 10B docs), while a colliding pair here requires both
+    * families to collide on the same texts (~n²/2¹²⁹). */
   def exactByFingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
-    exact(df.withColumn("__fp", T.fingerprint64(text)), col("__fp"), id)
+    exact(
+      df.withColumn("__fp",
+        struct(T.fingerprint64(text).as("fnv"), xxhash64(text).as("xxh"))),
+      col("__fp"), id)
       .drop("__fp")
 
   /** Candidate near-dup pairs by MinHash + LSH banding.

@@ -24,13 +24,19 @@ object Quality {
   val GopherStopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Per-document signals + pass flag: (id, n_tokens, mean_word_len,
-    * alpha_frac, n_stopwords, passes). */
+    * alpha_frac, n_stopwords, passes).
+    *
+    * Defaults are the PUBLISHED Gopher thresholds (50–100,000 words,
+    * mean word length 3–10, ≥ 80% alphabetic, ≥ 2 stopwords) — callers
+    * filtering a corpus with atypical document lengths (e.g. the test
+    * corpus's 10–99-token docs) must override explicitly rather than
+    * inherit demo-tuned numbers from the library. */
   def gopherSignals(
       df: DataFrame,
       id: Column,
       text: Column,
-      minTokens: Int = 30,
-      maxTokens: Int = 90,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
       minMeanWordLen: Double = 3.0,
       maxMeanWordLen: Double = 10.0,
       minAlphaFrac: Double = 0.8,

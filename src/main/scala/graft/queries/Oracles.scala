@@ -864,26 +864,33 @@ object Oracles {
         |FROM documents""".stripMargin,
 
     // thresholds compare the 6-dp ROUNDED ratios, exactly as the Spark
-    // side does, so boundary decisions are made on identical doubles
+    // side does, so boundary decisions are made on identical doubles;
+    // the empty-text guard mirrors Spark's tokens('') = [] (DuckDB's
+    // string_split_regex('', '\s+') would return [''] — 1 token), with
+    // NULL ratios and coalesced-false passes for zero-token docs
     "gopher_filters" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
         |  FROM documents),
         |sig AS (
         |  SELECT doc_id,
         |    CAST(len(t) AS INTEGER) AS n_tokens,
-        |    round(CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
-        |        AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
-        |    round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-        |        AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS alpha_frac,
+        |    CASE WHEN len(t) = 0 THEN NULL ELSE
+        |      round(CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |        AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) END AS mean_word_len,
+        |    CASE WHEN len(t) = 0 THEN NULL ELSE
+        |      round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+        |        AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) END AS alpha_frac,
         |    CAST(len(list_intersect(list_distinct(t),
         |      ['the', 'a', 'of', 'and', 'in', 'to', 'is'])) AS INTEGER)
         |      AS n_stopwords
         |  FROM d)
         |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, n_stopwords,
-        |  (n_tokens BETWEEN 30 AND 90
+        |  coalesce(n_tokens BETWEEN 30 AND 90
         |    AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND alpha_frac >= 0.8
-        |    AND n_stopwords >= 2) AS passes
+        |    AND n_stopwords >= 2, false) AS passes
         |FROM sig ORDER BY doc_id""".stripMargin)
 }

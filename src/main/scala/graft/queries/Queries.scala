@@ -507,10 +507,11 @@ object Queries {
     * this query checks their COMPOSITION against DuckDB end-to-end. Plan:
     * one corpus scan, one dedup shuffle, one agg shuffle — quality/lang
     * expressions run codegen'd between them. The dedup stage groups by a
-    * 64-bit fingerprint of the text (Dedup.exactByFingerprint), so the
-    * shuffle carries an 8-byte key instead of sorting document bodies — at
-    * 100 TB a window keyed by a multi-KB string is a sort on the corpus
-    * itself. The text-keyed Dedup.exact remains the collision cross-check
+    * 128-bit fingerprint of the text (Dedup.exactByFingerprint — FNV-1a ×
+    * XXH64, collision-safe past 10¹⁰ documents), so the shuffle carries a
+    * 16-byte key instead of sorting document bodies — at 100 TB a window
+    * keyed by a multi-KB string is a sort on the corpus itself. The
+    * text-keyed Dedup.exact remains the collision cross-check
     * as the standalone dedup_exact query. The mean goes through DECIMAL so
     * aggregation order cannot perturb bits (quality is already 6-dp-rounded
     * per row). */
@@ -987,14 +988,15 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_id"))
 
   /** Gopher-style document quality rules ([[graft.pipeline.Quality]]) —
-    * the published heuristic filter set, with thresholds scaled to this
-    * corpus's 10-99-token documents: token count in [30, 90], mean word
-    * length in [3, 10], ≥ 80% alphabetic tokens, ≥ 2 distinct stopwords.
-    * Row-local codegen'd pass; the presentation sort is the only
-    * exchange. */
+    * the published heuristic filter set. The library ships the PUBLISHED
+    * thresholds (50–100,000 words); this corpus's documents are 10–99
+    * tokens, so the token band is overridden EXPLICITLY here to [30, 90]
+    * — the other thresholds (mean word length [3, 10], ≥ 80% alphabetic,
+    * ≥ 2 distinct stopwords) are the published values. Row-local
+    * codegen'd pass; the presentation sort is the only exchange. */
   def gopherFilters(spark: SparkSession, dir: String): DataFrame =
     Quality.gopherSignals(t(spark, dir, "documents"),
-        col("doc_id"), col("text"))
+        col("doc_id"), col("text"), minTokens = 30, maxTokens = 90)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 }

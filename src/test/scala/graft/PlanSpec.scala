@@ -46,11 +46,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     // only doc_id + text are read; corpus metadata columns must be pruned
     assert(!p.contains("n_chars"), "unused document columns pruned from the scan")
-    // the dedup exchange must be keyed by the 64-bit fingerprint, not the
+    // the dedup exchange must be keyed by the 128-bit fingerprint, not the
     // document body — a window partitioned by a multi-KB string is a sort
     // on the corpus itself at 100 TB
     assert(p.contains("hashpartitioning(__fp"),
-      "dedup shuffle keyed by the 8-byte fingerprint")
+      "dedup shuffle keyed by the 16-byte fingerprint")
     assert(!p.contains("hashpartitioning(text"),
       "document bodies must not be a shuffle key")
   }

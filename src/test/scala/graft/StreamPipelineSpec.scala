@@ -47,7 +47,7 @@ class StreamPipelineSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val q = Quality.gopherSignals(input.toDF().toDF("doc_id", "text"),
-        col("doc_id"), col("text"))
+        col("doc_id"), col("text"), minTokens = 30, maxTokens = 90)
       .writeStream.format("memory").queryName("stream_gopher").start()
     try {
       docs.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
@@ -55,7 +55,7 @@ class StreamPipelineSpec extends SparkSpec {
         .as[(Long, Int, Option[Double], Option[Double], Int, Boolean)]
         .collect().toSeq
       val batch = Quality.gopherSignals(docs.toDF("doc_id", "text"),
-          col("doc_id"), col("text"))
+          col("doc_id"), col("text"), minTokens = 30, maxTokens = 90)
         .orderBy("id")
         .as[(Long, Int, Option[Double], Option[Double], Int, Boolean)]
         .collect().toSeq
