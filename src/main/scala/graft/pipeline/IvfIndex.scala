@@ -20,6 +20,13 @@ import graft.functions.{VectorFunctions => V}
   *     `cell IN (...)` filter is a partition-directory prune, so a probe
   *     of 2 of 16 cells reads ~1/8 of the corpus bytes no matter how big
   *     the corpus is. Candidate re-rank is the shared exact-cosine top-k.
+  *   - `append` admits new vectors WITHOUT retraining: assign the batch
+  *     to the EXISTING centroids (one broadcast pass over the batch
+  *     only — the corpus is never re-read) and append into the cell
+  *     directories. The returned [[AppendStats]] carries the staleness
+  *     signal: when the batch's mean assigned-cosine falls well below
+  *     the build-time mean, new data has drifted off the trained
+  *     centroids and recall is decaying — time to re-`build`.
   *
   * Results are IDENTICAL to [[Similarity.ivfTopK]] for equal parameters
   * (same bounded orderBy+limit sample, same Lloyd iterations, same
@@ -27,6 +34,18 @@ import graft.functions.{VectorFunctions => V}
   * in-memory path's recall bounds.
   */
 object IvfIndex {
+
+  /** Drift report from one [[append]]: how well the new batch fits the
+    * centroids the index was built with. `drift` > 0 means the batch
+    * sits farther from its assigned centroids than the build corpus did
+    * (mean assigned-cosine dropped by that much); callers re-`build`
+    * when it exceeds their recall tolerance. */
+  final case class AppendStats(
+      nAppended: Long,
+      batchMeanCosine: Double,
+      buildMeanCosine: Double) {
+    def drift: Double = buildMeanCosine - batchMeanCosine
+  }
 
   /** Build the index at `path` (overwrites): `path/centroids` (cell, cvec)
     * and `path/cells/cell=N/...` with (id, vec) rows. `repartition(cell)`
@@ -41,13 +60,53 @@ object IvfIndex {
       nCells: Int = 16,
       sampleSize: Int = 2000,
       iterations: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val prepared = corpus.select(id.cast("long").as("id"), vec.as("vec"))
     val centroidDf =
       Similarity.trainCentroidsDf(prepared, nCells, sampleSize, iterations)
     centroidDf.write.mode("overwrite").parquet(s"$path/centroids")
-    Similarity.assignCells(prepared, centroidDf)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val assigned = Similarity.assignCellsWithDist(prepared, centroidDf).persist()
+    try {
+      assigned.select("id", "vec", "cell")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      // build-time mean assigned-cosine: the baseline append's drift
+      // metric compares against (persisted so the agg re-reads cached
+      // rows, not the corpus)
+      val mean = assigned.agg(avg(col("cdist"))).head().getDouble(0)
+      Seq(mean).toDF("build_mean_cosine")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    } finally assigned.unpersist()
+  }
+
+  /** Append a batch of new vectors — the steady-state ingest step.
+    * Assignment uses the centroids as built (no retrain, no corpus
+    * re-read); rows land in the existing `cell=N` directories so `topK`
+    * probes see them immediately with the same directory prune. Returns
+    * the batch's [[AppendStats]] — stamp it somewhere durable and
+    * re-`build` when cumulative drift exceeds tolerance. */
+  def append(
+      batch: DataFrame,
+      id: Column,
+      vec: Column,
+      path: String): AppendStats = {
+    val spark = batch.sparkSession
+    val centroidDf = spark.read.parquet(s"$path/centroids")
+    val prepared = batch.select(id.cast("long").as("id"), vec.as("vec"))
+    val assigned = Similarity.assignCellsWithDist(prepared, centroidDf).persist()
+    try {
+      assigned.select("id", "vec", "cell")
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      val row = assigned.agg(
+        count(lit(1)).as("n"), avg(col("cdist")).as("m")).head()
+      val buildMean = spark.read.parquet(s"$path/stats")
+        .select("build_mean_cosine").head().getDouble(0)
+      val n = row.getLong(0)
+      AppendStats(n,
+        if (n == 0) buildMean else row.getDouble(1), buildMean)
+    } finally assigned.unpersist()
   }
 
   /** The cell-pruned corpus scan a probe set touches — exposed so callers

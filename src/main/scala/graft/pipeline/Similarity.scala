@@ -135,17 +135,23 @@ object Similarity {
     ).toDF("cell", "cvec")
   }
 
-  /** Assign each corpus row to its nearest cell (broadcast centroids).
-    * Returns (id, vec, cell). */
-  private[pipeline] def assignCells(
+  /** Assign each corpus row to its nearest cell (broadcast centroids),
+    * keeping the winning cosine. Returns (id, vec, cell, cdist). */
+  private[pipeline] def assignCellsWithDist(
       corpus: DataFrame, centroidDf: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("id")).orderBy(col("cdist").desc, col("cell"))
     corpus.join(broadcast(centroidDf))
       .withColumn("cdist", V.cosine(col("vec"), col("cvec")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
-      .select("id", "vec", "cell")
+      .select("id", "vec", "cell", "cdist")
   }
+
+  /** Assign each corpus row to its nearest cell (broadcast centroids).
+    * Returns (id, vec, cell). */
+  private[pipeline] def assignCells(
+      corpus: DataFrame, centroidDf: DataFrame): DataFrame =
+    assignCellsWithDist(corpus, centroidDf).select("id", "vec", "cell")
 
   /** Each query's `nProbe` nearest cells. Returns (qid, qvec, cell). */
   private[pipeline] def probeCells(

@@ -66,4 +66,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(all.inputFiles.length === nonEmptyCells,
       "cell-clustered layout: exactly one parquet file per cell")
   }
+
+  test("build+append equals fresh build: same assignments, same probe results") {
+    // the build sample is orderBy(id).limit(sampleSize); keeping the
+    // sample inside the build subset makes the two indexes train
+    // IDENTICAL centroids, so build(A)+append(B) must equal build(A∪B)
+    // row-for-row — assignment against fixed centroids is batch-oblivious
+    val a = corpus.filter(col("id") < 300)
+    val b = corpus.filter(col("id") >= 300)
+    val incr = tmpDir("graft-ivf-incr")
+    val fresh = tmpDir("graft-ivf-fresh")
+    IvfIndex.build(a, col("id"), col("vec"), incr, nCells = 8, sampleSize = 200)
+    val stats = IvfIndex.append(b, col("id"), col("vec"), incr)
+    IvfIndex.build(corpus, col("id"), col("vec"), fresh, nCells = 8, sampleSize = 200)
+    val cellsOf = (p: String) => spark.read.parquet(s"$p/cells")
+      .select("id", "cell").orderBy("id").collect().toSeq
+    assert(stats.nAppended === b.count())
+    assert(cellsOf(incr) === cellsOf(fresh),
+      "appended vectors land in exactly the cells a fresh build assigns")
+    val topOf = (p: String) => IvfIndex.topK(spark, p, queries, k = 5, nProbe = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(topOf(incr) === topOf(fresh))
+  }
+
+  test("append stamps a drift metric against the build-time mean cosine") {
+    val path = tmpDir("graft-ivf-drift")
+    IvfIndex.build(corpus, col("id"), col("vec"), path, nCells = 8,
+      sampleSize = 200)
+    // same-distribution batch: drift should be small and the means sane
+    val stats = IvfIndex.append(
+      corpus.filter(col("id") >= 450).withColumn("id", col("id") + 1000),
+      col("id"), col("vec"), path)
+    assert(stats.nAppended === 50)
+    assert(stats.buildMeanCosine > 0.0 && stats.buildMeanCosine <= 1.0)
+    assert(stats.batchMeanCosine > 0.0 && stats.batchMeanCosine <= 1.0)
+    assert(math.abs(stats.drift) < 0.5,
+      s"same-distribution append must not report catastrophic drift: $stats")
+    // metric direction: a batch of the centroid vectors themselves fits
+    // perfectly (self-cosine 1), so its drift must be negative
+    val perfect = IvfIndex.append(
+      spark.read.parquet(s"$path/centroids")
+        .select((col("cell") + 9000).cast("long").as("id"),
+          col("cvec").as("vec")),
+      col("id"), col("vec"), path)
+    assert(perfect.batchMeanCosine > 0.999,
+      s"centroids assigned to themselves: $perfect")
+    assert(perfect.drift < 0,
+      s"a perfectly-fitting batch must report negative drift: $perfect")
+  }
 }
