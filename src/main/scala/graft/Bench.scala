@@ -74,7 +74,7 @@ object Bench {
     val whDir = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
     val wh = Warehouse(whDir)
     TopicCatalog.createTopic(spark, wh, "events", 8)
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.queries.Queries.events(spark, sfDir)
       .select(col("event_id"), col("ts"),
         col("user_id").cast("string").as("key"), col("props").as("value"))
     ingestRecords = events.count()

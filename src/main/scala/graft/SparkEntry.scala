@@ -83,6 +83,7 @@ object SparkEntry {
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),
+    "multimodal_decode_audio" -> (Queries.multimodalDecodeAudio _),
     "compact_topic" -> (Queries.compactTopic _),
     "dup_clusters" -> (Queries.dupClusters _),
     "decontaminate" -> (Queries.decontaminate _),

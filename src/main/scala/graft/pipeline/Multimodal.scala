@@ -149,6 +149,91 @@ object Multimodal {
     }
   }
 
+  /** Decoded-audio record produced by the partition-local audio path.
+    * `amp_sum`/`sq_sum` are integer-exact PCM statistics (sum of |s| and of
+    * s², both over all interleaved 16-bit samples) so an oracle can replay
+    * them bit-for-bit — a float RMS would drift across platforms. */
+  case class DecodedAudio(
+      id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      amp_sum: Long,
+      sq_sum: Long)
+
+  /** Partition-local audio decode: one [[AudioDecoder]] per partition, same
+    * batch shape as [[decodePartitions]]. Input: (id: Long, content: binary
+    * WAV/AIFF payloads). */
+  def decodeAudioPartitions(
+      df: DataFrame,
+      id: Column,
+      content: Column): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), content.cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new AudioDecoder // one instance per partition
+        rows.collect { case (i, bytes) if bytes != null =>
+          decoder.decode(i, bytes)
+        }
+      }
+  }
+
+  /** Real JDK audio decoder: `javax.sound.sampled.AudioSystem` parses
+    * WAV/AIFF/AU containers with no external dependency. Reads true format
+    * metadata (sample rate, channel count, frame length) from the codec
+    * header and decodes the 16-bit PCM frames — honoring the container's
+    * declared endianness (WAV little, AIFF big) — into exact integer
+    * amplitude statistics. Payloads the JDK cannot parse fall back to a
+    * deterministic pseudo-decode so mixed corpora flow without a filter
+    * pass, mirroring [[ImageDecoder]]'s treatment. */
+  final class AudioDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): DecodedAudio = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (ais == null) pseudo(id, bytes)
+      else {
+        val fmt = ais.getFormat
+        val rate = fmt.getSampleRate.toInt
+        val ch = fmt.getChannels
+        val frames = ais.getFrameLength
+        val big = fmt.isBigEndian
+        val data = ais.readAllBytes()
+        var ampSum = 0L
+        var sqSum = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+            else ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+          ampSum += math.abs(s)
+          sqSum += s.toLong * s
+          i += 2
+        }
+        DecodedAudio(id, rate, ch, frames, frames * 1000L / rate, ampSum, sqSum)
+      }
+    }
+
+    /** Deterministic fallback for non-audio payloads (FNV-1a over bytes,
+      * like [[StubDecoder]]). */
+    private def pseudo(id: Long, bytes: Array[Byte]): DecodedAudio = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+        i += 1
+      }
+      val rate = 8000 + (math.abs(h % 3L)).toInt * 4000
+      val frames = 50L + math.abs((h >> 8) % 151L)
+      DecodedAudio(id, rate, 1, frames, frames * 1000L / rate,
+        math.abs(h % 1000000L), math.abs((h >> 16) % 1000000L))
+    }
+  }
+
   /** Deterministic stand-in for a native media decoder. Holds "expensive"
     * per-partition state (the feature buffer) like a real codec context. */
   final class StubDecoder(featureDim: Int) extends Serializable {

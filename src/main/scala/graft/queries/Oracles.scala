@@ -570,6 +570,29 @@ object Oracles {
         |  CAST(3 AS INTEGER) AS bands
         |FROM documents""".stripMargin,
 
+    // the Spark side ENCODES a real WAV per doc (PCM synthesized from doc_id
+    // arithmetic) and decodes it back with the real javax.sound decoder; the
+    // oracle replays the synthesis — header fields AND exact PCM statistics
+    // must survive the container round-trip to match
+    "multimodal_decode_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |    CAST(50 + doc_id % 151 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, sample_rate, channels, n_frames,
+        |    list_transform(
+        |      generate_series(0, CAST(n_frames * channels AS INTEGER) - 1),
+        |      i -> (doc_id * 2654435761 + i * 104729) % 65536 - 32768) AS samp
+        |  FROM d)
+        |SELECT doc_id, sample_rate, channels, n_frames,
+        |  n_frames * 1000 // sample_rate AS duration_ms,
+        |  CAST(list_sum(list_transform(samp, x -> abs(x))) AS BIGINT) AS amp_sum,
+        |  CAST(list_sum(list_transform(samp, x -> x * x)) AS BIGINT) AS sq_sum
+        |FROM s""".stripMargin,
+
     // compaction survivor per key = the key's max-ord record (keyed routing
     // confines each key to one partition; offsets follow ord within it)
     "compact_topic" ->

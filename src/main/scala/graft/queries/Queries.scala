@@ -21,10 +21,18 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` as long nanos (the session reads TIMESTAMP(NANOS) via
-    * nanosAsLong). */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+  /** events with `ts` as long epoch nanos, whichever physical type the
+    * driver generated: TIMESTAMP(NANOS) parquet arrives as LongType already
+    * (session sets nanosAsLong), while timestamp[us] arrives as
+    * TIMESTAMP_NTZ and is converted via unix_micros under the UTC session —
+    * both agree with DuckDB's `epoch_ns(ts)` on the same file. */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
 
   // ===================== flux-core: log engine semantics =====================
 
@@ -756,6 +764,46 @@ object Queries {
       .toDF()
       .select(col("id").as("doc_id"), col("width"), col("height"),
         col("channels").as("bands"))
+  }
+
+  /** REAL audio decode with a SQL oracle: deterministic 16-bit PCM WAVs are
+    * encoded in-query (`javax.sound.sampled`, partition-local — the corpus
+    * has no audio bytes, so the query synthesizes rate/channels/frames and
+    * samples from doc_id arithmetic), then decoded back by the real
+    * [[Multimodal.AudioDecoder]]. The oracle replays the synthesis
+    * arithmetic — only a true container parse (header rate/channels/frame
+    * count) plus an exact little-endian PCM read reproduces every column.
+    * Encode and decode are both partition-local: no shuffle. */
+  def multimodalDecodeAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val wav = ids.mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000 + (id % 3).toInt * 4000
+        val ch = (id % 2 + 1).toInt
+        val frames = 50 + (id % 151).toInt
+        val n = frames * ch
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 2654435761L + i.toLong * 104729L) % 65536L) - 32768L).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("id", "content")
+    Multimodal.decodeAudioPartitions(wav, col("id"), col("content"))
+      .toDF()
+      .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"), col("amp_sum"), col("sq_sum"))
   }
 
   // compact_topic warehouses, memoized per input dir: Bench/TimeQuery and

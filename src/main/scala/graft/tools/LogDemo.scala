@@ -32,7 +32,7 @@ object LogDemo {
     val topic = TopicCatalog.createTopic(spark, wh, "events", 4, 1)
     println(s"== created topic: $topic")
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.queries.Queries.events(spark, sfDir)
       .select(col("event_id"), col("ts").cast("long").as("ts"),
         col("user_id").cast("string").as("key"), col("props").as("value"))
     val res = LogWriter.append(spark, wh, "events", events, "event_id")

@@ -495,7 +495,7 @@ class GroupsStreamingSpec extends SparkSpec {
       .selectExpr("cast(user_id as string)", "session_start", "duration_ms", "n_events")
       .as[(String, Long, Long, Long)].collect().toSet
 
-    val rows = spark.read.parquet(s"$dir/events.parquet")
+    val rows = graft.queries.Queries.events(spark, dir)
       .selectExpr("cast(user_id as string) AS userId", "ts div 1000000 AS ts_ms",
         "event_id AS eventId")
       .as[(String, Long, Long)].collect()
