@@ -109,6 +109,15 @@ object IvfIndex {
     } finally assigned.unpersist()
   }
 
+  /** Compact the index — see [[LshIndex.compact]] / [[IndexMaintenance]]:
+    * each `cell=N` directory collapses to a single file with one (id, vec)
+    * row per id, so a long append history (one file per cell per batch)
+    * stops taxing every probe's file opens, and any duplicate rows a
+    * replayed append or torn compact left are collected. */
+  def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
+    IndexMaintenance.compactTable(spark, s"$path/cells",
+      _.groupBy("id").agg(first(col("vec")).as("vec")))
+
   /** The cell-pruned corpus scan a probe set touches — exposed so callers
     * (and specs) can assert the file pruning. `cells` is metadata-scale
     * (bounded by nCells). */

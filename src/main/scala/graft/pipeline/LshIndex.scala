@@ -171,6 +171,38 @@ object LshIndex {
     survivors
   }
 
+  /** [[ingestBatch]] with the persist lifecycle owned INTERNALLY: runs
+    * `sink` on the survivors and unpersists in a finally — the
+    * `foreachBatch` shape for a long-lived streaming query, where leaving
+    * one persisted frame per micro-batch ([[ingestBatch]]'s
+    * caller-unpersists contract) would leak block-manager memory for the
+    * life of the query. */
+  def curateInto[T](
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double = 0.6,
+      maxBucketSize: Long = 2000)(sink: DataFrame => T): T = {
+    val survivors =
+      ingestBatch(spark, path, batch, id, text, threshold, maxBucketSize)
+    try sink(survivors)
+    finally { survivors.unpersist(); () }
+  }
+
+  /** Compact the index: rewrite every shard directory that accumulated
+    * more than one file (one per [[append]]/[[ingestBatch]] per hit
+    * shard) into a single file, de-duplicating rows a replayed append
+    * left behind — see [[IndexMaintenance]] for the crash contract.
+    * Probe results are unchanged (spec-pinned): buckets collapse to
+    * distinct (id, band, bucket) rows, shingles to one row per id —
+    * exactly the normalizations probe applies on read. */
+  def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
+    IndexMaintenance.compactTable(spark, s"$path/buckets", _.distinct()) +
+      IndexMaintenance.compactTable(spark, s"$path/shingles",
+        _.groupBy("id").agg(first(col("shingles")).as("shingles")))
+
   /** Near-duplicate pairs between a new batch and the indexed corpus:
     * (batch_id, corpus_id, jaccard) with jaccard ≥ `threshold`, one row
     * per cross pair. The batch side is broadcast through candidate

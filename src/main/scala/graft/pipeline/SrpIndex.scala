@@ -82,6 +82,14 @@ object SrpIndex {
       "append")
   }
 
+  /** Compact the index — see [[LshIndex.compact]] / [[IndexMaintenance]]:
+    * buckets collapse to distinct id rows per bucket directory, vectors to
+    * one row per id; probe results are unchanged. */
+  def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
+    IndexMaintenance.compactTable(spark, s"$path/buckets", _.distinct()) +
+      IndexMaintenance.compactTable(spark, s"$path/vectors",
+        _.groupBy("id").agg(first(col("v")).as("v")))
+
   /** The bucket-pruned scan a probe's bucket set touches — exposed so
     * callers (and specs) can assert the directory pruning. */
   def prunedBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame =

@@ -1,0 +1,71 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.SparkSession
+import graft.core.catalog.Warehouse
+import graft.streaming.{Curation, CurationConfig, StreamIngest}
+
+/** Cross-JVM crash/replay harness for the COMPOSED curation pipeline
+  * ([[graft.streaming.Curation]]) — the end-to-end sibling of
+  * [[ConsumeCrash]]: each run is one process in the exactly-once story, so
+  * `CurateCrashSpec` can prove that a batch which ran the ENTIRE body
+  * (gopher → chunk → LSH ingest → curated append) but never committed is
+  * replayed from a fresh JVM into a no-op — no curated chunk lost, none
+  * double-appended, no dedup verdict flipped.
+  *
+  * {{{ runMain graft.tools.CurateCrash <crash|resume> <whDir> <ckptDir> <indexPath> <outFile> }}}
+  *
+  *   - `crash`: drain once; the foreachBatch body COMPLETES (curated
+  *     append + index append both landed) and then throws — the worst
+  *     crash point, maximally after the side effects, before the commit.
+  *   - `resume`: drain normally from the same checkpoint; the engine
+  *     replays the crashed batchId first, then delivers anything new.
+  *
+  * Output lines: `batchId nRecords` per delivered batch. The curation
+  * config matches the spec's short synthetic documents (the published
+  * gopher bands would reject them — overridden explicitly, as the library
+  * requires). */
+object CurateCrash {
+
+  /** Shared by harness and spec so both sides curate identically. */
+  val TestConfig: CurationConfig = CurationConfig(
+    minTokens = 5, maxTokens = 500,
+    minMeanWordLen = 2.0, maxMeanWordLen = 12.0,
+    minAlphaFrac = 0.5, minStopwords = 0,
+    chunkSize = 16, overlap = 4,
+    threshold = 0.6)
+
+  def main(args: Array[String]): Unit = {
+    val Array(mode, whDir, ckpt, indexPath, outFile) = args.take(5)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-curate-$mode")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wh = Warehouse(whDir)
+
+    val q = StreamIngest.consumeAvailableNow(spark, wh, "docs", ckpt) {
+      (records, batchId) =>
+        Curation.runBatch(spark, wh, "curated", indexPath, records, batchId,
+          TestConfig)
+        Files.write(Paths.get(outFile),
+          s"$batchId ${records.count()}\n".getBytes(UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        // the injected failure fires AFTER every side effect of the batch
+        // (curated append + index append) — the engine never commits it
+        if (mode == "crash") throw new RuntimeException("injected crash")
+    }
+    val failed =
+      try { q.awaitTermination(120000); false }
+      catch { case _: Exception => true }
+    spark.stop()
+    if (mode == "crash") sys.exit(if (failed) 0 else 3)
+    sys.exit(if (failed) 2 else 0)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.pipeline.{IvfIndex, LshIndex, SrpIndex}
+
+/** Index compaction ([[graft.pipeline.IndexMaintenance]]): after a history
+  * of appends — including a replayed one — `compact` collapses every
+  * partition directory to a single file, and probe/top-k results are
+  * IDENTICAL before and after (compaction also garbage-collects the
+  * replay's duplicate rows, which the probes tolerated but paid file opens
+  * for). */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** data files per partition directory of a partitioned table. */
+  private def filesPerDir(table: String): Map[String, Int] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(new Configuration())
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).count { f =>
+          val n = f.getPath.getName
+          !f.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }.toMap
+  }
+
+  test("LshIndex.compact: one file per shard, probe pairs unchanged") {
+    val path = tmpDir("graft-lsh-compact")
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    val batch = docs.filter($"doc_id" % 4 === 0)
+    LshIndex.build(corpus.filter($"doc_id" % 2 === 1), $"doc_id", $"text",
+      path, shingleSize = 5, numHashes = 128, bands = 16)
+    val tail = corpus.filter($"doc_id" % 2 === 0)
+    LshIndex.append(tail, $"doc_id", $"text", path)
+    LshIndex.append(tail, $"doc_id", $"text", path) // replayed append
+    assert(filesPerDir(s"$path/buckets").values.max > 1,
+      "appends must have accumulated multiple files per shard")
+    def run() =
+      LshIndex.probe(spark, path, batch, $"doc_id", $"text", threshold = 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    val before = run()
+    assert(before.nonEmpty)
+    val stats = LshIndex.compact(spark, path)
+    assert(stats.dirsCompacted > 0 && stats.filesRemoved > stats.dirsCompacted)
+    assert(filesPerDir(s"$path/buckets").values.forall(_ == 1),
+      "every bucket shard dir must hold exactly one file after compact")
+    assert(filesPerDir(s"$path/shingles").values.forall(_ == 1),
+      "every shingle shard dir must hold exactly one file after compact")
+    assert(run() === before, "probe pairs must be identical after compact")
+    // idempotent: a second compact finds nothing to do
+    assert(LshIndex.compact(spark, path).dirsCompacted === 0)
+  }
+
+  test("SrpIndex.compact: one file per dir, probe pairs unchanged") {
+    val path = tmpDir("graft-srp-compact")
+    val corpus = emb.filter($"vec_id" % 4 =!= 0)
+    val batch = emb.filter($"vec_id" % 4 === 0)
+    SrpIndex.build(corpus.filter($"vec_id" % 2 === 1),
+      $"vec_id", $"embedding", path, nBits = 4)
+    val tail = corpus.filter($"vec_id" % 2 === 0)
+    SrpIndex.append(tail, $"vec_id", $"embedding", path)
+    SrpIndex.append(tail, $"vec_id", $"embedding", path) // replayed append
+    def run() =
+      SrpIndex.probe(spark, path, batch, $"vec_id", $"embedding",
+          threshold = 0.35)
+        .as[(Long, Long, Double)].collect().toSet
+    val before = run()
+    assert(before.nonEmpty)
+    val stats = SrpIndex.compact(spark, path)
+    assert(stats.dirsCompacted > 0)
+    assert(filesPerDir(s"$path/buckets").values.forall(_ == 1))
+    assert(filesPerDir(s"$path/vectors").values.forall(_ == 1))
+    assert(run() === before)
+  }
+
+  test("IvfIndex.compact: one file per cell, topK identical, dup rows collected") {
+    val path = tmpDir("graft-ivf-compact")
+    val corpus = emb.filter($"vec_id" % 4 =!= 0)
+    val queries = emb.filter($"vec_id" % 4 === 0).limit(5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    IvfIndex.build(corpus.filter($"vec_id" % 2 === 1),
+      $"vec_id", $"embedding", path, nCells = 8)
+    val tail = corpus.filter($"vec_id" % 2 === 0)
+    IvfIndex.append(tail, $"vec_id", $"embedding", path)
+    IvfIndex.append(tail, $"vec_id", $"embedding", path) // replayed append
+    // the replay duplicated (id, vec) rows — compaction must collapse them
+    val rawRows = spark.read.parquet(s"$path/cells").count()
+    def run() =
+      IvfIndex.topK(spark, path, queries, k = 5, nProbe = 2)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val stats = IvfIndex.compact(spark, path)
+    assert(stats.dirsCompacted > 0)
+    assert(filesPerDir(s"$path/cells").values.forall(_ == 1))
+    val compactRows = spark.read.parquet(s"$path/cells").count()
+    assert(compactRows < rawRows, "duplicate vector rows must be collected")
+    assert(compactRows === corpus.count())
+    // fresh single-copy index as the ground truth for topK equality
+    val fresh = tmpDir("graft-ivf-compact-fresh")
+    IvfIndex.build(corpus.filter($"vec_id" % 2 === 1),
+      $"vec_id", $"embedding", fresh, nCells = 8)
+    IvfIndex.append(tail, $"vec_id", $"embedding", fresh)
+    val expected = IvfIndex.topK(spark, fresh, queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(run() === expected,
+      "topK after compact must equal the single-copy index")
+  }
+}
