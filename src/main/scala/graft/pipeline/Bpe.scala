@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   *     frequent pair everywhere (left-to-right, non-overlapping), ties
   *     broken (count DESC, pair ASC) for determinism.
   *   - '''apply''': a trained [[BpeModel]] turns any word into subword
-  *     pieces by replaying the merges in rank order. The implementation is
-  *     a chain of built-in codegen'd `replace` calls over a
+  *     pieces by replaying the merges in rank order over a
   *     separator-wrapped segmentation string (each symbol wrapped as
-  *     `␟sym␟`, merges rewrite `␟a␟␟b␟ → ␟ab␟`), so application is pure
-  *     whole-stage-codegen column arithmetic — no UDF, no shuffle, and
-  *     bit-replayable by the DuckDB oracle ([[graft.queries.BpeSql]]).
+  *     `␟sym␟`, merges rewrite `␟a␟␟b␟ → ␟ab␟`). The implementation is
+  *     ONE codegen'd expression carrying the whole ranked table as a plan
+  *     reference object ([[graft.functions.BpeFunctions]]) — plan size is
+  *     O(1) in the vocabulary, whole-stage codegen stays intact at 50k
+  *     merges, and the replay is bit-identical to the unrolled
+  *     `replace` chain the DuckDB oracle executes
+  *     ([[graft.queries.BpeSql]]; equivalence property-checked).
   *
   * Merges-in-rank-order application is equivalent to the published
   * greedy lowest-rank-first loop because training ranks are topologically
@@ -37,9 +40,11 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: training is one word-count shuffle (words, not documents,
   * and combiner-reduced map-side) plus a driver loop over ≤ `maxWords`
-  * short strings; application is per-row compute on the scan. The model
-  * itself is a few KB of merges — a literal in the plan, no broadcast
-  * needed. */
+  * short strings; application is per-row compute on the scan, costing
+  * O(word-len × merges-APPLIED-to-it) with O(1) table lookups — the
+  * vocabulary size never enters the plan or the per-row bound. The model
+  * itself (≲ a few hundred KB at 50k merges) rides in the plan's
+  * reference array, no broadcast needed. */
 object Bpe {
 
   /** Symbol separator — U+001F (unit separator), never present in
@@ -56,8 +61,23 @@ object Bpe {
   final case class BpeModel(merges: Seq[(String, String)]) {
 
     /** Wrapped segmentation of a word column after replaying all merges:
-      * `"lower"` → `"␟l␟␟o␟␟w␟␟er␟"` (with (e,r) merged). */
-    def segment(word: Column): Column = {
+      * `"lower"` → `"␟l␟␟o␟␟w␟␟er␟"` (with (e,r) merged). ONE codegen'd
+      * expression carrying the whole table as a plan reference object
+      * ([[graft.functions.BpeFunctions]]) — plan size is O(1) in the
+      * merge count, so a 30k-merge production vocabulary applies exactly
+      * like the 32-merge demo (spec-pinned at 1,000+ merges with
+      * codegen-fallback disabled). */
+    def segment(word: Column): Column =
+      graft.functions.BpeFunctions.segment(word, merges, Sep)
+
+    /** The unrolled replace-chain form of [[segment]] — one built-in
+      * `replace` per merge. Byte-identical output (the spec
+      * property-checks it against [[segment]] on random trained tables);
+      * kept as the executable mirror of the SQL oracle's rank-order
+      * replay, and as a demonstration of why the expression form exists:
+      * this plan grows linearly in merges and breaks whole-stage codegen
+      * near ~1k. Do not use on production vocabularies. */
+    private[graft] def segmentUnrolled(word: Column): Column = {
       val wrapped = regexp_replace(word, "(.)", Sep + "$1" + Sep)
       merges.foldLeft(wrapped) { case (seg, (l, r)) =>
         replace(seg, lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
@@ -91,7 +111,19 @@ object Bpe {
 
   /** Train on a corpus: one word-frequency shuffle, top-`maxWords` types
     * to the driver, then the published merge loop. Deterministic for a
-    * fixed corpus (ties: frequency DESC, word ASC / pair ASC). */
+    * fixed corpus (ties: frequency DESC, word ASC / pair ASC).
+    *
+    * `maxWords` is the CORPUS-SAMPLING bound: the merge loop sees pair
+    * statistics from the `maxWords` most frequent word types only. Under
+    * a Zipfian word distribution the frequency head carries almost all
+    * pair mass, so a few thousand types reproduce the head of a
+    * full-corpus merge table; raise it with the target vocabulary (a
+    * 30k-merge vocabulary wants ~100k types) — the cost is driver memory
+    * O(maxWords × word-len) and merge-loop time
+    * O(numMerges × maxWords × word-len), never an executor or shuffle
+    * cost. Tail-word pair statistics outside the bound do not influence
+    * the table; that is the standard trade every published trainer makes
+    * via min-frequency cutoffs. */
   def train(
       corpus: DataFrame,
       text: Column,
