@@ -84,6 +84,7 @@ object SparkEntry {
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),
     "multimodal_decode_audio" -> (Queries.multimodalDecodeAudio _),
+    "multimodal_decode_video" -> (Queries.multimodalDecodeVideo _),
     "compact_topic" -> (Queries.compactTopic _),
     "dup_clusters" -> (Queries.dupClusters _),
     "decontaminate" -> (Queries.decontaminate _),

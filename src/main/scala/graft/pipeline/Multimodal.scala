@@ -202,6 +202,16 @@ object Multimodal {
         val ch = fmt.getChannels
         val frames = ais.getFrameLength
         val big = fmt.isBigEndian
+        // the integer-exact statistics below assume 16-bit signed PCM; a
+        // parseable-but-different payload (8-bit PCM, u-law/a-law AU,
+        // float WAV) or a header with unspecified/zero rate or negative
+        // frame count must take the fallback, not silently mis-decode
+        // (mirrors ImageDecoder: anything the real path cannot decode
+        // FULLY falls back)
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || rate <= 0 || frames < 0)
+          return pseudo(id, bytes)
         val data = ais.readAllBytes()
         var ampSum = 0L
         var sqSum = 0L
@@ -231,6 +241,223 @@ object Multimodal {
       val frames = 50L + math.abs((h >> 8) % 151L)
       DecodedAudio(id, rate, 1, frames, frames * 1000L / rate,
         math.abs(h % 1000000L), math.abs((h >> 16) % 1000000L))
+    }
+  }
+
+  /** Decoded-video record from the header-only container parse: format
+    * metadata only (no frame decode — video CODECS are not in the JDK, but
+    * the CONTAINER is pure byte arithmetic and that is what corpus
+    * curation filters on: duration, track count, codec identity). */
+  case class DecodedVideo(
+      id: Long,
+      brand: String,
+      timescale: Long,
+      duration_ms: Long,
+      n_tracks: Int,
+      codecs: String)
+
+  /** Partition-local video container parse: one [[VideoDecoder]] per
+    * partition, same batch shape as [[decodePartitions]]. Input:
+    * (id: Long, content: binary MP4 payloads). */
+  def decodeVideoPartitions(
+      df: DataFrame,
+      id: Column,
+      content: Column): Dataset[DecodedVideo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), content.cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new VideoDecoder // one instance per partition
+        rows.collect { case (i, bytes) if bytes != null =>
+          decoder.decode(i, bytes)
+        }
+      }
+  }
+
+  /** Real MP4 (ISO BMFF) container parser — header-only, no external
+    * dependency: walks the box tree (`[size:4][type:4][payload]`, 64-bit
+    * `size==1` largesize and `size==0` to-EOF forms included), reading the
+    * `ftyp` major brand, `moov/mvhd` timescale + duration (version 0 and
+    * 1 layouts), the `trak` count, and each track's first `stsd` sample
+    * entry fourcc — the codec identity filters select on. Any payload
+    * that is not a well-formed MP4 with an mvhd falls back to a
+    * deterministic pseudo-decode, mirroring [[ImageDecoder]] /
+    * [[AudioDecoder]]. Format: ISO/IEC 14496-12 (public). */
+  final class VideoDecoder extends Serializable {
+
+    def decode(id: Long, bytes: Array[Byte]): DecodedVideo =
+      try parse(id, bytes).getOrElse(pseudo(id, bytes))
+      catch { case _: Exception => pseudo(id, bytes) }
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Visit each box in [start, end): (type, payloadStart, payloadEnd). */
+    private def boxes(b: Array[Byte], start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Boolean = {
+      var o = start
+      while (o < end) {
+        if (o + 8 > end) return false
+        val size32 = u32(b, o)
+        val typ = fourcc(b, o + 4)
+        val (payload, boxEnd) =
+          if (size32 == 1L) {
+            if (o + 16 > end) return false
+            val sz = u64(b, o + 8)
+            if (sz < 16 || o + sz > end) return false
+            (o + 16, o + sz.toInt)
+          } else if (size32 == 0L) (o + 8, end) // box extends to EOF
+          else {
+            if (size32 < 8 || o + size32 > end) return false
+            (o + 8, o + size32.toInt)
+          }
+        f(typ, payload, boxEnd)
+        o = boxEnd
+      }
+      true
+    }
+
+    private def firstBox(b: Array[Byte], start: Int, end: Int,
+        typ: String): Option[(Int, Int)] = {
+      var found: Option[(Int, Int)] = None
+      boxes(b, start, end) { (t, p, e) =>
+        if (found.isEmpty && t == typ) found = Some((p, e))
+      }
+      found
+    }
+
+    private def parse(id: Long, b: Array[Byte]): Option[DecodedVideo] = {
+      var brand: String = null
+      var timescale = -1L
+      var duration = -1L
+      var nTracks = 0
+      val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ok = boxes(b, 0, b.length) { (typ, p, e) =>
+        typ match {
+          case "ftyp" if e - p >= 4 => brand = fourcc(b, p)
+          case "moov" =>
+            boxes(b, p, e) { (t2, p2, e2) =>
+              t2 match {
+                case "mvhd" =>
+                  val version = b(p2) & 0xff
+                  if (version == 1 && e2 - p2 >= 32) {
+                    timescale = u32(b, p2 + 20)
+                    duration = u64(b, p2 + 24)
+                  } else if (version == 0 && e2 - p2 >= 20) {
+                    timescale = u32(b, p2 + 12)
+                    duration = u32(b, p2 + 16)
+                  }
+                case "trak" =>
+                  nTracks += 1
+                  for {
+                    (mp, me) <- firstBox(b, p2, e2, "mdia")
+                    (ip, ie) <- firstBox(b, mp, me, "minf")
+                    (sp, se) <- firstBox(b, ip, ie, "stbl")
+                    (dp, de) <- firstBox(b, sp, se, "stsd")
+                    // stsd payload: ver/flags(4) entry_count(4) then sample
+                    // entries, each [size:4][format:4]...
+                    if de - dp >= 16 && u32(b, dp + 4) > 0
+                  } codecs += fourcc(b, dp + 12)
+                case _ => ()
+              }
+            }
+            ()
+          case _ => ()
+        }
+      }
+      if (ok && brand != null && timescale > 0 && duration >= 0)
+        Some(DecodedVideo(id, brand, timescale,
+          duration * 1000L / timescale, nTracks, codecs.mkString(",")))
+      else None
+    }
+
+    /** Deterministic fallback for non-MP4 payloads (FNV-1a over bytes,
+      * like the other decoders' fallbacks). */
+    private def pseudo(id: Long, bytes: Array[Byte]): DecodedVideo = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
+        i += 1
+      }
+      val ts = 600L + math.abs(h % 4L) * 300L
+      val dur = 1000L + math.abs((h >> 8) % 5000L)
+      DecodedVideo(id, "none", ts, dur * 1000L / ts,
+        (1 + math.abs((h >> 16) % 3L)).toInt, "")
+    }
+  }
+
+  /** Minimal deterministic MP4 synthesizer — the container counterpart of
+    * the audio query's WAV synthesis: real `ftyp`/`moov`/`mvhd`/`trak`/
+    * `mdia`/`minf`/`stbl`/`stsd` boxes (no media data), so the decode
+    * query and specs can round-trip [[VideoDecoder]] against arithmetic a
+    * SQL oracle replays. `mvhdV1` emits the 64-bit version-1 mvhd layout
+    * to exercise both parser paths. */
+  object Mp4Synth {
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length)
+      out.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.put(payload)
+      out.array()
+    }
+
+    private def mvhd(timescale: Int, duration: Long, v1: Boolean): Array[Byte] = {
+      val body =
+        if (v1) {
+          val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + 8 + 80)
+          bb.putInt(0x01000000) // version 1, flags 0
+          bb.putLong(0L).putLong(0L) // ctime, mtime (64-bit)
+          bb.putInt(timescale)
+          bb.putLong(duration)
+          bb // rate/volume/reserved/matrix/predefined/next_track: zeros
+        } else {
+          val bb = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 4 + 4 + 80)
+          bb.putInt(0) // version 0, flags 0
+          bb.putInt(0).putInt(0) // ctime, mtime
+          bb.putInt(timescale)
+          bb.putInt(duration.toInt)
+          bb
+        }
+      box("mvhd", body.array())
+    }
+
+    private def trak(codec: String): Array[Byte] = {
+      val entry = java.nio.ByteBuffer.allocate(16)
+      entry.putInt(16)
+      entry.put(codec.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      entry.put(new Array[Byte](6)) // reserved
+      entry.putShort(1) // data_reference_index
+      val stsd = java.nio.ByteBuffer.allocate(8 + 16)
+      stsd.putInt(0) // version/flags
+      stsd.putInt(1) // entry_count
+      stsd.put(entry.array())
+      box("trak", box("mdia", box("minf", box("stbl",
+        box("stsd", stsd.array())))))
+    }
+
+    /** A complete headers-only MP4. */
+    def bytes(
+        brand: String,
+        timescale: Int,
+        duration: Long,
+        codecs: Seq[String],
+        mvhdV1: Boolean = false): Array[Byte] = {
+      val ftypPayload = java.nio.ByteBuffer.allocate(12)
+      ftypPayload.put(brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      ftypPayload.putInt(0x200) // minor_version
+      ftypPayload.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val moovPayload =
+        mvhd(timescale, duration, mvhdV1) ++ codecs.flatMap(trak)
+      box("ftyp", ftypPayload.array()) ++ box("moov", moovPayload)
     }
   }
 

@@ -593,6 +593,23 @@ object Oracles {
         |  CAST(list_sum(list_transform(samp, x -> x * x)) AS BIGINT) AS sq_sum
         |FROM s""".stripMargin,
 
+    // the Spark side synthesizes a real headers-only MP4 per doc (box
+    // layout from doc_id arithmetic) and walks it back with the real
+    // ISO-BMFF parser; the oracle replays the arithmetic — brand list
+    // indexing, integer-division duration, per-track codec rotation
+    "multimodal_decode_video" ->
+      """SELECT doc_id,
+        |  ['isom','mp42','3gp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS brand,
+        |  CAST(600 + (doc_id % 4) * 300 AS BIGINT) AS timescale,
+        |  (1000 + doc_id % 5000) * 1000
+        |    // (600 + (doc_id % 4) * 300) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+        |  array_to_string(list_transform(
+        |    generate_series(0, CAST(doc_id % 3 AS INTEGER)),
+        |    t -> ['avc1','hvc1','mp4a'][CAST((doc_id + t) % 3 AS INTEGER) + 1]),
+        |    ',') AS codecs
+        |FROM documents""".stripMargin,
+
     // compaction survivor per key = the key's max-ord record (keyed routing
     // confines each key to one partition; offsets follow ord within it)
     "compact_topic" ->

@@ -766,6 +766,38 @@ object Queries {
         col("channels").as("bands"))
   }
 
+  /** REAL video container parse with a SQL oracle: deterministic
+    * headers-only MP4s are synthesized in-query
+    * ([[Multimodal.Mp4Synth]] — real ftyp/moov/mvhd/trak/stsd boxes,
+    * brand/timescale/duration/codecs from doc_id arithmetic), then parsed
+    * back by the real [[Multimodal.VideoDecoder]] box walker. The oracle
+    * replays the synthesis arithmetic — only a true ISO-BMFF parse
+    * reproduces every column. Odd doc_ids emit the 64-bit version-1 mvhd
+    * layout so both parser paths are oracle-covered. Partition-local both
+    * ways: no shuffle. */
+  def multimodalDecodeVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brands = Seq("isom", "mp42", "3gp4")
+    val codecNames = Seq("avc1", "hvc1", "mp4a")
+    val ids = t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val mp4 = ids.mapPartitions { it =>
+      it.map { id =>
+        val nTracks = (1 + id % 3).toInt
+        val codecs = (0 until nTracks).map(t => codecNames(((id + t) % 3).toInt))
+        (id, Multimodal.Mp4Synth.bytes(
+          brand = brands((id % 3).toInt),
+          timescale = (600 + (id % 4) * 300).toInt,
+          duration = 1000 + id % 5000,
+          codecs = codecs,
+          mvhdV1 = id % 2 == 1))
+      }
+    }.toDF("id", "content")
+    Multimodal.decodeVideoPartitions(mp4, col("id"), col("content"))
+      .toDF()
+      .select(col("id").as("doc_id"), col("brand"), col("timescale"),
+        col("duration_ms"), col("n_tracks"), col("codecs"))
+  }
+
   /** REAL audio decode with a SQL oracle: deterministic 16-bit PCM WAVs are
     * encoded in-query (`javax.sound.sampled`, partition-local — the corpus
     * has no audio bytes, so the query synthesizes rate/channels/frames and

@@ -60,6 +60,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MP4 parse: synthesized boxes round-trip, v0 and v1 mvhd layouts") {
+    val v0 = Multimodal.Mp4Synth.bytes("isom", 1200, 4800L,
+      Seq("avc1", "mp4a"), mvhdV1 = false)
+    val v1 = Multimodal.Mp4Synth.bytes("mp42", 90000, 123456L,
+      Seq("hvc1"), mvhdV1 = true)
+    val out = Multimodal.decodeVideoPartitions(
+        Seq((1L, v0), (2L, v1)).toDF("id", "content"), $"id", $"content")
+      .collect().map(d => d.id -> d).toMap
+    assert(out(1L).brand === "isom" && out(1L).timescale === 1200L &&
+      out(1L).duration_ms === 4000L && out(1L).n_tracks === 2 &&
+      out(1L).codecs === "avc1,mp4a")
+    assert(out(2L).brand === "mp42" && out(2L).timescale === 90000L &&
+      out(2L).duration_ms === 123456L * 1000L / 90000L &&
+      out(2L).n_tracks === 1 && out(2L).codecs === "hvc1")
+  }
+
+  test("non-MP4 and truncated payloads fall back to the deterministic pseudo-decode") {
+    val garbage = Array.tabulate(64)(i => (i * 37).toByte)
+    val truncated = Multimodal.Mp4Synth.bytes("isom", 1200, 4800L, Seq("avc1"))
+      .take(20) // cuts inside the moov header
+    val out = Multimodal.decodeVideoPartitions(
+        Seq((1L, garbage), (2L, truncated)).toDF("id", "content"),
+        $"id", $"content")
+      .collect().map(d => d.id -> d).toMap
+    assert(out(1L).brand === "none" && out(1L).codecs === "")
+    assert(out(2L).brand === "none",
+      "a torn container must not parse as real metadata")
+    // deterministic: same bytes, same pseudo fields
+    val again = Multimodal.decodeVideoPartitions(
+        Seq((1L, garbage)).toDF("id", "content"), $"id", $"content").head()
+    assert(again === out(1L).copy(id = 1L))
+  }
+
+  test("audio guards: parseable but non-16-bit-PCM payloads take the fallback") {
+    import javax.sound.sampled._
+    def encode(fmt: AudioFormat, frames: Int, typ: AudioFileFormat.Type): Array[Byte] = {
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, typ, bos)
+      bos.toByteArray
+    }
+    // 8-bit unsigned PCM WAV and u-law AU both parse via AudioSystem but
+    // are NOT 16-bit signed PCM — the exact-stats loop would silently
+    // mis-read them, so they must route to pseudo
+    val pcm8 = encode(new AudioFormat(8000f, 8, 1, false, false), 100,
+      AudioFileFormat.Type.WAVE)
+    val ulaw = encode(new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false), 100, AudioFileFormat.Type.AU)
+    assert(AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8)) != null,
+      "precondition: the 8-bit WAV must be parseable")
+    // both payloads are ALL-ZERO samples: any decode through the 16-bit
+    // stats loop would report amp_sum == 0; the hash-derived pseudo for
+    // these exact bytes does not — so nonzero stats prove the fallback ran
+    val decoder = new Multimodal.AudioDecoder
+    val d8 = decoder.decode(1L, pcm8)
+    val du = decoder.decode(2L, ulaw)
+    assert(d8.amp_sum > 0L,
+      "8-bit PCM must hit the pseudo path (a mis-decode of silence would be 0)")
+    assert(du.amp_sum > 0L, "u-law must hit the pseudo path")
+  }
+
   test("decode is deterministic across runs and partitionings") {
     val rows = (0L until 20L).map(i => (i, png(8 + i.toInt, 4, (i * 123456).toInt)))
     val a = Multimodal.decodePartitions(rows.toDF("id", "content").repartition(1), $"id", $"content")
