@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_fingerprint" -> (Queries.dedupFingerprint _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_incremental" -> (Queries.dedupIncremental _),
+    "curate_pipeline" -> (Queries.curatePipeline _),
     "dedup_embedding_incremental" -> (Queries.dedupEmbeddingIncremental _),
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),

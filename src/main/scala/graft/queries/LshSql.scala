@@ -86,20 +86,22 @@ object LshSql {
   }
 
   /** The shared MinHash signature chain (char 5-shingles, k = 128,
-    * bands = 16): every doc's per-band bucket keys in `keys`, shingle
-    * sets + sizes in `szs`. Tail CTEs pick the join topology (self-join
-    * for [[dedupMinhashSql]], corpus-vs-batch for
-    * [[dedupIncrementalSql]]). */
-  private lazy val minhashKeysCte: String = {
+    * bands = 16) over source relation `src` (columns doc_id, text): every
+    * doc's per-band bucket keys in `keys`, shingle sets + sizes in `szs`.
+    * Emitted WITHOUT the leading `WITH` so callers can prepend their own
+    * CTEs ([[CurateSql]] chains it after a gopher+chunk prefix). Tail
+    * CTEs pick the join topology (self-join for [[dedupMinhashSql]],
+    * corpus-vs-batch for [[dedupIncrementalSql]]). */
+  private[queries] def minhashKeysBody(src: String): String = {
     val mixC = BigInt("9e3779b97f4a7c15", 16)
     val mixK = BigInt("ff51afd7ed558ccd", 16)
     val fnvP = BigInt("100000001b3", 16)
     val fnvBasis = BigInt("cbf29ce484222325", 16)
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(text) >= 5 THEN list_distinct(list_transform(range(len(text) - 4),
        |           i -> text[CAST(i+1 AS BIGINT):CAST(i+5 AS BIGINT)])) ELSE [] END AS shingles
-       |  FROM documents),
+       |  FROM $src),
        |szs AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
        |rows_ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |based AS (SELECT doc_id, ${fnv("s")} AS base FROM rows_),
@@ -128,7 +130,7 @@ object LshSql {
   /** minhashPairs(char 5-shingles, k = 128, bands = 16, threshold = 0.6,
     * maxBucketSize = 2000) — output (id_a, id_b, jaccard). */
   lazy val dedupMinhashSql: String =
-    s"""$minhashKeysCte,
+    s"""WITH ${minhashKeysBody("documents")},
        |ok AS (SELECT band, key FROM keys GROUP BY band, key
        |       HAVING count(*) > 1 AND count(*) <= 2000),
        |kept AS (SELECT k.* FROM keys k JOIN ok USING (band, key)),
@@ -148,7 +150,7 @@ object LshSql {
     * target — and pairs cross the split instead of self-joining.
     * Output (batch_id, corpus_id, jaccard). */
   lazy val dedupIncrementalSql: String =
-    s"""$minhashKeysCte,
+    s"""WITH ${minhashKeysBody("documents")},
        |ok AS (SELECT band, key FROM keys WHERE doc_id % 4 <> 0
        |       GROUP BY band, key HAVING count(*) <= 2000),
        |ckept AS (SELECT k.* FROM keys k JOIN ok USING (band, key)

@@ -818,6 +818,10 @@ object Oracles {
     // MinHash / SimHash LSH dedup: FNV-based signatures, band folds, and
     // bucket joins unrolled in exact HUGEINT SQL — see LshSql
     "dedup_incremental" -> LshSql.dedupIncrementalSql,
+    // the composed curation pipeline replayed in one statement: gopher
+    // predicate -> chunk explode + packed uids -> minhash chain over chunk
+    // texts -> corpus probe then within-batch dedup -- see CurateSql
+    "curate_pipeline" -> CurateSql.curatePipelineSql,
     "dedup_minhash" -> LshSql.dedupMinhashSql,
     "dedup_simhash" -> LshSql.dedupSimhashSql,
 

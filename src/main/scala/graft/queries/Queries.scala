@@ -453,6 +453,58 @@ object Queries {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  private val curateIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Corpus-tuned config shared by the curate-pipeline query and its
+    * index seed — the [[graft.streaming.Curation]] defaults with the
+    * gopher token band overridden for this corpus's 10–99-token docs
+    * (same override as [[gopherFilters]]). */
+  private val curateCfg = graft.streaming.CurationConfig(
+    minTokens = 30, maxTokens = 90)
+
+  /** Gopher-passing docs → 64/16 chunks with packed uids — the shared
+    * front half of the curation composition (query + index seed). */
+  private def curateChunks(docs: DataFrame): DataFrame = {
+    val sig = Quality.gopherSignals(docs, col("doc_id"), col("text"),
+      curateCfg.minTokens, curateCfg.maxTokens)
+    val kept = docs.select(col("doc_id").as("id"), col("text"))
+      .join(sig.filter(col("passes")).select("id"), Seq("id"), "left_semi")
+    Chunking.chunkTokens(kept, col("id"), col("text"),
+        curateCfg.chunkSize, curateCfg.overlap)
+      .withColumn("chunk_uid",
+        graft.streaming.Curation.chunkUid(col("id"), col("chunk_id")))
+  }
+
+  /** The COMPOSED curation pipeline, batch form
+    * ([[graft.streaming.Curation.curateBatch]] — the exact body the
+    * streaming query runs per micro-batch): a standing chunk index is
+    * built once from the corpus docs (doc_id % 4 != 0, gopher-passed and
+    * chunked), then the batch docs (% 4 = 0) flow gopher → chunk →
+    * probe-vs-index → within-batch dedup → survivors. The oracle
+    * ([[CurateSql]]) replays the whole composition in one statement.
+    * Output (chunk_uid, doc_id, chunk_id, n_tokens, chunk_text). */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = curateIndexes.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      LshIndex.build(curateChunks(docs.filter(col("doc_id") % 4 =!= 0)),
+        col("chunk_uid"), col("chunk_text"),
+        root.toString, shingleSize = 5, numHashes = 128, bands = 16)
+      root.toString
+    })
+    graft.streaming.Curation.curateBatch(spark, path,
+      docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"), curateCfg)(identity)
+      .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+        col("n_tokens"), col("chunk_text"))
+      .orderBy("chunk_uid")
+  }
+
   /** SimHash near-dup pairs (approximate; no SQL oracle). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(spark, dir, "documents"),
