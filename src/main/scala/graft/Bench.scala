@@ -37,19 +37,20 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** Historical per-query band: best official per-round wall-times at sf0.1
-    * (BENCH_r04 plus solo TimeQuery probes for queries added since). Used
-    * only as the 3× rerun/flag threshold — generous enough that a real plan
-    * regression still trips it, while scheduler jitter does not. */
+  /** Historical per-query band: best official SOLO wall-times at sf0.1
+    * (round-9 run: loadavg 0.58 at start, contended empty; ~1.2× headroom
+    * over the measured mins). Used only as the 3× rerun/flag threshold —
+    * generous enough that a real plan regression still trips it, while
+    * scheduler jitter does not. */
   private val BAND: Map[String, Double] = Map(
-    "ingest_append" -> 1.5, "ingest_bulk" -> 2.9, "ingest_parallel" -> 1.3,
-    "poll_scan" -> 2.1, "q1_pricing" -> 0.7, "q3_shipping" -> 0.8,
-    "q5_region" -> 0.8, "q6_forecast" -> 0.2, "q_window_rank" -> 0.3,
-    "q_events_hourly" -> 0.25, "dedup_exact" -> 0.2, "dedup_minhash" -> 2.3,
-    "dedup_simhash" -> 2.4, "text_stats" -> 1.4, "lang_id" -> 0.6,
-    "ann_brute" -> 0.9, "ann_srp" -> 0.5, "pipeline_clean" -> 0.9,
-    "rep_ratio" -> 0.6, "dup_clusters" -> 5.0, "tfidf_topk" -> 1.2,
-    "chunk_docs" -> 0.7, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.5)
+    "ingest_append" -> 1.2, "ingest_bulk" -> 2.8, "ingest_parallel" -> 1.0,
+    "poll_scan" -> 1.9, "q1_pricing" -> 0.75, "q3_shipping" -> 0.75,
+    "q5_region" -> 0.85, "q6_forecast" -> 0.22, "q_window_rank" -> 0.33,
+    "q_events_hourly" -> 0.26, "dedup_exact" -> 0.2, "dedup_minhash" -> 0.9,
+    "dedup_simhash" -> 0.65, "text_stats" -> 0.4, "lang_id" -> 0.2,
+    "ann_brute" -> 0.25, "ann_srp" -> 0.35, "pipeline_clean" -> 0.9,
+    "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
+    "chunk_docs" -> 0.6, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.0)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg

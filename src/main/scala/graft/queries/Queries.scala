@@ -499,10 +499,19 @@ object Queries {
     })
     graft.streaming.Curation.curateBatch(spark, path,
       docs.filter(col("doc_id") % 4 === 0),
-      col("doc_id"), col("text"), curateCfg)(identity)
-      .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
-        col("n_tokens"), col("chunk_text"))
-      .orderBy("chunk_uid")
+      col("doc_id"), col("text"), curateCfg) { survivors =>
+      // materialize while still persisted: the survivors are OUTPUT-scale
+      // (curated chunks of one batch), and collecting here keeps every
+      // downstream action from re-running the probe + dedup chain on the
+      // unpersisted frame curateBatch hands back after its unpersist
+      val out = survivors
+        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+          col("n_tokens"), col("chunk_text"))
+        .orderBy("chunk_uid")
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    }
   }
 
   /** SimHash near-dup pairs (approximate; no SQL oracle). */
