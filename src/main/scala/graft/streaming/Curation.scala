@@ -26,7 +26,15 @@ final case class CurationConfig(
     chunkSize: Int = 64,
     overlap: Int = 16,
     threshold: Double = 0.6,
-    maxBucketSize: Long = 2000) {
+    maxBucketSize: Long = 2000,
+    compactEvery: Int = 64) {
+  /** Every `compactEvery`-th micro-batch runs [[LshIndex.compact]] after
+    * its append (0 = never): each append adds one file per hit shard, so
+    * without maintenance the probe side's file count grows with crawl
+    * batches. In-body compaction is safe — foreachBatch bodies serialize
+    * (single maintainer), and a replayed batch re-compacting is
+    * idempotent. */
+
   /** Chunk ordinals must fit [[Curation.ChunkBits]] for the packed chunk
     * uid; the gopher token cap bounds them. */
   require(
@@ -153,6 +161,11 @@ object Curation {
         LogWriter.append(spark, wh, curatedTopic, out, "chunk_uid",
           batchId = Some(batchId))
         ()
+    }
+    // scheduled index maintenance — see CurationConfig.compactEvery
+    if (cfg.compactEvery > 0 && batchId % cfg.compactEvery == 0) {
+      LshIndex.compact(spark, indexPath)
+      ()
     }
   }
 

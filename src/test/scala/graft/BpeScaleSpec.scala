@@ -88,6 +88,49 @@ class BpeScaleSpec extends SparkSpec {
     }
   }
 
+  test("trainFromFreqs matches an independently-written reference trainer on random corpora") {
+    // reference formulation kept deliberately different (functional pair
+    // counting via groupMapReduce, recursive list rewrite) so a shared bug
+    // cannot hide: count DESC / pair ASC argmax, overlaps counted,
+    // left-to-right non-overlapping merge
+    def refTrain(freqs: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+      def mergeAll(s: List[String], p: (String, String)): List[String] =
+        s match {
+          case a :: b :: rest if (a, b) == p => (a + b) :: mergeAll(rest, p)
+          case a :: rest => a :: mergeAll(rest, p)
+          case Nil => Nil
+        }
+      var segs = freqs.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = Seq.newBuilder[(String, String)]
+      var k = 0
+      var stop = false
+      while (k < n && !stop) {
+        val counts = segs
+          .flatMap { case (s, f) => s.zip(s.drop(1)).map(p => p -> f) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        if (counts.isEmpty) stop = true
+        else {
+          val best = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, l, r) }._1
+          out += best
+          segs = segs.map { case (s, f) => (mergeAll(s, best), f) }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        String.valueOf(Array.fill(len)("abcd".charAt(rnd.nextInt(4))))
+      }.distinct
+      val freqs = words.map(w => (w, (1 + rnd.nextInt(50)).toLong))
+      val got = Bpe.trainFromFreqs(freqs, numMerges = 15).merges
+      assert(got === refTrain(freqs, 15), s"seed=$seed freqs=$freqs")
+    }
+  }
+
   test("demo-parameter queries are unchanged by the expression path") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = Bpe.train(docs, $"text", numMerges = 16, maxWords = 128)

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.core.catalog.{TopicCatalog, Warehouse}
+import graft.core.log.{LogReader, LogWriter}
+import graft.pipeline.LshIndex
+import graft.streaming.Curation
+import graft.tools.CurateCrash
+
+/** Same-JVM behavior of the composed curation pipeline
+  * ([[graft.streaming.Curation]]): multi-batch drains share index state
+  * through the checkpoint protocol, scheduled in-body compaction keeps the
+  * index at one file per shard without changing verdicts, and the
+  * CONTINUOUS (processing-time trigger) form curates arriving data. The
+  * cross-JVM exactly-once story is [[CurateCrashSpec]]. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textA =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+  private val textE =
+    "apple banana cherry durian elder figs grape honey icecream jackfruit " +
+      "kiwi lemon mango nectar orange peach quince raspberry strawberry tomato"
+
+  private def records(rows: (Long, String)*) =
+    rows.toDF("ts", "value")
+      .withColumn("key", concat(lit("doc-"), col("ts")))
+      .withColumn("explicit_partition", lit(0))
+      .withColumn("id", col("ts"))
+
+  private def filesPerDir(table: String): Map[String, Int] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(new Configuration())
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).count { f =>
+          val n = f.getPath.getName
+          !f.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }.toMap
+  }
+
+  private def setup(tag: String): (Warehouse, String, String) = {
+    val wh = Warehouse(tmpDir(s"graft-cur-$tag"))
+    TopicCatalog.createTopic(spark, wh, "docs", 1)
+    TopicCatalog.createTopic(spark, wh, "curated", 2)
+    val index = s"${tmpDir(s"graft-cur-$tag-idx")}/lsh"
+    LshIndex.build(
+      Seq((0L, "seed sentinel text unrelated to every real document body"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", index,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    (wh, index, tmpDir(s"graft-cur-$tag-ckpt"))
+  }
+
+  private def curatedKeys(wh: Warehouse): Map[String, Long] =
+    LogReader.scan(spark, wh, "curated")
+      .groupBy("key").count().as[(String, Long)].collect().toMap
+
+  test("multi-batch drains: cross-batch dedup via index state, per-batch compaction to one file per shard") {
+    val (wh, index, ckpt) = setup("drain")
+    val cfg = CurateCrash.TestConfig.copy(compactEvery = 1)
+    LogWriter.append(spark, wh, "docs",
+      records(0L -> textA, 1L -> textA, 2L -> "too short"), "id")
+    Curation.runAvailableNow(spark, wh, "docs", "curated", index, ckpt, cfg)
+      .awaitTermination()
+    assert(curatedKeys(wh) === Map("0/0" -> 1L, "0/1" -> 1L))
+    LogWriter.append(spark, wh, "docs",
+      records(3L -> textA, 4L -> textE), "id")
+    Curation.runAvailableNow(spark, wh, "docs", "curated", index, ckpt, cfg)
+      .awaitTermination()
+    assert(curatedKeys(wh) ===
+      Map("0/0" -> 1L, "0/1" -> 1L, "4/0" -> 1L, "4/1" -> 1L),
+      "cross-batch dup dropped by the index; novel doc curated exactly once")
+    assert(filesPerDir(s"$index/buckets").values.forall(_ == 1),
+      "per-batch compaction must hold the bucket table at one file per shard")
+    assert(filesPerDir(s"$index/shingles").values.forall(_ == 1))
+  }
+
+  test("continuous form: a processing-time query curates arriving records") {
+    val (wh, index, ckpt) = setup("cont")
+    LogWriter.append(spark, wh, "docs",
+      records(0L -> textA, 1L -> textE), "id")
+    val q = Curation.start(spark, wh, "docs", "curated", index, ckpt,
+      CurateCrash.TestConfig, triggerMs = 200)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def keys() = curatedKeys(wh)
+      while (keys().size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(keys() ===
+        Map("0/0" -> 1L, "0/1" -> 1L, "1/0" -> 1L, "1/1" -> 1L))
+    } finally q.stop()
+  }
+}
