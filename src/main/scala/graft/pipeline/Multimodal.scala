@@ -254,6 +254,8 @@ object Multimodal {
       timescale: Long,
       duration_ms: Long,
       n_tracks: Int,
+      width: Int,
+      height: Int,
       codecs: String)
 
   /** Partition-local video container parse: one [[VideoDecoder]] per
@@ -279,7 +281,9 @@ object Multimodal {
     * dependency: walks the box tree (`[size:4][type:4][payload]`, 64-bit
     * `size==1` largesize and `size==0` to-EOF forms included), reading the
     * `ftyp` major brand, `moov/mvhd` timescale + duration (version 0 and
-    * 1 layouts), the `trak` count, and each track's first `stsd` sample
+    * 1 layouts), the `trak` count, the first track's `tkhd` presentation
+    * size (16.16 fixed-point width/height, v0 and v1 offsets), and each
+    * track's first `stsd` sample
     * entry fourcc — the codec identity filters select on. Any payload
     * that is not a well-formed MP4 with an mvhd falls back to a
     * deterministic pseudo-decode, mirroring [[ImageDecoder]] /
@@ -339,6 +343,8 @@ object Multimodal {
       var timescale = -1L
       var duration = -1L
       var nTracks = 0
+      var width = 0
+      var height = 0
       val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
       val ok = boxes(b, 0, b.length) { (typ, p, e) =>
         typ match {
@@ -357,6 +363,18 @@ object Multimodal {
                   }
                 case "trak" =>
                   nTracks += 1
+                  if (width == 0 && height == 0)
+                    // tkhd v0: width/height as 16.16 fixed at offsets
+                    // 76/80 of the payload; v1's 64-bit times push them
+                    // to 88/92 (ISO 14496-12 §8.3.2)
+                    firstBox(b, p2, e2, "tkhd").foreach { case (tp, te) =>
+                      val v = b(tp) & 0xff
+                      val (wo, ho) = if (v == 1) (88, 92) else (76, 80)
+                      if (te - tp >= ho + 4) {
+                        width = (u32(b, tp + wo) >> 16).toInt
+                        height = (u32(b, tp + ho) >> 16).toInt
+                      }
+                    }
                   for {
                     (mp, me) <- firstBox(b, p2, e2, "mdia")
                     (ip, ie) <- firstBox(b, mp, me, "minf")
@@ -375,7 +393,8 @@ object Multimodal {
       }
       if (ok && brand != null && timescale > 0 && duration >= 0)
         Some(DecodedVideo(id, brand, timescale,
-          duration * 1000L / timescale, nTracks, codecs.mkString(",")))
+          duration * 1000L / timescale, nTracks, width, height,
+          codecs.mkString(",")))
       else None
     }
 
@@ -391,7 +410,7 @@ object Multimodal {
       val ts = 600L + math.abs(h % 4L) * 300L
       val dur = 1000L + math.abs((h >> 8) % 5000L)
       DecodedVideo(id, "none", ts, dur * 1000L / ts,
-        (1 + math.abs((h >> 16) % 3L)).toInt, "")
+        (1 + math.abs((h >> 16) % 3L)).toInt, 0, 0, "")
     }
   }
 
@@ -430,7 +449,12 @@ object Multimodal {
       box("mvhd", body.array())
     }
 
-    private def trak(codec: String): Array[Byte] = {
+    private def trak(codec: String, width: Int, height: Int): Array[Byte] = {
+      // tkhd v0 (84-byte body): width/height as 16.16 fixed at 76/80
+      val tkhd = java.nio.ByteBuffer.allocate(84)
+      tkhd.position(76)
+      tkhd.putInt(width << 16)
+      tkhd.putInt(height << 16)
       val entry = java.nio.ByteBuffer.allocate(16)
       entry.putInt(16)
       entry.put(codec.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -440,8 +464,8 @@ object Multimodal {
       stsd.putInt(0) // version/flags
       stsd.putInt(1) // entry_count
       stsd.put(entry.array())
-      box("trak", box("mdia", box("minf", box("stbl",
-        box("stsd", stsd.array())))))
+      box("trak", box("tkhd", tkhd.array()) ++
+        box("mdia", box("minf", box("stbl", box("stsd", stsd.array())))))
     }
 
     /** A complete headers-only MP4. */
@@ -450,13 +474,16 @@ object Multimodal {
         timescale: Int,
         duration: Long,
         codecs: Seq[String],
-        mvhdV1: Boolean = false): Array[Byte] = {
+        mvhdV1: Boolean = false,
+        width: Int = 0,
+        height: Int = 0): Array[Byte] = {
       val ftypPayload = java.nio.ByteBuffer.allocate(12)
       ftypPayload.put(brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       ftypPayload.putInt(0x200) // minor_version
       ftypPayload.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       val moovPayload =
-        mvhd(timescale, duration, mvhdV1) ++ codecs.flatMap(trak)
+        mvhd(timescale, duration, mvhdV1) ++
+          codecs.flatMap(trak(_, width, height))
       box("ftyp", ftypPayload.array()) ++ box("moov", moovPayload)
     }
   }

@@ -604,6 +604,8 @@ object Oracles {
         |  (1000 + doc_id % 5000) * 1000
         |    // (600 + (doc_id % 4) * 300) AS duration_ms,
         |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+        |  CAST(320 + (doc_id % 5) * 160 AS INTEGER) AS width,
+        |  CAST(180 + (doc_id % 5) * 90 AS INTEGER) AS height,
         |  array_to_string(list_transform(
         |    generate_series(0, CAST(doc_id % 3 AS INTEGER)),
         |    t -> ['avc1','hvc1','mp4a'][CAST((doc_id + t) % 3 AS INTEGER) + 1]),

@@ -850,13 +850,16 @@ object Queries {
           timescale = (600 + (id % 4) * 300).toInt,
           duration = 1000 + id % 5000,
           codecs = codecs,
-          mvhdV1 = id % 2 == 1))
+          mvhdV1 = id % 2 == 1,
+          width = (320 + (id % 5) * 160).toInt,
+          height = (180 + (id % 5) * 90).toInt))
       }
     }.toDF("id", "content")
     Multimodal.decodeVideoPartitions(mp4, col("id"), col("content"))
       .toDF()
       .select(col("id").as("doc_id"), col("brand"), col("timescale"),
-        col("duration_ms"), col("n_tracks"), col("codecs"))
+        col("duration_ms"), col("n_tracks"), col("width"), col("height"),
+        col("codecs"))
   }
 
   /** REAL audio decode with a SQL oracle: deterministic 16-bit PCM WAVs are

@@ -62,18 +62,21 @@ class MultimodalSpec extends SparkSpec {
 
   test("MP4 parse: synthesized boxes round-trip, v0 and v1 mvhd layouts") {
     val v0 = Multimodal.Mp4Synth.bytes("isom", 1200, 4800L,
-      Seq("avc1", "mp4a"), mvhdV1 = false)
+      Seq("avc1", "mp4a"), mvhdV1 = false, width = 1920, height = 1080)
     val v1 = Multimodal.Mp4Synth.bytes("mp42", 90000, 123456L,
-      Seq("hvc1"), mvhdV1 = true)
+      Seq("hvc1"), mvhdV1 = true, width = 640, height = 360)
     val out = Multimodal.decodeVideoPartitions(
         Seq((1L, v0), (2L, v1)).toDF("id", "content"), $"id", $"content")
       .collect().map(d => d.id -> d).toMap
     assert(out(1L).brand === "isom" && out(1L).timescale === 1200L &&
       out(1L).duration_ms === 4000L && out(1L).n_tracks === 2 &&
       out(1L).codecs === "avc1,mp4a")
+    assert(out(1L).width === 1920 && out(1L).height === 1080,
+      "tkhd 16.16 fixed-point size must parse back")
     assert(out(2L).brand === "mp42" && out(2L).timescale === 90000L &&
       out(2L).duration_ms === 123456L * 1000L / 90000L &&
       out(2L).n_tracks === 1 && out(2L).codecs === "hvc1")
+    assert(out(2L).width === 640 && out(2L).height === 360)
   }
 
   test("non-MP4 and truncated payloads fall back to the deterministic pseudo-decode") {
