@@ -82,6 +82,58 @@ object SrpIndex {
       "append")
   }
 
+  /** The full steady-state embedding-ingest step — the vector twin of
+    * [[LshIndex.ingestBatch]], shaped as a `foreachBatch` body:
+    *
+    *   1. probe the batch against the index, drop every vector with a
+    *      near-dup already in the corpus;
+    *   2. dedup WITHIN the batch (same SRP planes, keep-lowest-id);
+    *   3. append the survivors' signatures;
+    *   4. return the survivors (persisted — prefer [[curateInto]] in a
+    *      long-lived query; a raw caller unpersists after its sink).
+    *
+    * Replay-safe exactly like the LSH side: probe drops id-equal pairs,
+    * so a replayed batch whose append already landed re-derives the SAME
+    * survivor set; redundant signature rows change no verdict (distinct-id
+    * guards, by-id vector dedupe) and are collected by [[compact]]. */
+  def ingestBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double = 0.95,
+      maxBucketSize: Long = 2000): DataFrame = {
+    val (nBits, _) = readMeta(spark, path)
+    val dupOfCorpus = probe(spark, path, batch, id, vec,
+        threshold, maxBucketSize)
+      .select(col("batch_id").as("__dup")).distinct()
+    val clean = batch.join(dupOfCorpus, id.cast("long") === col("__dup"),
+      "left_anti")
+    val losers = Dedup.embeddingNearDupPairs(clean, id, vec, threshold, nBits)
+      .select(col("id_b").as("__loser")).distinct()
+    val survivors = clean.join(losers, id.cast("long") === col("__loser"),
+      "left_anti").persist()
+    append(survivors, id, vec, path)
+    survivors
+  }
+
+  /** [[ingestBatch]] with the persist lifecycle owned internally
+    * (try/finally unpersist) — see [[LshIndex.curateInto]]. */
+  def curateInto[T](
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double = 0.95,
+      maxBucketSize: Long = 2000)(sink: DataFrame => T): T = {
+    val survivors =
+      ingestBatch(spark, path, batch, id, vec, threshold, maxBucketSize)
+    try sink(survivors)
+    finally { survivors.unpersist(); () }
+  }
+
   /** Compact the index — see [[LshIndex.compact]] / [[IndexMaintenance]]:
     * buckets collapse to distinct id rows per bucket directory, vectors to
     * one row per id; probe results are unchanged. */
