@@ -23,6 +23,37 @@ object Quality {
     * signal, not NLP). */
   val GopherStopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** The pass/fail verdict as ONE row-local boolean column over `text` —
+    * the filter form of [[gopherSignals]] for pipelines that need only
+    * the verdict: no join, no second scan, stays inside the scan's
+    * codegen span. Boundary decisions are IDENTICAL to [[gopherSignals]]
+    * (same expressions, same 6-dp rounding; spec-pinned equal). */
+  def gopherPasses(
+      text: Column,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = GopherStopwords): Column = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks)
+    val meanLen = when(n === 0, lit(null).cast("double")).otherwise(
+      round(aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / n.cast("double"), 6))
+    val alphaFrac = when(n === 0, lit(null).cast("double")).otherwise(
+      round(size(filter(toks, x => x.rlike("[a-z]"))).cast("double") /
+        n.cast("double"), 6))
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*)))
+    coalesce(
+      n.between(minTokens, maxTokens) &&
+        meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+        alphaFrac >= minAlphaFrac &&
+        nStop >= minStopwords, lit(false))
+  }
+
   /** Per-document signals + pass flag: (id, n_tokens, mean_word_len,
     * alpha_frac, n_stopwords, passes).
     *

@@ -464,12 +464,13 @@ object Queries {
     minTokens = 30, maxTokens = 90)
 
   /** Gopher-passing docs → 64/16 chunks with packed uids — the shared
-    * front half of the curation composition (query + index seed). */
+    * front half of the curation composition (query + index seed), using
+    * the same verdict-only predicate as
+    * [[graft.streaming.Curation.curateBatch]]. */
   private def curateChunks(docs: DataFrame): DataFrame = {
-    val sig = Quality.gopherSignals(docs, col("doc_id"), col("text"),
-      curateCfg.minTokens, curateCfg.maxTokens)
     val kept = docs.select(col("doc_id").as("id"), col("text"))
-      .join(sig.filter(col("passes")).select("id"), Seq("id"), "left_semi")
+      .filter(Quality.gopherPasses(col("text"),
+        curateCfg.minTokens, curateCfg.maxTokens))
     Chunking.chunkTokens(kept, col("id"), col("text"),
         curateCfg.chunkSize, curateCfg.overlap)
       .withColumn("chunk_uid",

@@ -121,11 +121,13 @@ object Curation {
       id: Column,
       text: Column,
       cfg: CurationConfig = CurationConfig())(sink: DataFrame => T): T = {
-    val sig = Quality.gopherSignals(docs, id, text,
-      cfg.minTokens, cfg.maxTokens, cfg.minMeanWordLen, cfg.maxMeanWordLen,
-      cfg.minAlphaFrac, cfg.minStopwords)
+    // verdict-only gopher: one row-local predicate on the scan (identical
+    // boundary decisions to gopherSignals, spec-pinned) — no signals
+    // join, no second pass over the batch
     val kept = docs.select(id.as("id"), text.as("text"))
-      .join(sig.filter(col("passes")).select("id"), Seq("id"), "left_semi")
+      .filter(Quality.gopherPasses(col("text"),
+        cfg.minTokens, cfg.maxTokens, cfg.minMeanWordLen,
+        cfg.maxMeanWordLen, cfg.minAlphaFrac, cfg.minStopwords))
     val chunks = Chunking.chunkTokens(kept, col("id"), col("text"),
         cfg.chunkSize, cfg.overlap)
       .withColumn("chunk_uid", chunkUid(col("id"), col("chunk_id")))

@@ -81,6 +81,35 @@ class CurationSpec extends SparkSpec {
     assert(filesPerDir(s"$index/shingles").values.forall(_ == 1))
   }
 
+  test("gopherPasses == gopherSignals.passes on the corpus (verdict-only fusion)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaSignals = graft.pipeline.Quality
+      .gopherSignals(docs, $"doc_id", $"text", minTokens = 30, maxTokens = 90)
+      .select($"id", $"passes").as[(Long, Boolean)].collect().toMap
+    val viaPredicate = docs.select($"doc_id",
+        graft.pipeline.Quality.gopherPasses($"text",
+          minTokens = 30, maxTokens = 90).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaPredicate === viaSignals)
+    assert(viaPredicate.values.exists(identity) &&
+      viaPredicate.values.exists(!_), "corpus must exercise both verdicts")
+  }
+
+  test("curation front half (gopher filter + chunk explode) runs shuffle-free on the scan") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = docs
+      .select($"doc_id".as("id"), $"text")
+      .filter(graft.pipeline.Quality.gopherPasses($"text",
+        minTokens = 30, maxTokens = 90))
+    val front = graft.pipeline.Chunking.chunkTokens(
+      chunks, $"id", $"text", chunkSize = 64, overlap = 16)
+    front.write.format("noop").mode("overwrite").save()
+    val plan = front.queryExecution.executedPlan
+    assert(plan.collectWithSubqueries { case e: Exchange => e }.isEmpty,
+      s"filter + chunk must be row-local on the scan, got:\n$plan")
+  }
+
   test("continuous form: a processing-time query curates arriving records") {
     val (wh, index, ckpt) = setup("cont")
     LogWriter.append(spark, wh, "docs",
