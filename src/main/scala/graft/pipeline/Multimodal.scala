@@ -197,22 +197,36 @@ object Multimodal {
         catch { case _: Exception => null }
       if (ais == null) pseudo(id, bytes)
       else {
-        val fmt = ais.getFormat
+        // the integer-exact statistics below assume 16-bit signed PCM; a
+        // parseable-but-different payload (8-bit PCM, u-law/a-law AU)
+        // goes through the JDK's format conversion first — a REAL decode
+        // of those corpora rather than a fallback — and anything the
+        // conversion chain cannot produce (or a header with an
+        // unspecified/zero rate) still falls back, mirroring
+        // ImageDecoder: decode fully or not at all
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val src = ais.getFormat
+        val conv =
+          if (src.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              src.getSampleSizeInBits == 16) ais
+          else if (src.getSampleRate <= 0 || src.getChannels <= 0) null
+          else
+            try AudioSystem.getAudioInputStream(
+              new AudioFormat(src.getSampleRate, 16, src.getChannels,
+                true, src.isBigEndian), ais)
+            catch { case _: Exception => null }
+        if (conv == null) return pseudo(id, bytes)
+        val fmt = conv.getFormat
         val rate = fmt.getSampleRate.toInt
         val ch = fmt.getChannels
-        val frames = ais.getFrameLength
         val big = fmt.isBigEndian
-        // the integer-exact statistics below assume 16-bit signed PCM; a
-        // parseable-but-different payload (8-bit PCM, u-law/a-law AU,
-        // float WAV) or a header with unspecified/zero rate or negative
-        // frame count must take the fallback, not silently mis-decode
-        // (mirrors ImageDecoder: anything the real path cannot decode
-        // FULLY falls back)
-        if (fmt.getEncoding !=
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16 || rate <= 0 || frames < 0)
-          return pseudo(id, bytes)
-        val data = ais.readAllBytes()
+        if (rate <= 0 || ch <= 0) return pseudo(id, bytes)
+        val data = conv.readAllBytes()
+        // header frame count when declared, else derived from the decoded
+        // byte count (a malformed header must not kill the task — ADVICE)
+        val frames =
+          if (conv.getFrameLength >= 0) conv.getFrameLength
+          else data.length.toLong / (2L * ch)
         var ampSum = 0L
         var sqSum = 0L
         var i = 0

@@ -96,7 +96,7 @@ class MultimodalSpec extends SparkSpec {
     assert(again === out(1L).copy(id = 1L))
   }
 
-  test("audio guards: parseable but non-16-bit-PCM payloads take the fallback") {
+  test("non-16-bit audio (8-bit PCM, u-law) REALLY decodes via JDK format conversion") {
     import javax.sound.sampled._
     def encode(fmt: AudioFormat, frames: Int, typ: AudioFileFormat.Type): Array[Byte] = {
       val pcm = new Array[Byte](frames * fmt.getFrameSize)
@@ -106,25 +106,28 @@ class MultimodalSpec extends SparkSpec {
       AudioSystem.write(ais, typ, bos)
       bos.toByteArray
     }
-    // 8-bit unsigned PCM WAV and u-law AU both parse via AudioSystem but
-    // are NOT 16-bit signed PCM — the exact-stats loop would silently
-    // mis-read them, so they must route to pseudo
     val pcm8 = encode(new AudioFormat(8000f, 8, 1, false, false), 100,
       AudioFileFormat.Type.WAVE)
     val ulaw = encode(new AudioFormat(AudioFormat.Encoding.ULAW,
       8000f, 8, 1, 1, 8000f, false), 100, AudioFileFormat.Type.AU)
-    assert(AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(pcm8)) != null,
-      "precondition: the 8-bit WAV must be parseable")
-    // both payloads are ALL-ZERO samples: any decode through the 16-bit
-    // stats loop would report amp_sum == 0; the hash-derived pseudo for
-    // these exact bytes does not — so nonzero stats prove the fallback ran
     val decoder = new Multimodal.AudioDecoder
     val d8 = decoder.decode(1L, pcm8)
     val du = decoder.decode(2L, ulaw)
-    assert(d8.amp_sum > 0L,
-      "8-bit PCM must hit the pseudo path (a mis-decode of silence would be 0)")
-    assert(du.amp_sum > 0L, "u-law must hit the pseudo path")
+    // real header metadata survives the conversion (a pseudo fallback
+    // would hash-derive all three fields)
+    Seq(d8, du).foreach { d =>
+      assert(d.sample_rate === 8000 && d.channels === 1 && d.n_frames === 100L,
+        s"real format metadata expected, got $d")
+      // every input byte is identical, so after a REAL uniform conversion
+      // every 16-bit sample is one constant s: amp_sum = n|s|, sq_sum =
+      // n·s² ⇒ amp_sum² = n·sq_sum — independent hash-derived pseudo
+      // stats cannot satisfy this
+      assert(d.amp_sum * d.amp_sum === 100L * d.sq_sum,
+        s"constant-sample invariant must hold for a real decode: $d")
+    }
+    // u-law silence is a NONZERO 16-bit level (codec table), 8-bit
+    // unsigned zero maps to full negative swing — both real decodes
+    assert(du.amp_sum > 0L && d8.amp_sum > 0L)
   }
 
   test("decode is deterministic across runs and partitionings") {
