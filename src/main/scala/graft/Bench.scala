@@ -50,7 +50,9 @@ object Bench {
     "dedup_simhash" -> 0.65, "text_stats" -> 0.4, "lang_id" -> 0.2,
     "ann_brute" -> 0.25, "ann_srp" -> 0.35, "pipeline_clean" -> 0.9,
     "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
-    "chunk_docs" -> 0.6, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.0)
+    "chunk_docs" -> 0.6, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.0,
+    "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
+    "dedup_fingerprint" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -172,7 +174,13 @@ object Bench {
       "dup_clusters" -> (Queries.dupClusters _),
       "tfidf_topk" -> (Queries.tfidfTopk _),
       "chunk_docs" -> (Queries.chunkDocs _),
-      "gopher_filters" -> (Queries.gopherFilters _))
+      "gopher_filters" -> (Queries.gopherFilters _),
+      // round 9 additions: corpus-trained BPE application (the codegen'd
+      // whole-table expression), real MP4 container parse, 128-bit
+      // fingerprint dedup
+      "bpe_tokenize" -> (Queries.bpeTokenize _),
+      "multimodal_decode_video" -> (Queries.multimodalDecodeVideo _),
+      "dedup_fingerprint" -> (Queries.dedupFingerprint _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

@@ -79,6 +79,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).width === 640 && out(2L).height === 360)
   }
 
+  test("MP4 walker skips unknown boxes and tolerates box order") {
+    def rawBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(payload)
+      bb.array()
+    }
+    val base = Multimodal.Mp4Synth.bytes("isom", 1200, 4800L, Seq("avc1"),
+      width = 640, height = 360)
+    // real files carry free/skip/mdat siblings — the walker must skip them
+    // wherever they appear (before ftyp, between top-level boxes, at EOF)
+    val junk = rawBox("free", Array.fill[Byte](24)(0x5a)) ++
+      rawBox("skip", Array.empty[Byte])
+    val decorated = junk ++ base ++ rawBox("mdat", Array.fill[Byte](40)(1))
+    val out = Multimodal.decodeVideoPartitions(
+        Seq((1L, base), (2L, decorated)).toDF("id", "content"),
+        $"id", $"content")
+      .collect().map(d => d.id -> d).toMap
+    assert(out(2L) === out(1L).copy(id = 2L),
+      "unknown sibling boxes must not change the parse")
+  }
+
   test("non-MP4 and truncated payloads fall back to the deterministic pseudo-decode") {
     val garbage = Array.tabulate(64)(i => (i * 37).toByte)
     val truncated = Multimodal.Mp4Synth.bytes("isom", 1200, 4800L, Seq("avc1"))
