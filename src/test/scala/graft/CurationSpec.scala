@@ -81,6 +81,25 @@ class CurationSpec extends SparkSpec {
     assert(filesPerDir(s"$index/shingles").values.forall(_ == 1))
   }
 
+  test("a batch where everything fails curation flows through as a clean no-op") {
+    val (wh, index, ckpt) = setup("empty")
+    val cfg = CurateCrash.TestConfig.copy(compactEvery = 1)
+    // every doc fails the gopher floor: the whole downstream (chunk,
+    // probe, within-batch dedup, index append, curated append) must
+    // handle an EMPTY frame without error and commit the batch
+    LogWriter.append(spark, wh, "docs",
+      records(0L -> "x", 1L -> "1 2 3", 2L -> ""), "id")
+    Curation.runAvailableNow(spark, wh, "docs", "curated", index, ckpt, cfg)
+      .awaitTermination()
+    assert(curatedKeys(wh) === Map.empty[String, Long])
+    // the empty batch COMMITTED: a later drain sees only new records,
+    // and curation still works end to end afterwards
+    LogWriter.append(spark, wh, "docs", records(3L -> textA), "id")
+    Curation.runAvailableNow(spark, wh, "docs", "curated", index, ckpt, cfg)
+      .awaitTermination()
+    assert(curatedKeys(wh) === Map("3/0" -> 1L, "3/1" -> 1L))
+  }
+
   test("gopherPasses == gopherSignals.passes on the corpus (verdict-only fusion)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaSignals = graft.pipeline.Quality
