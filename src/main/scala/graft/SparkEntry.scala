@@ -54,6 +54,8 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_fingerprint" -> (Queries.dedupFingerprint _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_spans" -> (Queries.dedupSpans _),
+    "dedup_semantic" -> (Queries.dedupSemantic _),
     "dedup_incremental" -> (Queries.dedupIncremental _),
     "curate_pipeline" -> (Queries.curatePipeline _),
     "dedup_embedding_incremental" -> (Queries.dedupEmbeddingIncremental _),

@@ -242,4 +242,118 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Substring-level repeated-span removal — the hash-bucketed form of
+    * suffix-array training-data dedup (Lee et al. 2022, arXiv:2107.06499):
+    * instead of doc-granularity drop decisions, every word `k`-gram that
+    * occurs `minCount`+ times ANYWHERE in the corpus marks its k word
+    * positions for removal; overlapping marks merge (interval union), and
+    * each document's surviving words re-join into `kept_text`.
+    *
+    * Returns (doc_id, n_words, removed_words, kept_text) — one row per
+    * input document, including documents with nothing removed.
+    *
+    * Shape for 100 TB:
+    *   - the gram stream carries (id, pos, 8-byte FNV fingerprint) — the
+    *     gram TEXT never shuffles (the suffix array's "don't materialize
+    *     the substrings" property, bought with a hash instead of an index);
+    *   - duplicated-gram detection is ONE count-aggregate on the
+    *     fingerprint (map-side partial combine absorbs hot grams), and the
+    *     occurrence re-join is an equi-join on the same key, so both sides
+    *     shuffle-partition cleanly;
+    *   - interval merge + text reconstruction is per-document row-local
+    *     array math (no window, no sort): positions collect per doc
+    *     (bounded by doc length), coverage materializes as a distinct
+    *     position array, survivors filter by index.
+    * For multi-billion-gram corpora, pair the FNV key with `xxhash64` into
+    * the 16-byte two-family struct [[exactByFingerprint]] uses — a 64-bit
+    * family alone starts birthday-colliding (false dup marks) past ~10⁹
+    * distinct grams. Single-family here keeps the oracle SQL one
+    * list_reduce instead of two.
+    */
+  def repeatedSpanRemoval(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(k >= 1 && minCount >= 2, s"k=$k minCount=$minCount")
+    val base = df.select(id.cast("long").as("id"), T.tokens(text).as("w"))
+    // (id, pos, gram-fingerprint) — one row per k-gram occurrence
+    val occ = spread(base)
+      .select(col("id"),
+        explode(
+          when(size(col("w")) >= k,
+            transform(sequence(lit(0), size(col("w")) - k),
+              i => struct(i.as("pos"),
+                T.fingerprint64(array_join(slice(col("w"), i + 1, lit(k)), " "))
+                  .as("g"))))
+            .otherwise(array().cast("array<struct<pos:int,g:bigint>>")))
+          .as("o"))
+      .select(col("id"), col("o.pos").as("pos"), col("o.g").as("g"))
+    val dup = occ.groupBy("g").count()
+      .filter(col("count") >= minCount).select("g")
+    val starts = occ.join(dup, "g")
+      .groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    base.join(starts, Seq("id"), "left")
+      .withColumn("covered",
+        array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          p => sequence(p, p + (k - 1))))))
+      .select(
+        col("id").as("doc_id"),
+        size(col("w")).as("n_words"),
+        size(col("covered")).as("removed_words"),
+        array_join(
+          filter(col("w"), (_, i) => !array_contains(col("covered"), i)),
+          " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Semantic (embedding-space) dedup, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the corpus embeddings, then inside each
+    * cluster drop every vector that has a LOWER-id cluster-mate with
+    * cosine ≥ `tau` — the "keep one representative per semantic
+    * duplicate group" rule with a deterministic (lowest-id) survivor.
+    * Returns the survivors as (vec_id, cluster).
+    *
+    * Scale shape: the O(n²) cosine pass never happens globally — pairs
+    * form only within a cluster (SemDeDup's point: k scales with corpus
+    * size, so cluster populations stay bounded and the pairwise join is
+    * k independent bounded problems). The clustering itself is
+    * [[Clustering.kmeans]]: assignment is a codegen'd literal-centroid
+    * expression, update shuffles only k×dim partials. At demo scale
+    * k=10 under-parallelizes the pair join (10 shuffle keys); production
+    * k (~n/1000) provides the parallelism by construction.
+    *
+    * Every arithmetic step (6-dp input rounding, fixed-order dot folds,
+    * sqrt-of-product norm) matches the DuckDB oracle bit-for-bit, so the
+    * drop set is exactly checkable. */
+  def semanticDedup(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      tau: Double): DataFrame = {
+    val e = df.select(id.cast("long").as("vec_id"),
+      transform(vec, x => round(x.cast("double"), 6)).as("v"))
+    val assigned = Clustering.kmeans(df, id, vec, k, iters)
+      .select(col("vec_id").cast("long").as("vec_id"), col("cluster"))
+    val wc = e.join(assigned, "vec_id")
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val a = wc.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = wc.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) /
+          sqrt(dot(col("va"), col("va")) * dot(col("vb"), col("vb"))))
+      .filter(col("cos") >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    wc.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -25,6 +25,72 @@ object Oracles {
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
       "AS DECIMAL(28,4))) AS DOUBLE)"
 
+  // The SAME two Lloyd iterations the Spark side runs, unrolled: 6-dp
+  // inputs make the DECIMAL(28,12) sums exact (order-insensitive), means
+  // round to 9 dp, distances fold in element order, argmin ties break to
+  // the lowest cluster id — so the assignment is bit-for-bit reproducible
+  // across engines. Standalone as `kmeans_clusters`; reused (as a nested
+  // CTE) by `dedup_semantic`.
+  private val kmeansClustersSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS c
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)),
+      |d1 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, len(e.v)),
+      |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
+      |  FROM e, c0 c),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+      |    SELECT a.cid, u.pos,
+      |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m
+      |    FROM a1 a JOIN
+      |      (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM e) u
+      |      USING (vec_id)
+      |    GROUP BY a.cid, u.pos)
+      |  GROUP BY cid),
+      |c1 AS (
+      |  SELECT cid, c FROM m1
+      |  UNION ALL
+      |  SELECT cid, c FROM c0 WHERE cid NOT IN (SELECT cid FROM m1)),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, len(e.v)),
+      |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
+      |  FROM e, c1 c),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+      |    SELECT a.cid, u.pos,
+      |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m
+      |    FROM a2 a JOIN
+      |      (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM e) u
+      |      USING (vec_id)
+      |    GROUP BY a.cid, u.pos)
+      |  GROUP BY cid),
+      |c2 AS (
+      |  SELECT cid, c FROM m2
+      |  UNION ALL
+      |  SELECT cid, c FROM c1 WHERE cid NOT IN (SELECT cid FROM m2)),
+      |d3 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, len(e.v)),
+      |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
+      |  FROM e, c2 c)
+      |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM d3) WHERE rn = 1""".stripMargin
+
   val sql: Map[String, String] = Map(
     "ingest_offsets" ->
       """SELECT event_id,
@@ -456,70 +522,68 @@ object Oracles {
         |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(x / scale * 127) END AS INTEGER) AS q
         |FROM (SELECT vec_id, scale, unnest(v) AS x, unnest(range(0, len(v))) AS pos FROM s)""".stripMargin,
 
-    // The SAME two Lloyd iterations the Spark side runs, unrolled: 6-dp
-    // inputs make the DECIMAL(28,12) sums exact (order-insensitive), means
-    // round to 9 dp, distances fold in element order, argmin ties break to
-    // the lowest cluster id — so the assignment is bit-for-bit reproducible
-    // across engines.
-    "kmeans_clusters" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
-        |  FROM embeddings),
-        |c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS c
-        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 10)),
-        |d1 AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(generate_series(1, len(e.v)),
-        |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
-        |  FROM e, c0 c),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
-        |    SELECT a.cid, u.pos,
-        |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m
-        |    FROM a1 a JOIN
-        |      (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM e) u
-        |      USING (vec_id)
-        |    GROUP BY a.cid, u.pos)
-        |  GROUP BY cid),
-        |c1 AS (
-        |  SELECT cid, c FROM m1
-        |  UNION ALL
-        |  SELECT cid, c FROM c0 WHERE cid NOT IN (SELECT cid FROM m1)),
-        |d2 AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(generate_series(1, len(e.v)),
-        |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
-        |  FROM e, c1 c),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM d2) WHERE rn = 1),
-        |m2 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
-        |    SELECT a.cid, u.pos,
-        |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m
-        |    FROM a2 a JOIN
-        |      (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos FROM e) u
-        |      USING (vec_id)
-        |    GROUP BY a.cid, u.pos)
-        |  GROUP BY cid),
-        |c2 AS (
-        |  SELECT cid, c FROM m2
-        |  UNION ALL
-        |  SELECT cid, c FROM c1 WHERE cid NOT IN (SELECT cid FROM m2)),
-        |d3 AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(generate_series(1, len(e.v)),
-        |      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d
-        |  FROM e, c2 c)
-        |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |  FROM d3) WHERE rn = 1""".stripMargin,
+    "kmeans_clusters" -> kmeansClustersSql,
+
+    // the Spark side groups grams by their FNV-1a fingerprint (8-byte
+    // shuffle key, text never shuffles); the oracle folds the IDENTICAL
+    // hash per gram so even a collision-induced false dup would reproduce
+    "dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |                      ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(w) - 5)) AS pos, w FROM d),
+        |g AS (
+        |  SELECT doc_id, pos, list_reduce(
+        |    list_concat([14695981039346656037::HUGEINT],
+        |      list_transform(
+        |        list_filter(string_split(array_to_string(w[pos+1: pos+5], ' '), ''),
+        |                    c -> c <> ''),
+        |        c -> ord(c)::HUGEINT)),
+        |    (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS fp
+        |  FROM occ),
+        |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(list(pos),
+        |      p -> generate_series(p, p + 4)))) AS covered
+        |  FROM g JOIN dup USING (fp)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(coalesce(len(covered), 0) AS INTEGER) AS removed_words,
+        |  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        |  -- array_join([]) is '' — a fully-removed doc keeps ''
+        |  coalesce(array_to_string(
+        |    list_transform(
+        |      list_filter(generate_series(1, len(w)),
+        |        i -> covered IS NULL OR NOT list_contains(covered, i - 1)),
+        |      i -> w[i]), ' '), '') AS kept_text
+        |FROM d LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: the kmeans CTE is the exact kmeans_clusters statement
+    // (nested WITH); pair cosines fold dot and norms in element order and
+    // divide by sqrt-of-product, matching the Spark expression bit-for-bit
+    "dedup_semantic" ->
+      s"""WITH assigned AS ($kmeansClustersSql),
+         |ee AS (
+         |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
+         |  FROM embeddings),
+         |wc AS (SELECT ee.vec_id, v, cluster FROM ee JOIN assigned USING (vec_id)),
+         |p AS (
+         |  SELECT x.vec_id AS ia, y.vec_id AS ib,
+         |    list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i])) /
+         |    sqrt(list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * x.v[i])) *
+         |         list_sum(list_transform(generate_series(1, len(y.v)), i -> y.v[i] * y.v[i]))) AS cos
+         |  FROM wc x JOIN wc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |dropped AS (SELECT DISTINCT ib FROM p WHERE cos >= 0.35)
+         |SELECT vec_id, cluster FROM wc
+         |WHERE vec_id NOT IN (SELECT ib FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (

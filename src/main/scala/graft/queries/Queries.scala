@@ -419,6 +419,23 @@ object Queries {
         shingler = T.wordShingles)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Substring-level dedup: remove every word 5-gram span occurring ≥2
+    * times corpus-wide (the hash-bucketed Lee et al. 2022 shape — see
+    * [[graft.pipeline.Dedup.repeatedSpanRemoval]]). The oracle replays the
+    * same FNV-fingerprint grouping and interval union in SQL. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpanRemoval(t(spark, dir, "documents"),
+      col("doc_id"), col("text"), k = 5, minCount = 2)
+
+  /** SemDeDup over the embeddings table: the SAME deterministic k-means as
+    * `kmeans_clusters` (k=10, 2 Lloyd iterations), then within-cluster
+    * cosine ≥ 0.35 drops the higher id (0.35 is this synthetic corpus's
+    * near-dup band — the same threshold `dedup_embedding` uses). Survivors
+    * only. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(spark, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 10, iters = 2, tau = 0.35)
+
   /** MinHash-LSH near-dup pairs (approximate; no SQL oracle). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(spark, dir, "documents"),

@@ -111,11 +111,25 @@ object ScaleStress {
       "quantize_int8" -> (Queries.quantizeInt8 _),
       "ann_brute" -> (Queries.annBrute _),
       "q1_pricing" -> (Queries.q1Pricing _),
-      "q_events_hourly" -> (Queries.qEventsHourly _))
+      "q_events_hourly" -> (Queries.qEventsHourly _),
+      "dedup_spans" -> (Queries.dedupSpans _))
     linear.foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))
       entries(name) = (t1, tN)
+    }
+
+    // --- SemDeDup discipline: k must scale with the corpus (k ∝ n keeps
+    // per-cluster populations — and so the within-cluster pairwise join —
+    // bounded). Fixed k would grow the pair count quadratically; this
+    // entry measures the operator AS PRESCRIBED, k×N at N× data. ---
+    entries("dedup_semantic_scaledk") = {
+      import graft.pipeline.Dedup
+      def run(dir: String, k: Int): Double = bestOf2(materialize(
+        Dedup.semanticDedup(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"), k = k, iters = 2, tau = 0.35)))
+      (run(srcDir, 10), run(scaled, 10 * factor))
     }
 
     // --- ingest: full produce path at 1× and N× row counts ---

@@ -251,4 +251,51 @@ class DedupSpec extends SparkSpec {
     df.select(V.cosine($"a", $"b").as("c"), $"expected").collect()
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
+
+  test("repeated-span removal cuts every cross-doc k-gram span, merges overlaps") {
+    val d = Seq(
+      (0L, "x a b c y"),           // "a b c" repeats in doc 1 → positions 1-3 cut
+      (1L, "z a b c w"),
+      (2L, "p q r s t"),           // all grams unique → untouched
+      (3L, "a b c a b c"),         // overlapping repeats of "a b c" → fully covered
+      (4L, "aa bb"),               // shorter than k → no grams, untouched
+      (5L, "")                     // empty text → zero words
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanRemoval(d, $"doc_id", $"text", k = 3)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 5, 3, "x y")))
+    assert(out(1L) === ((1L, 5, 3, "z w")))
+    assert(out(2L) === ((2L, 5, 0, "p q r s t")))
+    assert(out(3L) === ((3L, 6, 6, "")))
+    assert(out(4L) === ((4L, 2, 0, "aa bb")))
+    assert(out(5L) === ((5L, 0, 0, "")))
+  }
+
+  test("repeated-span removal: within-doc repeats alone reach minCount") {
+    val d = Seq(
+      (0L, "u v w m n u v w"), // "u v w" twice in ONE doc
+      (1L, "q r s t x y z q")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanRemoval(d, $"doc_id", $"text", k = 3)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 8, 6, "m n")))
+    assert(out(1L)._3 === 0)
+  }
+
+  test("semantic dedup drops higher-id near-identical cluster-mates only") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.001f)), // near-dup of 0 → dropped
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.0f, 1.0f)),     // exact dup of 2 → dropped
+      (4L, Seq(0.7f, 0.7f))      // same cluster as 2/3 but cos ≈ 0.707 → kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(d, $"vec_id", $"embedding",
+        k = 2, iters = 2, tau = 0.99)
+      .as[(Long, Int)].collect().toMap
+    assert(out.keySet === Set(0L, 2L, 4L))
+    // 2 and 4 must share a cluster (the drop decision was within-cluster)
+    assert(out(2L) === out(4L))
+    assert(out(0L) !== out(2L))
+  }
 }

@@ -144,4 +144,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "bench grams join by broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dedup_spans: gram shuffles key on the 8-byte fingerprint, text never shuffles") {
+    val df = Queries.dedupSpans(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // duplicated-gram detection + occurrence re-join both exchange on the
+    // FNV fingerprint, never on gram text or the document body
+    assert(p.contains("hashpartitioning(g#"),
+      "gram aggregate/join keyed by the 8-byte fingerprint")
+    assert(!p.contains("hashpartitioning(text"),
+      "document bodies must not be a shuffle key")
+    assert(!p.contains("Window"),
+      "interval merge is row-local array math, not a window pass")
+    // only doc_id + text feed the operator; corpus metadata columns pruned
+    assert(!p.contains("n_chars") && !p.contains("lang#"),
+      "unused document columns pruned from the scan")
+  }
+
+  test("dedup_semantic: pairs form per cluster via equi-join, never globally") {
+    val p = plan(Queries.dedupSemantic(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hashpartitioning(cluster#") || p.contains("cluster#"),
+      "pairwise cosine joins on the cluster key")
+  }
 }
