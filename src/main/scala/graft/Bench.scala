@@ -52,7 +52,7 @@ object Bench {
     "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
     "chunk_docs" -> 0.6, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.0,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
-    "dedup_fingerprint" -> 0.4)
+    "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 3.2)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -180,7 +180,10 @@ object Bench {
       // fingerprint dedup
       "bpe_tokenize" -> (Queries.bpeTokenize _),
       "multimodal_decode_video" -> (Queries.multimodalDecodeVideo _),
-      "dedup_fingerprint" -> (Queries.dedupFingerprint _))
+      "dedup_fingerprint" -> (Queries.dedupFingerprint _),
+      // substring-level span removal + cluster-bounded semantic dedup
+      "dedup_spans" -> (Queries.dedupSpans _),
+      "dedup_semantic" -> (Queries.dedupSemantic _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

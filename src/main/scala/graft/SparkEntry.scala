@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_fingerprint" -> (Queries.dedupFingerprint _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_spans" -> (Queries.dedupSpans _),
+    "dedup_spans_incremental" -> (Queries.dedupSpansIncremental _),
     "dedup_semantic" -> (Queries.dedupSemantic _),
     "dedup_incremental" -> (Queries.dedupIncremental _),
     "curate_pipeline" -> (Queries.curatePipeline _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "dup_clusters" -> (Queries.dupClusters _),
     "decontaminate" -> (Queries.decontaminate _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "cap_per_source" -> (Queries.capPerSource _),
     "shuffle_shards" -> (Queries.shuffleShards _),
     "mix_weights" -> (Queries.mixWeights _),
     "tfidf_topk" -> (Queries.tfidfTopk _),

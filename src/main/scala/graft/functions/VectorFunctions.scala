@@ -21,6 +21,15 @@ object VectorFunctions {
     GraftInternal.column(
       DotProductExpression(GraftInternal.expression(a), GraftInternal.expression(b)))
 
+  /** Dot product over `array<double>` columns — same left-to-right
+    * accumulation order as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so
+    * results are bit-identical to the fold (and to the DuckDB oracle's
+    * `list_sum(list_transform(...))`), without the zipped intermediate
+    * array the built-in composition allocates per pair. */
+  def dotD(a: Column, b: Column): Column =
+    GraftInternal.column(
+      DotProductDoubleExpression(GraftInternal.expression(a), GraftInternal.expression(b)))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 when either norm is 0. */
@@ -43,6 +52,14 @@ object VectorFunctions {
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def dotDF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
 
@@ -95,6 +112,19 @@ case class DotProductExpression(left: Expression, right: Expression)
     VectorFunctions.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorFunctions.dotF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DotProductDoubleExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_d"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorFunctions.dotDF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorFunctions.dotDF($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

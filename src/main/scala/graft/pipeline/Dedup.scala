@@ -340,16 +340,19 @@ object Dedup {
       transform(vec, x => round(x.cast("double"), 6)).as("v"))
     val assigned = Clustering.kmeans(df, id, vec, k, iters)
       .select(col("vec_id").cast("long").as("vec_id"), col("cluster"))
+    // the self-norm is pair-invariant: fold it ONCE per vector here (the
+    // codegen'd sequential loop — bit-identical to the oracle's in-order
+    // list_sum) instead of twice per pair inside the quadratic join
     val wc = e.join(assigned, "vec_id")
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val a = wc.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = wc.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+      .withColumn("n2", V.dotD(col("v"), col("v")))
+    val a = wc.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = wc.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("n2").as("nb"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        dot(col("va"), col("vb")) /
-          sqrt(dot(col("va"), col("va")) * dot(col("vb"), col("vb"))))
+        V.dotD(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .filter(col("cos") >= tau)
       .select(col("id_b").as("vec_id")).distinct()
     wc.join(dropped, Seq("vec_id"), "left_anti")

@@ -30,14 +30,20 @@ object Sampling {
     * be kept at every nonzero rate, a small deterministic bias. Not
     * cryptographic; uniform enough for corpus subsampling.
     */
-  def hashUnit(id: Column): Column = {
+  /** The integer Lehmer chain under [[hashUnit]]: three MINSTD steps on
+    * `id + 1`, returned as the raw long in [0, 2^31 − 1) — an exact,
+    * engine-reproducible pseudo-random ORDER key (ordering by it is
+    * ordering by hashUnit without ever comparing doubles). */
+  def hashOrder(id: Column): Column = {
     val m = 2147483647L
     val x0 = pmod(id.cast("long") + lit(1L), lit(m))
     val x1 = x0 * 48271L % m
     val x2 = x1 * 48271L % m
-    val x3 = x2 * 48271L % m
-    x3.cast("double") / 2147483647.0
+    x2 * 48271L % m
   }
+
+  def hashUnit(id: Column): Column =
+    hashOrder(id).cast("double") / 2147483647.0
 
   /** Stratified deterministic sample: keep a row iff hashUnit(id) < the
     * sampling rate of its stratum. `rates` maps stratum value → rate;
@@ -83,6 +89,28 @@ object Sampling {
       .withColumn("__order", xxhash64(idL, lit(seed)))
       .withColumn("pos", (row_number().over(w) - 1).cast("int"))
       .drop("__order")
+  }
+
+  /** Per-stratum cap: keep at most `n` rows per stratum (the per-domain
+    * cap every web-corpus pipeline applies so one giant domain cannot
+    * dominate the training mix), selected deterministically — rows rank by
+    * the [[hashOrder]] of their id (ties by id), so the kept subset is an
+    * unbiased, reproducible sample of each stratum rather than its first
+    * `n` ids.
+    *
+    * Scale shape: one shuffle keyed by the stratum, then an in-partition
+    * rank — no global sort. Strata are typically plentiful (domains), so
+    * parallelism comes from the key space; a single pathological hot
+    * stratum sorts in one spill-backed task, and for WIDE payload rows the
+    * caller can rank an (id, stratum) projection and semi-join survivors
+    * back instead of shuffling document bodies. */
+  def capPerStratum(
+      df: DataFrame, id: Column, stratum: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val w = Window.partitionBy(stratum).orderBy(hashOrder(id), id)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
   }
 
   /** Mixture plan: given per-stratum target WEIGHTS and a global token

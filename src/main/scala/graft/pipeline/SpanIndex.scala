@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Persisted word-gram fingerprint index for INCREMENTAL substring-level
+  * dedup — the living-corpus form of [[Dedup.repeatedSpanRemoval]].
+  *
+  * One-shot span removal re-fingerprints the whole corpus per run; a crawl
+  * pipeline instead needs "cut from each NEW batch every k-gram span the
+  * corpus has already seen (or that repeats within the batch)". This index
+  * pays the corpus-side gram pass once:
+  *
+  *   - `build` persists one row per DISTINCT corpus gram fingerprint with
+  *     the lowest doc id that introduced it: `path/grams` (g, owner). The
+  *     corpus text is never read again — at 100 TB the gram set is the
+  *     only state, and it is a fraction of corpus bytes (8-byte hash per
+  *     distinct gram vs the text itself).
+  *   - `append` adds a batch's distinct gram fingerprints — steady-state
+  *     ingest, touching only the new documents.
+  *   - `probe` removes spans from a new batch: batch occurrences (id,
+  *     pos, g) join the CORPUS gram set for cross-corpus repeats, plus a
+  *     batch-internal count for within-batch repeats; covered intervals
+  *     union row-locally exactly as the one-shot operator does.
+  *
+  * '''Shard-pruned layout.''' `path/grams` is written with a
+  * `shard = pmod(g, numShards)` partition column, so a probe reads only
+  * the gram directories its batch can hit — the same directory-prune
+  * shape [[LshIndex]] and [[IvfIndex]] prove: probe I/O tracks the BATCH
+  * gram set, not the corpus. The shard hit set is a driver round-trip
+  * bounded by `numShards`.
+  *
+  * '''Replay safety''' (a crash-replayed `ingestBatch` must re-derive the
+  * SAME output): every gram row carries the lowest doc id that introduced
+  * it, and probe only counts a corpus hit when `owner != batch doc id`.
+  * A replayed batch that already appended its own grams therefore does
+  * not self-match: grams it introduced resolve to `owner == its own id`
+  * (excluded), grams the prior corpus already had resolve to the old
+  * owner (cut, exactly as in the first run), and within-batch repeats
+  * re-derive from the batch itself. Re-appending adds duplicate rows,
+  * which the set semantics ignore (see [[compact]]).
+  *
+  * `k` (gram width in words) and the shard count are stamped into
+  * `path/meta` and read back on probe/append, so a probe can never use a
+  * different gram width than the index it queries. */
+object SpanIndex {
+
+  /** Batch gram occurrences: (id, pos, g) — one row per k-gram position,
+    * fingerprint = FNV-1a of the space-joined words (identical to
+    * [[Dedup.repeatedSpanRemoval]], so the two surfaces agree). */
+  private def occurrences(
+      df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    Dedup.spread(df.select(id.cast("long").as("id"), T.tokens(text).as("w")))
+      .select(col("id"),
+        explode(
+          when(size(col("w")) >= k,
+            transform(sequence(lit(0), size(col("w")) - k),
+              i => struct(i.as("pos"),
+                T.fingerprint64(array_join(slice(col("w"), i + 1, lit(k)), " "))
+                  .as("g"))))
+            .otherwise(array().cast("array<struct<pos:int,g:bigint>>")))
+          .as("o"))
+      .select(col("id"), col("o.pos").as("pos"), col("o.g").as("g"))
+
+  /** Distinct (g, owner=min id) of a frame's occurrences, shard-stamped. */
+  private def gramSet(occ: DataFrame, numShards: Int): DataFrame =
+    occ.groupBy("g").agg(min(col("id")).as("owner"))
+      .withColumn("shard", pmod(col("g"), lit(numShards.toLong)).cast("int"))
+
+  private def writeGrams(
+      occ: DataFrame, numShards: Int, path: String, mode: String): Unit =
+    gramSet(occ, numShards)
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/grams")
+
+  def build(
+      corpus: DataFrame,
+      id: Column,
+      text: Column,
+      path: String,
+      k: Int = 5,
+      numShards: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((k, numShards)).toDF("k", "num_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeGrams(occurrences(corpus, id, text, k), numShards, path, "overwrite")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").select("k", "num_shards").head()
+    (m.getInt(0), m.getInt(1))
+  }
+
+  /** Add a batch's distinct gram fingerprints — steady-state ingest. */
+  def append(batch: DataFrame, id: Column, text: Column, path: String): Unit = {
+    val (k, numShards) = readMeta(batch.sparkSession, path)
+    writeGrams(occurrences(batch, id, text, k), numShards, path, "append")
+  }
+
+  /** The shard-pruned gram-table scan a probe's shard set touches —
+    * exposed so callers (and specs) can assert the directory pruning. */
+  def prunedGrams(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/grams")
+      .filter(col("shard").isInCollection(shards))
+
+  /** Span removal for a new batch against the indexed corpus: returns
+    * (doc_id, n_words, removed_words, kept_text), one row per batch doc.
+    * A span is cut when its gram is in the corpus (introduced by a
+    * DIFFERENT doc id) or occurs ≥ `minCount` times within the batch.
+    * The corpus side is scanned only in the batch's hit shards and joins
+    * on the 8-byte fingerprint; the batch's gram set broadcasts. */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      minCount: Long = 2L): DataFrame = {
+    val (k, numShards) = readMeta(spark, path)
+    val base = batch.select(id.cast("long").as("id"), T.tokens(text).as("w"))
+    val occ = occurrences(batch, id, text, k)
+    // batch gram-shard hit set: bounded by numShards, buys the prune
+    val gramShards = occ
+      .select(pmod(col("g"), lit(numShards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // corpus hits: gram seen before, by a different doc (replay guard) —
+    // the batch's distinct grams broadcast onto the pruned corpus scan,
+    // so the corpus side never shuffles
+    val corpusHit = prunedGrams(spark, path, gramShards)
+      .join(broadcast(occ.select("g").distinct()), Seq("g"))
+      .select(col("g"), col("owner"))
+    val fromCorpus = occ.join(corpusHit, Seq("g"))
+      .filter(col("owner") =!= col("id"))
+      .select("id", "pos")
+    // within-batch repeats, exactly the one-shot operator's rule
+    val batchDup = occ.groupBy("g").count()
+      .filter(col("count") >= minCount).select("g")
+    val fromBatch = occ.join(batchDup, Seq("g")).select("id", "pos")
+    val starts = fromCorpus.union(fromBatch).distinct()
+      .groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    base.join(starts, Seq("id"), "left")
+      .withColumn("covered",
+        array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          p => sequence(p, p + (k - 1))))))
+      .select(
+        col("id").as("doc_id"),
+        size(col("w")).as("n_words"),
+        size(col("covered")).as("removed_words"),
+        array_join(
+          filter(col("w"), (_, i) => !array_contains(col("covered"), i)),
+          " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The steady-state ingest step as a `foreachBatch` body: cut every
+    * already-seen span from the batch, append the ORIGINAL batch's grams
+    * (the corpus has now seen all of this content — future occurrences
+    * of any of it, kept or cut, must be removed), and return the cleaned
+    * rows. Replay-safe: see the class doc — a replayed batch re-derives
+    * the identical output. */
+  def ingestBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      minCount: Long = 2L): DataFrame = {
+    val cleaned = probe(spark, path, batch, id, text, minCount)
+    append(batch, id, text, path)
+    cleaned
+  }
+
+  /** Compact the gram table: rewrite multi-file shard directories into
+    * one file each, collapsing replayed-append duplicates to the lowest
+    * owner per gram (the owner any probe would resolve). */
+  def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
+    IndexMaintenance.compactTable(spark, s"$path/grams",
+      _.groupBy("g").agg(min(col("owner")).as("owner")))
+}

@@ -565,6 +565,64 @@ object Oracles {
         |FROM d LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // incremental span dedup: the batch (doc_id % 4 = 0) probes the
+    // corpus gram set (doc_id % 4 <> 0) — same FNV fold as dedup_spans;
+    // ids are disjoint so the index's owner guard never fires here
+    "dedup_spans_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+        |                      ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |bocc AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(w) - 5)) AS pos, w
+        |  FROM d WHERE doc_id % 4 = 0),
+        |bg AS (
+        |  SELECT doc_id, pos, list_reduce(
+        |    list_concat([14695981039346656037::HUGEINT],
+        |      list_transform(
+        |        list_filter(string_split(array_to_string(w[pos+1: pos+5], ' '), ''),
+        |                    c -> c <> ''),
+        |        c -> ord(c)::HUGEINT)),
+        |    (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS fp
+        |  FROM bocc),
+        |cocc AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(w) - 5)) AS pos, w
+        |  FROM d WHERE doc_id % 4 <> 0),
+        |cg AS (
+        |  SELECT DISTINCT list_reduce(
+        |    list_concat([14695981039346656037::HUGEINT],
+        |      list_transform(
+        |        list_filter(string_split(array_to_string(w[pos+1: pos+5], ' '), ''),
+        |                    c -> c <> ''),
+        |        c -> ord(c)::HUGEINT)),
+        |    (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS fp
+        |  FROM cocc),
+        |bdup AS (SELECT fp FROM bg GROUP BY fp HAVING count(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos FROM bg WHERE fp IN (SELECT fp FROM cg)
+        |  UNION
+        |  SELECT bg.doc_id, bg.pos FROM bg JOIN bdup USING (fp)),
+        |cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(list(pos),
+        |      p -> generate_series(p, p + 4)))) AS covered
+        |  FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(coalesce(len(covered), 0) AS INTEGER) AS removed_words,
+        |  coalesce(array_to_string(
+        |    list_transform(
+        |      list_filter(generate_series(1, len(w)),
+        |        i -> covered IS NULL OR NOT list_contains(covered, i - 1)),
+        |      i -> w[i]), ' '), '') AS kept_text
+        |FROM d LEFT JOIN cov USING (doc_id)
+        |WHERE d.doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin,
+
     // SemDeDup: the kmeans CTE is the exact kmeans_clusters statement
     // (nested WITH); pair cosines fold dot and norms in element order and
     // divide by sqrt-of-product, matching the Spark expression bit-for-bit
@@ -765,6 +823,19 @@ object Oracles {
         |        / 2147483647.0 <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25
         |            WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.75 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // same Lehmer chain as an integer ORDER key: rank within source by
+    // (x3, doc_id), keep rank <= 10 — the deterministic per-domain cap
+    "cap_per_source" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id + 1) % 2147483647) * 48271 % 2147483647
+        |      * 48271 % 2147483647
+        |      * 48271 % 2147483647 AS x3
+        |  FROM documents)
+        |SELECT doc_id, source FROM h
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY x3, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
 
     // Spark XXH64 hashLong chain replayed in HUGEINT SQL — see XxHash64Sql

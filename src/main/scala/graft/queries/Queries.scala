@@ -7,7 +7,7 @@ import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
-import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, SrpIndex}
+import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, SpanIndex, SrpIndex}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
   * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
@@ -468,6 +468,32 @@ object Queries {
     LshIndex.probe(spark, path, docs.filter(col("doc_id") % 4 === 0),
         col("doc_id"), col("text"), threshold = 0.6)
       .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  private val spanIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental substring dedup against a persisted gram index: docs
+    * with doc_id % 4 != 0 are the standing corpus (indexed once per
+    * input dir, memoized), the rest arrive as the "new batch" and have
+    * every span the corpus has already seen (or that repeats within the
+    * batch) removed — [[dedupIncremental]]'s substring-granularity
+    * sibling. Same k and fingerprints as [[dedupSpans]], so the oracle
+    * reuses its FNV gram SQL with a corpus/batch split. */
+  def dedupSpansIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = spanIndexes.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-span-idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      SpanIndex.build(docs.filter(col("doc_id") % 4 =!= 0),
+        col("doc_id"), col("text"), root.toString, k = 5)
+      root.toString
+    })
+    SpanIndex.probe(spark, path, docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"))
   }
 
   private val curateIndexes =
@@ -1018,6 +1044,15 @@ object Queries {
         col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.75))
       .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source document cap (10 per source), hash-order selection — the
+    * per-domain cap of [[graft.pipeline.Sampling.capPerStratum]]; the
+    * oracle replays the integer Lehmer chain and rank in exact SQL. */
+  def capPerSource(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capPerStratum(t(spark, dir, "documents"),
+        col("doc_id"), col("source"), n = 10)
+      .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
   /** Deterministic global shuffle into 64 shards: shard + dense in-shard

@@ -65,6 +65,24 @@ class SamplingGraphsSpec extends SparkSpec {
     assert(r1.size > 300 && r1.size < 700) // roughly half of 1000
   }
 
+  test("per-stratum cap keeps exactly n, deterministically, and is unbiased-ish") {
+    val df = (0L until 900L).map(i => (i, s"dom${i % 3}")).toDF("id", "s")
+    val capped = Sampling.capPerStratum(df, col("id"), col("s"), n = 50)
+    val by = capped.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(by === Map("dom0" -> 50L, "dom1" -> 50L, "dom2" -> 50L))
+    // deterministic on re-run
+    val r1 = capped.select("id").as[Long].collect().toSet
+    val r2 = Sampling.capPerStratum(df, col("id"), col("s"), n = 50)
+      .select("id").as[Long].collect().toSet
+    assert(r1 === r2)
+    // hash-order selection, not first-n-by-id: the kept set must not be
+    // the 150 lowest ids
+    assert(r1 !== (0L until 150L).toSet)
+    // a stratum below the cap is kept whole
+    val small = (0L until 10L).map(i => (i, "only")).toDF("id", "s")
+    assert(Sampling.capPerStratum(small, col("id"), col("s"), 50).count() === 10L)
+  }
+
   test("mixture plan computes min(1, budget*w/tokens) rates") {
     val df = Seq(("a", 10), ("a", 10), ("b", 5)).toDF("s", "toks")
     val plan = Sampling.mixturePlan(df, col("s"), col("toks"),
