@@ -183,7 +183,9 @@ object Bench {
       "dedup_fingerprint" -> (Queries.dedupFingerprint _),
       // substring-level span removal + cluster-bounded semantic dedup
       "dedup_spans" -> (Queries.dedupSpans _),
-      "dedup_semantic" -> (Queries.dedupSemantic _))
+      "dedup_semantic" -> (Queries.dedupSemantic _),
+      // DSIR hashed-n-gram importance resampling (fit + Gumbel top-k)
+      "dsir_sample" -> (Queries.dsirSample _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

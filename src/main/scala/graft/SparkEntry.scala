@@ -94,6 +94,8 @@ object SparkEntry {
     "decontaminate" -> (Queries.decontaminate _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "cap_per_source" -> (Queries.capPerSource _),
+    "dsir_weights" -> (Queries.dsirWeights _),
+    "dsir_sample" -> (Queries.dsirSample _),
     "shuffle_shards" -> (Queries.shuffleShards _),
     "mix_weights" -> (Queries.mixWeights _),
     "tfidf_topk" -> (Queries.tfidfTopk _),

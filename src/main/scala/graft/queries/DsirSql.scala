@@ -1,0 +1,76 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the DSIR queries ([[graft.pipeline.Dsir]]):
+  * the hashed-n-gram importance-weight pipeline replayed in exact SQL.
+  *
+  * Bucket ids replay [[graft.functions.TextFunctions.fnv1a64]] in HUGEINT
+  * (via [[LshSql.fnv]]) mod 256 — the unsigned residue equals Spark's
+  * `pmod` of the signed long exactly because 256 divides 2^64. λ and the
+  * per-document fold use `ln` on the same add-one-smoothed ratios; the
+  * engines' sums differ only in fold order / final-ulp libm bits, so both
+  * sides round to 6 dp (the repo's established float-oracle contract).
+  * Documents with no grams keep weight 0.0 via the left join.
+  */
+object DsirSql {
+
+  /** Shared CTE chain: tokens → unigrams+bigrams → FNV buckets →
+    * bucket counts (raw + target) → smoothed λ → per-doc raw log-weight. */
+  private val base: String =
+    s"""toks AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |    list_concat(t,
+       |      CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+       |           ELSE list_transform(range(len(t) - 1),
+       |             i -> t[CAST(i + 1 AS BIGINT)] || ' ' || t[CAST(i + 2 AS BIGINT)])
+       |      END) AS g
+       |  FROM toks),
+       |rows_ AS (SELECT doc_id, lang, unnest(g) AS s FROM grams),
+       |hashed AS (
+       |  SELECT doc_id, lang, CAST(${LshSql.fnv("s")} % 256 AS INTEGER) AS b
+       |  FROM rows_),
+       |counts AS (
+       |  SELECT b, count(*) AS raw,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+       |  FROM hashed GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(sum(raw) AS DOUBLE) AS rt, CAST(sum(tgt) AS DOUBLE) AS tt
+       |  FROM counts),
+       |lam AS (
+       |  SELECT b,
+       |    ln((CAST(tgt AS DOUBLE) + 1.0) / (tt + 256.0)) -
+       |    ln((CAST(raw AS DOUBLE) + 1.0) / (rt + 256.0)) AS lam
+       |  FROM counts, tot),
+       |w AS (
+       |  SELECT h.doc_id, sum(l.lam) AS logw_raw
+       |  FROM hashed h JOIN lam l USING (b) GROUP BY h.doc_id)""".stripMargin
+
+  /** All-document importance weights — doc_id, lang, logw (6 dp). */
+  lazy val dsirWeightsSql: String =
+    s"""WITH $base
+       |SELECT d.doc_id, d.lang,
+       |  round(coalesce(w.logw_raw, 0.0), 6) AS logw
+       |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Gumbel top-50 resample — the MINSTD hash-unit chain (the
+    * cap_per_source oracle's Lehmer steps) feeds `−ln(−ln u)`, ranking by
+    * the 6-dp-rounded score with id tie-break, exactly as
+    * [[graft.pipeline.Dsir.resample]]. */
+  lazy val dsirSampleSql: String =
+    s"""WITH $base,
+       |sc AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(w.logw_raw, 0.0) +
+       |      (-ln(-ln(CAST(((d.doc_id + 1) % 2147483647)
+       |          * 48271 % 2147483647
+       |          * 48271 % 2147483647
+       |          * 48271 % 2147483647 AS DOUBLE) / 2147483647.0))) AS s
+       |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+       |SELECT doc_id, lang, round(s, 6) AS score FROM sc
+       |QUALIFY row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) <= 50
+       |ORDER BY score DESC, doc_id""".stripMargin
+}

@@ -40,7 +40,7 @@ object LshSql {
       s"CAST(($b) % 4294967296 AS BIGINT))::HUGEINT)"
 
   /** FNV-1a 64 over the (ASCII) characters of string expression `s`. */
-  private def fnv(s: String): String =
+  private[queries] def fnv(s: String): String =
     s"list_reduce(list_concat([14695981039346656037::HUGEINT], " +
       s"list_transform(list_filter(string_split($s, ''), c -> c <> ''), " +
       s"c -> ord(c)::HUGEINT)), " +

@@ -838,6 +838,10 @@ object Oracles {
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY x3, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
 
+    // DSIR hashed-n-gram importance weights + Gumbel top-k — see DsirSql
+    "dsir_weights" -> DsirSql.dsirWeightsSql,
+    "dsir_sample" -> DsirSql.dsirSampleSql,
+
     // Spark XXH64 hashLong chain replayed in HUGEINT SQL — see XxHash64Sql
     "shuffle_shards" -> XxHash64Sql.shuffleShardsSql,
 

@@ -7,7 +7,7 @@ import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
-import graft.pipeline.{Chunking, Contamination, Dedup, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, SpanIndex, SrpIndex}
+import graft.pipeline.{Chunking, Contamination, Dedup, Dsir, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, SpanIndex, SrpIndex}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
   * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
@@ -1064,6 +1064,32 @@ object Queries {
         col("doc_id"), numShards = 64, seed = 7L)
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
+
+  /** DSIR importance weights [Xie et al. 2023]: per-document
+    * log p_target − log p_raw in a 256-bucket hashed unigram+bigram
+    * feature space, target = the English subcorpus. Fit is one
+    * map-side-combined aggregation (≤256 rows to the driver); scoring is
+    * a row-local codegen'd fold with the λ table as a plan reference
+    * object — at 100 TB the weight pass is one scan, no shuffle. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = Dsir.fit(docs, col("text"), col("lang") === "en", nBuckets = 256)
+    docs.select(col("doc_id"), col("lang"),
+        round(Dsir.logWeight(model, col("text")), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR Gumbel top-50 resample: log-weight + deterministic per-id Gumbel
+    * noise (MINSTD hash unit), ranked at 6 dp with id tie-break —
+    * TakeOrdered, never a global sort. The oracle replays the whole chain
+    * (FNV buckets, smoothed λ, Lehmer noise) in exact SQL. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = Dsir.fit(docs, col("text"), col("lang") === "en", nBuckets = 256)
+    Dsir.resample(docs, col("doc_id"), col("text"), model, k = 50)
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
 
   /** Corpus mixture plan: per-language sampling rates that hit a 50k-token
     * budget at target weights — one metadata-scale aggregation. */
