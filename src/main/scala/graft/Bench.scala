@@ -52,7 +52,8 @@ object Bench {
     "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
     "chunk_docs" -> 0.6, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.0,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
-    "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 3.2)
+    "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 3.2,
+    "dsir_sample" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg

@@ -877,6 +877,38 @@ object Oracles {
         |FROM t2 JOIN model USING (term) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // CCNet head/middle/tail: the lm_score NLL re-derived, then per-lang
+    // tercile thresholds (quantile_cont == Spark's exact percentile,
+    // both 6-dp-rounded before the <= boundary compare)
+    "ppl_buckets" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t2),
+        |model AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1),
+        |nllq AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(-ln(CAST(cnt AS DOUBLE) / total.n)
+        |        AS DECIMAL(28,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |      6) AS nll
+        |  FROM t2 JOIN model USING (term) CROSS JOIN total
+        |  GROUP BY doc_id),
+        |d AS (
+        |  SELECT n.doc_id, doc.lang, n.nll
+        |  FROM nllq n JOIN documents doc USING (doc_id)),
+        |th AS (
+        |  SELECT lang,
+        |    round(quantile_cont(nll, 0.33333), 6) AS p33,
+        |    round(quantile_cont(nll, 0.66667), 6) AS p67
+        |  FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.nll,
+        |  CASE WHEN d.nll <= th.p33 THEN 'head'
+        |       WHEN d.nll <= th.p67 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM d JOIN th USING (lang) ORDER BY d.doc_id""".stripMargin,
+
     // bit-exact Morton interleave, generated as 8 bit-pair terms
     "zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey,

@@ -1127,6 +1127,34 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing [Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020,
+    * arXiv:1911.00359]: split each language's documents into head /
+    * middle / tail by LM-score terciles — the standard crawl-corpus
+    * stratification (train on head+middle, drop or down-weight tail).
+    * Reuses [[lmScore]]'s unigram NLL; per-language tercile thresholds
+    * are a 2-quantile aggregation over the 6-dp-rounded scores (5 langs ×
+    * 2 doubles = metadata, broadcast back; boundary decisions compare
+    * ROUNDED score to ROUNDED threshold with `<=` so any two engines
+    * agree). Exact `percentile` is demo-scale for oracle parity — at
+    * 100 TB CCNet itself fits thresholds on a sample, and the plan shape
+    * (thresholds broadcast onto the scoring scan) is unchanged under
+    * `approx_percentile` or sampled fits. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = lmScore(spark, dir)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val th = scored.groupBy("lang").agg(
+      round(expr("percentile(nll, 0.33333)"), 6).as("p33"),
+      round(expr("percentile(nll, 0.66667)"), 6).as("p67"))
+    scored.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("nll") <= col("p33"), "head")
+          .when(col("nll") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Z-order (Morton) key of (l_orderkey, l_partkey) folded to 8 bits each
     * — the clustering key for 2-D file skipping (see
     * [[graft.pipeline.Layout.zorderBy]]; layout benefit is spec-asserted,

@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ppl_buckets: per-lang terciles are ordered and near-balanced") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Queries.pplBuckets(spark, sf)
+      .select("lang", "nll", "bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      // every bucket's scores sit strictly below the next bucket's ceiling
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max <= m.min, s"$lang head <= middle")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max <= t.min, s"$lang middle <= tail")
+      // tercile split: no bucket may hold more than half the language
+      // (thresholds at 1/3 and 2/3 of the score distribution)
+      val n = rows.size.toDouble
+      if (n >= 9) byBucket.foreach { case (b, v) =>
+        assert(v.size <= n * 0.55, s"$lang bucket $b holds ${v.size}/$n")
+      }
+    }
+  }
+
   test("compression: every codec round-trips through the log (C1)") {
     // reference CompressionType: none/gzip/snappy/lz4/zstd — here the codec
     // is a storage property of the parquet segments
