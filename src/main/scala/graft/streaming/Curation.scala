@@ -27,7 +27,18 @@ final case class CurationConfig(
     overlap: Int = 16,
     threshold: Double = 0.6,
     maxBucketSize: Long = 2000,
-    compactEvery: Int = 64) {
+    compactEvery: Int = 64,
+    extraFilter: Option[Column] = None) {
+  /** Optional additional row-local document predicate over (`id`, `text`),
+    * applied after the gopher verdict and before chunking — the hook that
+    * composes model-driven selection into the stream: a fitted DSIR
+    * weight threshold ([[graft.pipeline.Dsir.logWeight]] ≥ τ), a
+    * perplexity cut, a language allowlist. MUST be a pure per-row
+    * function of the document (no lookups into mutable state): the
+    * pipeline's exactly-once argument needs a replayed batch to re-derive
+    * the identical keep set. Model tables (λ arrays, merge tables) ride
+    * inside the expression as plan references, so they satisfy this by
+    * construction. */
   /** Every `compactEvery`-th micro-batch runs [[LshIndex.compact]] after
     * its append (0 = never): each append adds one file per hit shard, so
     * without maintenance the probe side's file count grows with crawl
@@ -128,6 +139,7 @@ object Curation {
       .filter(Quality.gopherPasses(col("text"),
         cfg.minTokens, cfg.maxTokens, cfg.minMeanWordLen,
         cfg.maxMeanWordLen, cfg.minAlphaFrac, cfg.minStopwords))
+      .filter(cfg.extraFilter.getOrElse(lit(true)))
     val chunks = Chunking.chunkTokens(kept, col("id"), col("text"),
         cfg.chunkSize, cfg.overlap)
       .withColumn("chunk_uid", chunkUid(col("id"), col("chunk_id")))

@@ -112,7 +112,11 @@ object ScaleStress {
       "ann_brute" -> (Queries.annBrute _),
       "q1_pricing" -> (Queries.q1Pricing _),
       "q_events_hourly" -> (Queries.qEventsHourly _),
-      "dedup_spans" -> (Queries.dedupSpans _))
+      "dedup_spans" -> (Queries.dedupSpans _),
+      // fit (one agg) + codegen'd fold scoring + TakeOrdered top-k
+      "dsir_sample" -> (Queries.dsirSample _),
+      // NLL scoring + per-lang quantile metadata agg
+      "ppl_buckets" -> (Queries.pplBuckets _))
     linear.foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))

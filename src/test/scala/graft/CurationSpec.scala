@@ -100,6 +100,30 @@ class CurationSpec extends SparkSpec {
     assert(curatedKeys(wh) === Map("3/0" -> 1L, "3/1" -> 1L))
   }
 
+  test("extraFilter composes model-driven selection into the stream (DSIR cut)") {
+    import graft.pipeline.Dsir
+    val (wh, index, ckpt) = setup("dsir")
+    // fit a DSIR model whose target is textA's vocabulary
+    val fitDf = Seq((0L, textA, true), (1L, textE, false))
+      .toDF("id", "text", "is_target")
+    val model = Dsir.fit(fitDf, col("text"), col("is_target"), nBuckets = 256)
+    val cfg = CurateCrash.TestConfig.copy(compactEvery = 1,
+      extraFilter = Some(Dsir.logWeight(model, col("text")) > lit(0.0)))
+    LogWriter.append(spark, wh, "docs",
+      records(0L -> textA, 1L -> textE), "id")
+    Curation.runAvailableNow(spark, wh, "docs", "curated", index, ckpt, cfg)
+      .awaitTermination()
+    // target-vocab doc curated; background-vocab doc cut by the model
+    assert(curatedKeys(wh) === Map("0/0" -> 1L, "0/1" -> 1L),
+      "DSIR threshold keeps the target-like doc and cuts the other")
+    // pure per-row predicate ⇒ a second drain of identical appended docs
+    // dedups against the index rather than re-admitting anything
+    LogWriter.append(spark, wh, "docs", records(2L -> textA), "id")
+    Curation.runAvailableNow(spark, wh, "docs", "curated", index, ckpt, cfg)
+      .awaitTermination()
+    assert(curatedKeys(wh) === Map("0/0" -> 1L, "0/1" -> 1L))
+  }
+
   test("gopherPasses == gopherSignals.passes on the corpus (verdict-only fusion)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaSignals = graft.pipeline.Quality
