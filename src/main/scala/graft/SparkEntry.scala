@@ -94,6 +94,7 @@ object SparkEntry {
     "decontaminate" -> (Queries.decontaminate _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "cap_per_source" -> (Queries.capPerSource _),
+    "hard_negatives" -> (Queries.hardNegatives _),
     "dsir_weights" -> (Queries.dsirWeights _),
     "dsir_sample" -> (Queries.dsirSample _),
     "shuffle_shards" -> (Queries.shuffleShards _),

@@ -40,6 +40,33 @@ object Similarity {
         col("rank").cast("int").as("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k corpus vectors MOST similar by cosine among those with a
+    * DIFFERENT label — the highest-value negatives for metric-learning /
+    * retriever training (they sit closest to the decision boundary).
+    *
+    * Same plan shape as [[bruteForceTopK]] (broadcast queries, row-local
+    * cosine, per-query window top-k) with the label inequality pushed
+    * BEFORE the cosine so mismatched pairs never pay the dot product. At
+    * corpus scale, swap the brute candidate set for an ANN tier exactly
+    * like search: probe [[srpTopK]]/[[ivfTopK]] for top-M (M ≫ k), then
+    * apply the label filter and re-rank — the filter composes with any
+    * candidate generator because it is a pure pair predicate. */
+  def hardNegatives(
+      queries: DataFrame, // (qid, qvec, qlabel)
+      corpus: DataFrame,  // (id, vec, label)
+      k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries))
+      .filter(col("qlabel") =!= col("label") && col("qid") =!= col("id"))
+      .withColumn("cosine", V.cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neg_id"),
+        col("rank").cast("int").as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** SRP-LSH approximate top-k with multi-probe.
     * Recall rises with `probe` (hamming radius over bucket bits). */
   def srpTopK(

@@ -677,6 +677,26 @@ object Oracles {
         |FROM s
         |QUALIFY rank <= 5""".stripMargin,
 
+    // ann_brute's cosine recipe + the label-inequality pair predicate
+    "hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+        |s AS (
+        |  SELECT qid, id,
+        |    list_sum(list_transform(generate_series(1, len(qvec)),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE))) /
+        |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))) *
+        |      list_sum(list_transform(generate_series(1, len(vec)),
+        |      i -> CAST(vec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)))) AS cos
+        |  FROM q, c WHERE qlabel <> label AND qid <> id)
+        |SELECT qid, id AS neg_id,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS INTEGER) AS rank
+        |FROM s
+        |QUALIFY rank <= 5""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

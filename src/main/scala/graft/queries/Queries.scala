@@ -786,6 +786,22 @@ object Queries {
       .select(col("qid"), col("neighbor_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query vector, the
+    * top-5 most-similar embeddings with a different label
+    * ([[graft.pipeline.Similarity.hardNegatives]]). Exact brute baseline,
+    * oracle-checked like ann_brute; the scale path composes the same
+    * label predicate with the SRP/IVF candidate tiers. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label"))
+    Similarity.hardNegatives(queries, corpus, 5)
+      .select(col("qid"), col("neg_id"), col("rank"))
+  }
+
   /** SRP-LSH approximate ANN (no SQL oracle; recall tested in specs). */
   def annSrp(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")

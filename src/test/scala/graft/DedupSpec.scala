@@ -85,6 +85,35 @@ class DedupSpec extends SparkSpec {
     assert(ivfRecall >= 0.4, s"ivf recall $ivfRecall")
   }
 
+  test("hard negatives: never share the query's label, equal brute over filtered corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val negs = Similarity.hardNegatives(queries, corpus, 5)
+      .select("qid", "neg_id", "rank").as[(Long, Long, Int)].collect()
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    assert(negs.nonEmpty)
+    negs.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n), s"negative $n shares label with query $q")
+    }
+    negs.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq,
+        s"ranks of $q contiguous")
+    }
+    // equivalence: hardNegatives == bruteForceTopK against a corpus the
+    // query's own label is removed from, per query
+    queries.select("qid", "qlabel").as[(Long, Int)].collect().foreach {
+      case (q, ql) =>
+        val expected = Similarity.bruteForceTopK(
+          queries.filter($"qid" === q).drop("qlabel"),
+          corpus.filter($"label" =!= ql).drop("label"), 5)
+          .select("neighbor_id").as[Long].collect().toSet
+        val got = negs.filter(_._1 == q).map(_._2).toSet
+        assert(got == expected, s"query $q")
+    }
+  }
+
   test("int8 quantization: max-abs hits ±127, zeros stay zero, cosine survives") {
     val df = Seq(
       (0L, Seq(1.0f, -2.0f, 0.5f, 0.0f)),   // maxabs 2 → q = 64, -127, 32, 0
