@@ -99,6 +99,7 @@ object SparkEntry {
     "dsir_sample" -> (Queries.dsirSample _),
     "shuffle_shards" -> (Queries.shuffleShards _),
     "mix_weights" -> (Queries.mixWeights _),
+    "mix_temperature" -> (Queries.mixTemperature _),
     "tfidf_topk" -> (Queries.tfidfTopk _),
     "bm25_search" -> (Queries.bm25Search _),
     "dedup_survivors" -> (Queries.dedupSurvivors _),

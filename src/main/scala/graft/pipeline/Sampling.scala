@@ -139,4 +139,35 @@ object Sampling {
           col("target_tokens").cast("double") /
             greatest(col("tokens").cast("double"), lit(1.0))), 6))
   }
+
+  /** Temperature-based mixture plan [Conneau et al., "Unsupervised
+    * Cross-lingual Representation Learning at Scale" (XLM-R), ACL 2020,
+    * arXiv:1911.02116 §3]: sample stratum `l` with share
+    * `q_l ∝ p_l^α` where `p_l` is the stratum's token share of the
+    * corpus — α < 1 flattens the natural distribution, upweighting
+    * low-resource strata without hand-tuned weights (α = 0.3 is the
+    * published multilingual setting). Returns per-stratum `tokens`, the
+    * temperature-adjusted share `q`, and the sampling `rate` that meets
+    * `budget` tokens at those shares (capped at 1.0).
+    *
+    * Plan shape: ONE corpus aggregation (map-side combined); everything
+    * after operates on #strata rows — metadata-scale cross joins, never a
+    * second corpus pass. q and rate are 6-dp rounded for engine-agnostic
+    * comparison. */
+  def temperaturePlan(
+      df: DataFrame, stratum: Column, tokensPerRow: Column,
+      alpha: Double, budget: Long): DataFrame = {
+    val agg = df.groupBy(stratum.as("stratum"))
+      .agg(sum(tokensPerRow.cast("long")).as("tokens"))
+    val tot = agg.select(sum(col("tokens")).cast("double").as("total"))
+    val p = agg.crossJoin(broadcast(tot))
+      .withColumn("qr", pow(col("tokens").cast("double") / col("total"), lit(alpha)))
+    val qs = p.select(sum(col("qr")).as("qs"))
+    p.crossJoin(broadcast(qs))
+      .select(col("stratum"), col("tokens"),
+        round(col("qr") / col("qs"), 6).as("q"),
+        round(least(lit(1.0),
+          lit(budget.toDouble) * (col("qr") / col("qs")) /
+            col("tokens").cast("double")), 6).as("rate"))
+  }
 }

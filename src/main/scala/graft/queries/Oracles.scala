@@ -882,6 +882,24 @@ object Oracles {
         |     / greatest(CAST(tokens AS DOUBLE), 1.0)), 6) AS rate
         |FROM agg ORDER BY stratum""".stripMargin,
 
+    // XLM-R temperature sampling: token-share^0.3 renormalized; q and
+    // rate rounded at 6 dp after the double chain on both sides
+    "mix_temperature" ->
+      """WITH agg AS (
+        |  SELECT lang AS stratum,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM agg),
+        |p AS (
+        |  SELECT stratum, tokens,
+        |    pow(CAST(tokens AS DOUBLE) / total, 0.3) AS qr
+        |  FROM agg, tot),
+        |s AS (SELECT sum(qr) AS qs FROM p)
+        |SELECT stratum, tokens,
+        |  round(qr / qs, 6) AS q,
+        |  round(least(1.0, 50000.0 * (qr / qs) / CAST(tokens AS DOUBLE)), 6) AS rate
+        |FROM p, s ORDER BY stratum""".stripMargin,
+
     "lm_score" ->
       """WITH terms AS (
         |  SELECT doc_id,

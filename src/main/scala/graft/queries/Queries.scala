@@ -1116,6 +1116,16 @@ object Queries {
         budget = 50000L)
       .orderBy(col("stratum"))
 
+  /** Temperature-flattened mixture plan (α = 0.3, the published XLM-R
+    * multilingual setting): per-language token share p^α-renormalized,
+    * with the sampling rate meeting a 50k-token budget
+    * ([[graft.pipeline.Sampling.temperaturePlan]]). */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperaturePlan(t(spark, dir, "documents"),
+        col("lang"), T.tokenCount(col("text")),
+        alpha = 0.3, budget = 50000L)
+      .orderBy(col("stratum"))
+
   /** Unigram language-model quality score (the CCNet-style filter signal):
     * train a unigram model on the corpus itself (one agg), then score each
     * doc by mean negative log-probability of its tokens — low = fluent

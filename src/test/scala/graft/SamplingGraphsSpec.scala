@@ -93,6 +93,22 @@ class SamplingGraphsSpec extends SparkSpec {
     assert(plan.toSeq == Seq(("a", 20L, 5L, 0.25), ("b", 5L, 5L, 1.0)))
   }
 
+  test("temperature plan: α=1 is natural shares, α=0 uniform, α<1 upweights the tail") {
+    val df = Seq.fill(80)(("hi", 10)) ++ Seq.fill(20)(("lo", 10))
+    val d = df.toDF("s", "toks")
+    def shares(alpha: Double): Map[String, Double] =
+      Sampling.temperaturePlan(d, col("s"), col("toks"), alpha, budget = 100L)
+        .select("stratum", "q").as[(String, Double)].collect().toMap
+    val nat = shares(1.0)
+    assert(math.abs(nat("hi") - 0.8) < 1e-6 && math.abs(nat("lo") - 0.2) < 1e-6)
+    val uni = shares(0.0)
+    assert(math.abs(uni("hi") - 0.5) < 1e-6 && math.abs(uni("lo") - 0.5) < 1e-6)
+    val t = shares(0.3)
+    assert(t("lo") > 0.2 && t("lo") < 0.5,
+      "α=0.3 lifts the low-resource stratum toward — not past — uniform")
+    assert(math.abs(t("hi") + t("lo") - 1.0) < 1e-5, "shares renormalize")
+  }
+
   test("shuffle shards: deterministic permutation, dense pos, one exchange") {
     val df = (0L until 5000L).toDF("id")
     val out = Sampling.shuffleShards(df, col("id"), numShards = 16, seed = 7L)
