@@ -95,6 +95,8 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "cap_per_source" -> (Queries.capPerSource _),
     "hard_negatives" -> (Queries.hardNegatives _),
+    "jsonl_roundtrip" -> (Queries.jsonlRoundtrip _),
+    "corpus_report" -> (Queries.corpusReport _),
     "dsir_weights" -> (Queries.dsirWeights _),
     "dsir_sample" -> (Queries.dsirSample _),
     "shuffle_shards" -> (Queries.shuffleShards _),

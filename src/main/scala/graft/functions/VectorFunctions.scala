@@ -45,6 +45,27 @@ object VectorFunctions {
   def srpBucket(a: Column, nBits: Int): Column =
     GraftInternal.column(SrpBucketExpression(GraftInternal.expression(a), nBits))
 
+  /** Nearest-centroid id (squared-L2 argmin, first minimum wins → lowest
+    * cluster id) over an `array<double>` column, with the k×dim centroid
+    * table as ONE plan reference object.
+    *
+    * The declarative spelling — an `array(...)` of k
+    * `aggregate(zip_with(v, typedlit(c), ...))` distance folds — builds a
+    * plan tree LINEAR in k: at k in the hundreds (SemDeDup's k ∝ corpus
+    * discipline) the driver burns minutes single-threaded in
+    * analysis/optimization over thousands of literal nodes, and the
+    * higher-order functions are CodegenFallback anyway. Here plan size is
+    * O(1) in k and the scan stays in whole-stage codegen.
+    *
+    * Bit-compatible with the fold form: per-centroid distance accumulates
+    * `(a-b)*(a-b)` left-to-right in element order (same IEEE sequence),
+    * and the strict `<` scan keeps the FIRST minimum — exactly
+    * `array_position(d, array_min(d)) - 1`. */
+  def centroidArgmin(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftInternal.column(CentroidArgminExpression(
+      GraftInternal.expression(v),
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
+
   // ---- static helpers callable from generated code ----
 
   def dotF(a: ArrayData, b: ArrayData): Double = {
@@ -141,6 +162,66 @@ case class CosineExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** The centroid table + argmin loop, shipped once per task as a plan
+  * reference object. Callable from generated code. */
+final class CentroidTable(flat: Array[Double], k: Int, dim: Int)
+    extends Serializable {
+  /** First-minimum squared-L2 argmin; element order fixed left-to-right. */
+  def argmin(v: ArrayData): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      val n = math.min(v.numElements(), dim)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getDouble(i) - flat(off + i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** Codegen'd nearest-centroid assignment — see
+  * [[VectorFunctions.centroidArgmin]]. */
+case class CentroidArgminExpression(
+    child: Expression,
+    centroids: IndexedSeq[IndexedSeq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "centroid_argmin"
+
+  /** A k-in-the-hundreds table must not print element-by-element into
+    * every explain/treeString. */
+  override def stringArgs: Iterator[Any] =
+    Iterator(child,
+      s"centroids[${centroids.length}x${centroids.headOption.map(_.length).getOrElse(0)}]")
+
+  @transient private lazy val table = new CentroidTable(
+    centroids.flatten.toArray, centroids.length,
+    centroids.headOption.map(_.length).getOrElse(0))
+
+  override def nullSafeEval(input: Any): Any =
+    table.argmin(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidTable", table,
+      classOf[CentroidTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.argmin($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SrpBucketExpression(child: Expression, nBits: Int)

@@ -65,9 +65,22 @@ object Clustering {
     assign(e, centroids).select(col("vec_id"), col("cluster"))
   }
 
-  /** Nearest-centroid assignment as a literal expression tree: one column of
-    * k distances, argmin via array_position (FIRST minimum → lowest id). */
-  private def assign(e: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
+  /** Nearest-centroid assignment: ONE codegen'd argmin expression with the
+    * k×dim centroid table as a plan reference object
+    * ([[graft.functions.VectorFunctions.centroidArgmin]]). Bit-identical
+    * to the literal-tree spelling (spec-pinned) but with O(1) plan size in
+    * k — at SemDeDup's k ∝ corpus discipline (k in the hundreds), the
+    * literal tree spent MINUTES of single-threaded driver time in
+    * analysis/optimization per iteration while the data work took
+    * seconds. */
+  private def assign(e: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("cluster",
+      graft.functions.VectorFunctions.centroidArgmin(col("v"), cs))
+
+  /** [[assign]] spelled as the k-literal distance tree — kept for the
+    * equivalence spec only (plan size linear in k, CodegenFallback). */
+  private[graft] def assignDeclarative(
+      e: DataFrame, cs: Seq[Seq[Double]]): DataFrame = {
     val dists = array(cs.map { c =>
       aggregate(
         zip_with(col("v"), typedlit(c), (a, b) => (a - b) * (a - b)),
@@ -78,5 +91,15 @@ object Clustering {
       .withColumn("cluster",
         (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
       .drop("__d")
+  }
+
+  /** Expose one assignment pass over (vec_id, v) for spec use. */
+  private[graft] def assignOn(
+      df: DataFrame, id: Column, vec: Column,
+      cs: Seq[Seq[Double]], declarative: Boolean): DataFrame = {
+    val e = df.select(
+      id.as("vec_id"),
+      transform(vec, x => round(x.cast("double"), 6)).as("v"))
+    if (declarative) assignDeclarative(e, cs) else assign(e, cs)
   }
 }

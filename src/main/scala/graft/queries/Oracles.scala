@@ -403,6 +403,45 @@ object Oracles {
         |SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6) AS quality
         |FROM scored""".stripMargin,
 
+    // the Spark side writes documents to JSONL and reads them back with a
+    // pinned-schema from_json parse — only a true parse of every line
+    // reproduces the table the oracle reads from parquet
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the quality_score per-row formula nested, means through DECIMAL
+    // over the 6-dp-rounded scores (the pipeline_clean contract)
+    "corpus_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS puncts,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |                          'that','for','on','with','as','was','at','by','be'], w))) AS DOUBLE) AS stops,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, source, toks,
+        |    round((
+        |      (CASE WHEN len >= 50 AND len <= 5000 THEN 1.0
+        |            WHEN len < 50 THEN len / 50.0
+        |            ELSE 5000.0 / len END) +
+        |      (CASE WHEN puncts / greatest(len, 1.0) <= 0.1 THEN 1.0
+        |            ELSE greatest(0.0, 1.0 - (puncts / greatest(len, 1.0) - 0.1) * 5.0) END) +
+        |      least(stops / greatest(toks, 1.0) * 5.0, 1.0)) / 3.0, 6) AS quality
+        |  FROM base)
+        |SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(toks AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  CAST((2 * sum(CAST(round(quality * 1000000) AS BIGINT)) + count(*))
+        |       // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_quality
+        |FROM scored
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     "lang_id" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -820,6 +820,56 @@ object Queries {
     Similarity.ivfTopK(queries, corpus, 5, nCells = 8, nProbe = 3)
   }
 
+  /** JSONL round-trip ([[graft.sources.Jsonl]]): documents written as
+    * JSONL (Spark's escaping JSON sink), read back with a PINNED schema
+    * via the text-scan + `from_json` path (codegen'd parse, no inference
+    * pass, quarantine as a row predicate), and projected — only a true
+    * parse of every line reproduces the table, which the oracle reads
+    * straight from parquet. Corrupt-line quarantine is spec-tested with
+    * planted garbage ([[graft.sources.Jsonl.split]]). */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    graft.sources.Jsonl.write(
+      t(spark, dir, "documents").select("doc_id", "text", "lang", "source"),
+      s"$tmp/documents.jsonl")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    val (good, _) = graft.sources.Jsonl.split(
+      graft.sources.Jsonl.read(spark, s"$tmp/documents.jsonl", schema))
+    good.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One-stop corpus health report: per (lang, source) document count,
+    * token total, and mean quality score — the rollup a corpus engineer
+    * pulls before and after every curation change. One scan + one
+    * metadata-keyed aggregation (≤ langs×sources groups).
+    *
+    * The mean is computed in EXACT integer micro-units: per-row quality is
+    * a 6-dp value, so `round(q·10⁶)` is an exact long, the group sum S is
+    * exact, and the half-up-rounded mean is `⌊(2S + n) / 2n⌋` — integer
+    * arithmetic no engine can disagree on. A DECIMAL-mean formulation
+    * (the [[pipelineClean]] recipe) dies on half-ties: this table HAS a
+    * group whose exact mean is 0.7884695, which Spark's decimal division
+    * rounds half-up and DuckDB's double path rounds down. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("q6",
+        round(T.qualityScore(col("text")) * 1e6).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(col("q6")).as("s6"))
+      .withColumn("avg_quality",
+        floor((lit(2) * col("s6") + col("n_docs")).cast("double") /
+          (lit(2) * col("n_docs")).cast("double")).cast("double") / 1e6)
+      .drop("s6")
+      .orderBy(col("lang"), col("source"))
+
   /** Multimodal plumbing: binary payload + typed metadata. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.withMeta(t(spark, dir, "documents"),

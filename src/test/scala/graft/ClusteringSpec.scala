@@ -84,12 +84,33 @@ class ClusteringSpec extends SparkSpec {
     assert(out.map(_._2).toSet.subsetOf(Set(0, 1, 2, 3)))
   }
 
-  test("assignment plan is join-free codegen (centroids are literals)") {
-    val pts = blob(Seq(0.0, 0.0, 0.0), 10, 0)
-    val df = pts.toDF("vec_id", "embedding")
+  test("assignment plan is join-free codegen (centroid table rides as a plan reference)") {
+    // parquet-backed so ConvertToLocalRelation cannot pre-evaluate the plan
+    val dir = tmpDir("argmin-plan")
+    blob(Seq(0.0, 0.0, 0.0), 10, 0).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/pts")
+    val df = spark.read.parquet(s"$dir/pts")
     val out = Clustering.kmeans(df, col("vec_id"), col("embedding"), k = 2, iters = 1)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(plan.contains("centroid_argmin"), s"fused argmin expression:\n$plan")
+  }
+
+  test("fused argmin ≡ the k-literal distance tree, including tie-to-lowest") {
+    // centroids with an exact tie for one point: first minimum must win
+    val cs = Seq(Seq(0.0, 0.0), Seq(2.0, 0.0), Seq(1.0, 5.0))
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // equidistant to centroids 0 and 1 → 0
+      (1L, Seq(0.1f, 0.0f)),
+      (2L, Seq(1.9f, 0.1f)),
+      (3L, Seq(1.0f, 4.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    def run(decl: Boolean) = Clustering
+      .assignOn(df, col("vec_id"), col("embedding"), cs, declarative = decl)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val fused = run(false)
+    assert(fused == run(true))
+    assert(fused(0L) == 0, "exact tie breaks to the lowest cluster id")
   }
 }
