@@ -93,6 +93,7 @@ object SparkEntry {
     "dup_clusters" -> (Queries.dupClusters _),
     "decontaminate" -> (Queries.decontaminate _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "sample_diverse" -> (Queries.sampleDiverse _),
     "cap_per_source" -> (Queries.capPerSource _),
     "hard_negatives" -> (Queries.hardNegatives _),
     "jsonl_roundtrip" -> (Queries.jsonlRoundtrip _),

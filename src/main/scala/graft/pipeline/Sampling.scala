@@ -113,6 +113,26 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Diversity sample: a cluster-balanced subset of an embedding corpus —
+    * k-means partitions the space ([[Clustering.kmeans]], deterministic),
+    * then ≤ `perCluster` rows survive per cluster, picked by the Lehmer
+    * hash order of the id ([[capPerStratum]]'s unbiased reproducible
+    * pick). Rare regions keep their quota exactly like dense ones, so the
+    * subset SPANS the embedding space instead of mirroring its density —
+    * the coreset-flavored selection behind diverse eval sets and
+    * balanced fine-tuning mixes. Returns the kept (vec_id, cluster).
+    *
+    * Cost: the k-means passes (per iteration: one codegen'd assignment
+    * scan + a k×dim-row mean shuffle) plus one cluster-keyed cap shuffle.
+    * k scales with the corpus (the SemDeDup discipline) without touching
+    * plan size — assignment carries centroids as ONE plan reference. */
+  def diverseSample(
+      df: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int, perCluster: Int): DataFrame =
+    capPerStratum(
+      Clustering.kmeans(df, id, vec, k, iters),
+      col("vec_id"), col("cluster"), perCluster)
+
   /** Mixture plan: given per-stratum target WEIGHTS and a global token
     * budget, compute each stratum's sampling rate
     * `min(1, budget · weight / available_tokens)` — i.e. how hard each

@@ -563,6 +563,20 @@ object Oracles {
 
     "kmeans_clusters" -> kmeansClustersSql,
 
+    // diversity sample: the kmeans replay nested, then the cap_per_source
+    // Lehmer rank applied per cluster
+    "sample_diverse" ->
+      s"""WITH assigned AS ($kmeansClustersSql),
+         |h AS (
+         |  SELECT vec_id, cluster,
+         |    ((vec_id + 1) % 2147483647) * 48271 % 2147483647
+         |      * 48271 % 2147483647
+         |      * 48271 % 2147483647 AS x3
+         |  FROM assigned)
+         |SELECT vec_id, cluster FROM h
+         |QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY x3, vec_id) <= 12
+         |ORDER BY vec_id""".stripMargin,
+
     // the Spark side groups grams by their FNV-1a fingerprint (8-byte
     // shuffle key, text never shuffles); the oracle folds the IDENTICAL
     // hash per gram so even a collision-induced false dup would reproduce

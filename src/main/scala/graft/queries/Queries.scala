@@ -1157,6 +1157,15 @@ object Queries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Cluster-balanced diversity sample: k-means regions (the exact
+    * kmeans_clusters trainer) capped at 12 rows each by Lehmer hash order
+    * ([[graft.pipeline.Sampling.diverseSample]]) — the oracle nests the
+    * kmeans replay and applies the cap_per_source rank SQL on cluster. */
+  def sampleDiverse(spark: SparkSession, dir: String): DataFrame =
+    Sampling.diverseSample(t(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 10, iters = 2, perCluster = 12)
+      .orderBy(col("vec_id"))
+
   /** Corpus mixture plan: per-language sampling rates that hit a 50k-token
     * budget at target weights — one metadata-scale aggregation. */
   def mixWeights(spark: SparkSession, dir: String): DataFrame =

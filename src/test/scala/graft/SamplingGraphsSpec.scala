@@ -93,6 +93,27 @@ class SamplingGraphsSpec extends SparkSpec {
     assert(plan.toSeq == Seq(("a", 20L, 5L, 0.25), ("b", 5L, 5L, 1.0)))
   }
 
+  test("diverse sample: per-cluster quota, full cluster coverage, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = graft.pipeline.Clustering.kmeans(
+      emb, col("vec_id"), col("embedding"), k = 5, iters = 2)
+      .as[(Long, Int)].collect()
+    val kept = Sampling.diverseSample(
+      emb, col("vec_id"), col("embedding"), k = 5, iters = 2, perCluster = 4)
+      .as[(Long, Int)].collect()
+    val quota = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(quota.values.forall(_ <= 4), s"quota respected: $quota")
+    // every populated region is represented (quota < any cluster's size)
+    assert(quota.keySet == full.map(_._2).toSet, "all clusters covered")
+    // kept ids carry their true cluster, and the pick is reproducible
+    val fullMap = full.toMap
+    kept.foreach { case (id, c) => assert(fullMap(id) == c) }
+    val again = Sampling.diverseSample(
+      emb, col("vec_id"), col("embedding"), k = 5, iters = 2, perCluster = 4)
+      .as[(Long, Int)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("temperature plan: α=1 is natural shares, α=0 uniform, α<1 upweights the tail") {
     val df = Seq.fill(80)(("hi", 10)) ++ Seq.fill(20)(("lo", 10))
     val d = df.toDF("s", "toks")
