@@ -97,6 +97,7 @@ object SparkEntry {
     "cap_per_source" -> (Queries.capPerSource _),
     "hard_negatives" -> (Queries.hardNegatives _),
     "jsonl_roundtrip" -> (Queries.jsonlRoundtrip _),
+    "blocklist_hits" -> (Queries.blocklistHits _),
     "corpus_report" -> (Queries.corpusReport _),
     "dsir_weights" -> (Queries.dsirWeights _),
     "dsir_sample" -> (Queries.dsirSample _),

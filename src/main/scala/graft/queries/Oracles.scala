@@ -403,6 +403,19 @@ object Oracles {
         |SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6) AS quality
         |FROM scored""".stripMargin,
 
+    // Aho-Corasick hits == per-phrase contains, sorted; empty list joins
+    // to NULL in DuckDB, hence the coalesce
+    "blocklist_hits" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(
+        |    list_filter(['agg row scan','window merge','slow fast',
+        |                 'the join','data window'],
+        |      p -> contains(text, p))), ','), '') AS hits,
+        |  len(list_filter(['agg row scan','window merge','slow fast',
+        |                   'the join','data window'],
+        |    p -> contains(text, p))) > 0 AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the Spark side writes documents to JSONL and reads them back with a
     // pinned-schema from_json parse — only a true parse of every line
     // reproduces the table the oracle reads from parquet

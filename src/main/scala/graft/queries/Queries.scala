@@ -820,6 +820,24 @@ object Queries {
     Similarity.ivfTopK(queries, corpus, 5, nCells = 8, nProbe = 3)
   }
 
+  /** Blocklist phrases for [[blocklistHits]] — demo-scale; the automaton
+    * is built once for ANY list size (10k-entry policy lists scan at the
+    * same per-row cost, see [[graft.functions.PhraseFunctions]]). */
+  private val BlockPhrases = Seq(
+    "agg row scan", "window merge", "slow fast", "the join", "data window")
+
+  /** Multi-phrase blocklist filter (the C4 "bad word list" curation
+    * step): per doc, the sorted matched phrases and the block verdict,
+    * matched by ONE Aho–Corasick pass per row. Oracle replays the exact
+    * contains semantics per phrase. */
+  def blocklistHits(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.PhraseFunctions.phraseHits(col("text"), BlockPhrases)
+          .as("hits"))
+      .withColumn("blocked", col("hits") =!= "")
+      .orderBy(col("doc_id"))
+
   /** JSONL round-trip ([[graft.sources.Jsonl]]): documents written as
     * JSONL (Spark's escaping JSON sink), read back with a PINNED schema
     * via the text-scan + `from_json` path (codegen'd parse, no inference
