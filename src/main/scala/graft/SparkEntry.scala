@@ -109,6 +109,7 @@ object SparkEntry {
     "dedup_survivors" -> (Queries.dedupSurvivors _),
     "zorder_key" -> (Queries.zorderKey _),
     "lm_score" -> (Queries.lmScore _),
+    "lm_score_bigram" -> (Queries.lmScoreBigram _),
     "ppl_buckets" -> (Queries.pplBuckets _),
     "chunk_docs" -> (Queries.chunkDocs _),
     "gopher_filters" -> (Queries.gopherFilters _))

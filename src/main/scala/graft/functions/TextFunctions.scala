@@ -113,6 +113,14 @@ object TextFunctions {
     GraftInternal.column(
       WordShinglesExpression(GraftInternal.expression(lower(c)), n))
 
+  /** All adjacent word bigrams ("w1 w2") of the trimmed text, in order,
+    * WITH multiplicity — the LM-counting stream ([[wordShingles]] is
+    * DISTINCT, dedup semantics; counting models need every instance).
+    * Lowercase upstream for case-folded models. */
+  def wordBigrams(c: Column): Column =
+    GraftInternal.column(
+      WordBigramsExpression(GraftInternal.expression(c)))
+
   /** Exact Jaccard similarity of two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -186,6 +194,21 @@ object TextFunctions {
       MinHashBandsExpression(GraftInternal.expression(tokensCol), k, bands))
 
   // ---- static helpers callable from generated code ----
+
+  /** In-order, non-distinct adjacent word bigrams — see [[wordBigrams]]. */
+  def wordBigramsF(s: UTF8String): ArrayData = {
+    val t = s.toString.trim
+    if (t.isEmpty) return new GenericArrayData(Array.empty[AnyRef])
+    val toks = t.split("\\s+")
+    if (toks.length < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** FNV-1a 64-bit over UTF-8 bytes. */
   def fnv1a64(s: UTF8String): Long = {
@@ -457,6 +480,20 @@ case class WordShinglesExpression(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextFunctions.wordShingleSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd in-order non-distinct word bigrams over StringType. */
+case class WordBigramsExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.wordBigramsF(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.wordBigramsF($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

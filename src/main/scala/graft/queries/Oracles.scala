@@ -1013,6 +1013,34 @@ object Oracles {
         |       ELSE 'tail' END AS bucket
         |FROM d JOIN th USING (lang) ORDER BY d.doc_id""".stripMargin,
 
+    // add-one bigram LM: the lm_score recipe at order 2 (DECIMAL sums,
+    // 6-dp round); bigram stream keeps multiplicity
+    "lm_score_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |t3 AS (SELECT doc_id, term FROM t2 WHERE term <> ''),
+        |uni AS (SELECT term, count(*) AS cu FROM t3 GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |bgs AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |    i -> t[CAST(i + 1 AS BIGINT)] || ' ' || t[CAST(i + 2 AS BIGINT)])) AS bg
+        |  FROM toks),
+        |bi AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    count(*) AS n,
+        |    round(CAST(sum(CAST(-ln((cb + 1.0) / (cu + v.v)) AS DECIMAL(28,18))) AS DOUBLE)
+        |      / count(*), 6) AS nll2
+        |  FROM bgs JOIN bi USING (bg)
+        |  JOIN uni ON uni.term = string_split(bg, ' ')[1]
+        |  CROSS JOIN v GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n, 0) AS n_bigrams,
+        |  coalesce(sc.nll2, 0.0) AS nll2
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // bit-exact Morton interleave, generated as 8 bit-pair terms
     "zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey,

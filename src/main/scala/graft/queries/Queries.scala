@@ -1258,6 +1258,45 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model quality score — the order-2 step toward
+    * CCNet's 5-gram LM filter [Wenzek et al. 2020]: per doc, mean
+    * −ln P(wᵢ | wᵢ₋₁) under an add-one-smoothed bigram model trained on
+    * the corpus itself. Two model aggregations (unigram + bigram counts,
+    * map-side combined), both BROADCAST back onto the bigram stream —
+    * after aggregation the model is metadata-scale, and a shuffle join on
+    * raw bigram keys would funnel the Zipf head through single partitions
+    * (the [[lmScore]] skew argument, order 2). At web scale the bigram
+    * table is count-pruned with backoff — same plan shape, smaller
+    * broadcast. Docs with < 2 tokens score 0 with n_bigrams 0. */
+  def lmScoreBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+        explode(T.tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
+    val v = uni.count().toDouble
+    val bgs = docs.select(col("doc_id"),
+      explode(T.wordBigrams(lower(col("text")))).as("bg"))
+    val bi = bgs.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val scored = bgs
+      .join(broadcast(bi), Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(uni.withColumnRenamed("term", "w1")), Seq("w1"))
+      .withColumn("nll1",
+        (-log((col("cb").cast("double") + 1.0) /
+          (col("cu").cast("double") + v))).cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll1")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("nll2"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll2"), lit(0.0)).as("nll2"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Z-order (Morton) key of (l_orderkey, l_partkey) folded to 8 bits each
     * — the clustering key for 2-D file skipping (see
     * [[graft.pipeline.Layout.zorderBy]]; layout benefit is spec-asserted,

@@ -9,6 +9,31 @@ class TextFunctionsSpec extends SparkSpec {
   def one(c: org.apache.spark.sql.Column): Any =
     Seq("x").toDF("d").select(c).head().get(0)
 
+  test("wordBigrams: in order, with multiplicity, whitespace-robust") {
+    val df = Seq(
+      ("a b a b", Seq("a b", "b a", "a b")),
+      ("a  b\tc", Seq("a b", "b c")),
+      ("single", Seq.empty[String]),
+      ("", Seq.empty[String]),
+      ("  x y  ", Seq("x y"))).toDF("text", "expected")
+    df.select(T.wordBigrams($"text").as("bg"), $"expected").collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
+  test("bigram LM: every doc scored, positive nll, n_bigrams = tokens - 1") {
+    val out = graft.queries.Queries
+      .lmScoreBigram(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", T.tokenCount(lower($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out.length == toks.size)
+    out.foreach { case (id, nbg, nll) =>
+      assert(nbg == math.max(0, toks(id) - 1), s"doc $id")
+      if (nbg > 0) assert(nll > 0, s"doc $id add-one smoothing ⇒ -ln p > 0")
+    }
+  }
+
   test("tokens and counts") {
     val df = Seq(
       ("hello world  foo", 3),
