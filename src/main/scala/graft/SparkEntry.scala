@@ -98,6 +98,7 @@ object SparkEntry {
     "hard_negatives" -> (Queries.hardNegatives _),
     "jsonl_roundtrip" -> (Queries.jsonlRoundtrip _),
     "blocklist_hits" -> (Queries.blocklistHits _),
+    "normalize_text" -> (Queries.normalizeTextQ _),
     "corpus_report" -> (Queries.corpusReport _),
     "dsir_weights" -> (Queries.dsirWeights _),
     "dsir_sample" -> (Queries.dsirSample _),

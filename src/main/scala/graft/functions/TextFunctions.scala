@@ -113,6 +113,23 @@ object TextFunctions {
     GraftInternal.column(
       WordShinglesExpression(GraftInternal.expression(lower(c)), n))
 
+  /** Unicode NFC canonical normalization (java.text.Normalizer) as a
+    * codegen'd expression — no Spark built-in exists. Engine-agnostic:
+    * canonical composition is pinned by the Unicode standard, so ICU
+    * (JVM) and utf8proc (DuckDB's `nfc_normalize`) agree. */
+  def nfc(c: Column): Column =
+    GraftInternal.column(NfcExpression(GraftInternal.expression(c)))
+
+  /** Standard pre-dedup text normalization: NFC → strip control chars
+    * (keeping \n and \t) → collapse space/tab runs to one space → trim.
+    * One row-local codegen'd chain on the scan; byte-identical dedup
+    * inputs across crawls/engines is the point — un-normalized text makes
+    * exact and near dedup silently miss composed/decomposed variants. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(c), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** All adjacent word bigrams ("w1 w2") of the trimmed text, in order,
     * WITH multiplicity — the LM-counting stream ([[wordShingles]] is
     * DISTINCT, dedup semantics; counting models need every instance).
@@ -194,6 +211,15 @@ object TextFunctions {
       MinHashBandsExpression(GraftInternal.expression(tokensCol), k, bands))
 
   // ---- static helpers callable from generated code ----
+
+  /** NFC-normalize — see [[nfc]]. Already-normalized strings (the common
+    * case) short-circuit through the isNormalized check, no allocation. */
+  def nfcF(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 
   /** In-order, non-distinct adjacent word bigrams — see [[wordBigrams]]. */
   def wordBigramsF(s: UTF8String): ArrayData = {
@@ -480,6 +506,18 @@ case class WordShinglesExpression(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextFunctions.wordShingleSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd Unicode NFC normalization over StringType. */
+case class NfcExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc"
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.nfcF(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.nfcF($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -403,6 +403,19 @@ object Oracles {
         |SELECT doc_id, round((len_score + punct_score + stop_score) / 3.0, 6) AS quality
         |FROM scored""".stripMargin,
 
+    // NFC + control strip + whitespace collapse + trim, utf8proc vs ICU
+    "normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(
+        |    regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'))) AS INTEGER) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Aho-Corasick hits == per-phrase contains, sorted; empty list joins
     // to NULL in DuckDB, hence the coalesce
     "blocklist_hits" ->

@@ -820,6 +820,18 @@ object Queries {
     Similarity.ivfTopK(queries, corpus, 5, nCells = 8, nProbe = 3)
   }
 
+  /** Pre-dedup text normalization ([[graft.functions.TextFunctions
+    * .normalizeText]]): NFC, control-char strip, whitespace collapse,
+    * trim — one codegen'd chain on the scan. Oracle replays it with
+    * DuckDB's utf8proc `nfc_normalize` + identical regexes: canonical
+    * composition is Unicode-pinned, so the engines agree byte for byte. */
+  def normalizeTextQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+        col("doc_id"),
+        T.normalizeText(col("text")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")))
+      .orderBy(col("doc_id"))
+
   /** Blocklist phrases for [[blocklistHits]] — demo-scale; the automaton
     * is built once for ANY list size (10k-entry policy lists scan at the
     * same per-row cost, see [[graft.functions.PhraseFunctions]]). */

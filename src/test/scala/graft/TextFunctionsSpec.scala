@@ -9,6 +9,24 @@ class TextFunctionsSpec extends SparkSpec {
   def one(c: org.apache.spark.sql.Column): Any =
     Seq("x").toDF("d").select(c).head().get(0)
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    val decomposed = "e\u0301clair"       // e + combining acute
+    val composed = "\u00e9clair"          // é precomposed
+    val df = Seq(
+      (decomposed, composed),
+      ("a\u0000b\u0007c", "abc"),          // control chars stripped
+      ("a \t  b", "a b"),                  // space/tab runs collapse
+      ("  padded  ", "padded"),
+      ("line1\nline2", "line1\nline2"),    // newline survives
+      ("", "")).toDF("text", "expected")
+    df.select(T.normalizeText($"text").as("n"), $"expected").collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // NFC makes composed and decomposed spellings dedup-identical
+    val pair = Seq(decomposed, composed).toDF("text")
+      .select(T.normalizeText($"text")).distinct().count()
+    assert(pair == 1)
+  }
+
   test("wordBigrams: in order, with multiplicity, whitespace-robust") {
     val df = Seq(
       ("a b a b", Seq("a b", "b a", "a b")),
