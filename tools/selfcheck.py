@@ -20,10 +20,15 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
+# optional third arg: comma-separated query filter — the full sf0.1 pass
+# spends >1h in the heavy LSH/simhash SQL oracles, so iterate focused
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 ok = fail = 0
 for q in sorted(os.listdir(out)):
     d = os.path.join(out, q)
     if not os.path.isdir(d):
+        continue
+    if only is not None and q not in only:
         continue
     eng = duckdb.sql(f"SELECT * FROM '{d}/*.parquet'").df()
     if q not in oracles:
