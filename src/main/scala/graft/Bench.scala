@@ -53,7 +53,7 @@ object Bench {
     "chunk_docs" -> 0.6, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.0,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
     "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 3.2,
-    "dsir_sample" -> 0.5)
+    "dsir_sample" -> 0.5, "curate_pipeline" -> 18.0)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -186,7 +186,11 @@ object Bench {
       "dedup_spans" -> (Queries.dedupSpans _),
       "dedup_semantic" -> (Queries.dedupSemantic _),
       // DSIR hashed-n-gram importance resampling (fit + Gumbel top-k)
-      "dsir_sample" -> (Queries.dsirSample _))
+      "dsir_sample" -> (Queries.dsirSample _),
+      // THE flagship composition: gopher -> chunk -> incremental LSH
+      // dedup -> survivors, steady-state (index built once on warm-up,
+      // timed passes measure the per-crawl-batch cost)
+      "curate_pipeline" -> (Queries.curatePipeline _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass
