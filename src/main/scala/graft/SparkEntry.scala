@@ -81,6 +81,8 @@ object SparkEntry {
     "bpe_vocab" -> (Queries.bpeVocab _),
     "bpe_tokenize" -> (Queries.bpeTokenize _),
     "pack_sequences_bpe" -> (Queries.packSequencesBpe _),
+    "train_shards" -> (Queries.trainShards _),
+    "lm_score_5gram" -> (Queries.lmScore5gram _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),

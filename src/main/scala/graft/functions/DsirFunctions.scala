@@ -51,11 +51,23 @@ final class DsirHasher(nBuckets: Int) extends Serializable {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
   /** Bucket ids: unigrams in order, then bigrams in order — exactly the
-    * gram stream of `concat(tokens, bigrams)`. */
+    * gram stream of `concat(tokens, bigrams)` over NON-EMPTY tokens.
+    *
+    * Tokenization replicates the declarative reference path
+    * ([[graft.pipeline.Dsir.grams]]) operator-for-operator so the two
+    * bucket streams agree on EVERY input, not just the fixtures:
+    * `UTF8String.toLowerCase` is Spark's own `lower()` (locale-
+    * independent — `String.toLowerCase` would diverge under e.g. a
+    * Turkish default locale), `UTF8String.trim` is Spark's `trim()`
+    * (spaces only — `String.trim` also strips \t/\n, changing the token
+    * stream for leading-tab text), and the limit=-1 split is Spark's
+    * `split()`. Empty tokens (leading/trailing non-space whitespace) are
+    * then dropped, matching the declarative filter and the oracle's
+    * `list_filter(..., x -> x <> '')`. */
   def buckets(text: UTF8String): ArrayData = {
-    val t = text.toString.toLowerCase.trim
-    if (t.isEmpty) return new GenericArrayData(Array.emptyIntArray)
-    val toks = t.split("\\s+")
+    val t = text.toLowerCase.trim
+    if (t.numBytes == 0) return new GenericArrayData(Array.emptyIntArray)
+    val toks = t.toString.split("\\s+", -1).filter(_.nonEmpty)
     val n = toks.length
     val out = new Array[Int](if (n < 2) n else 2 * n - 1)
     var i = 0

@@ -121,22 +121,33 @@ object TextFunctions {
     GraftInternal.column(NfcExpression(GraftInternal.expression(c)))
 
   /** Standard pre-dedup text normalization: NFC → strip control chars
-    * (keeping \n and \t) → collapse space/tab runs to one space → trim.
-    * One row-local codegen'd chain on the scan; byte-identical dedup
-    * inputs across crawls/engines is the point — un-normalized text makes
-    * exact and near dedup silently miss composed/decomposed variants. */
+    * (keeping ONLY \n and \t; \r goes too, so CRLF and LF spellings of
+    * the same text normalize byte-identically) → collapse space/tab runs
+    * to one space → trim. One row-local codegen'd chain on the scan;
+    * byte-identical dedup inputs across crawls/engines is the point —
+    * un-normalized text makes exact and near dedup silently miss
+    * composed/decomposed variants. */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(nfc(c), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      regexp_replace(nfc(c), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
   /** All adjacent word bigrams ("w1 w2") of the trimmed text, in order,
     * WITH multiplicity — the LM-counting stream ([[wordShingles]] is
     * DISTINCT, dedup semantics; counting models need every instance).
     * Lowercase upstream for case-folded models. */
-  def wordBigrams(c: Column): Column =
+  def wordBigrams(c: Column): Column = wordNgrams(c, 2)
+
+  /** All adjacent word `n`-grams of the text, in order, WITH multiplicity
+    * — [[wordBigrams]] generalized for higher-order LM counting (the
+    * CCNet-style order-5 filter). Tokenization is pinned to the engine
+    * convention shared with the DuckDB oracles: Spark-`trim` (spaces
+    * only) → `\s+` split → drop empty fragments. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"n=$n")
     GraftInternal.column(
-      WordBigramsExpression(GraftInternal.expression(c)))
+      WordNgramsExpression(GraftInternal.expression(c), n))
+  }
 
   /** Exact Jaccard similarity of two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -222,15 +233,27 @@ object TextFunctions {
   }
 
   /** In-order, non-distinct adjacent word bigrams — see [[wordBigrams]]. */
-  def wordBigramsF(s: UTF8String): ArrayData = {
-    val t = s.toString.trim
-    if (t.isEmpty) return new GenericArrayData(Array.empty[AnyRef])
-    val toks = t.split("\\s+")
-    if (toks.length < 2) return new GenericArrayData(Array.empty[AnyRef])
-    val out = new Array[AnyRef](toks.length - 1)
+  def wordBigramsF(s: UTF8String): ArrayData = wordNgramsF(s, 2)
+
+  /** Adjacent word n-grams with multiplicity. Tokenization mirrors the
+    * oracle convention exactly: `UTF8String.trim` (Spark's space-only
+    * `trim()` — NOT `String.trim`, which also strips \t/\n and would
+    * change the stream for leading-tab text), `\s+` split keeping empty
+    * fragments (limit -1, Spark's `split()`), then drop empties — the
+    * same non-empty-token stream as `list_filter(string_split_regex(...),
+    * x -> x <> '')` on the DuckDB side. */
+  def wordNgramsF(s: UTF8String, n: Int): ArrayData = {
+    val t = s.trim()
+    if (t.numBytes == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val toks = t.toString.split("\\s+", -1).filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - n + 1)
     var i = 0
-    while (i < toks.length - 1) {
-      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
     new GenericArrayData(out)
@@ -523,15 +546,15 @@ case class NfcExpression(child: Expression) extends UnaryExpression {
 }
 
 /** Codegen'd in-order non-distinct word bigrams over StringType. */
-case class WordBigramsExpression(child: Expression)
+case class WordNgramsExpression(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_bigrams"
+  override def prettyName: String = "word_ngrams"
   override def nullSafeEval(input: Any): Any =
-    TextFunctions.wordBigramsF(input.asInstanceOf[UTF8String])
+    TextFunctions.wordNgramsF(input.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextFunctions.wordBigramsF($c)")
+      c => s"graft.functions.TextFunctions.wordNgramsF($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -168,17 +168,32 @@ case class CosineExpression(left: Expression, right: Expression)
   * reference object. Callable from generated code. */
 final class CentroidTable(flat: Array[Double], k: Int, dim: Int)
     extends Serializable {
-  /** First-minimum squared-L2 argmin; element order fixed left-to-right. */
+  /** First-minimum squared-L2 argmin; element order fixed left-to-right.
+    * Malformed vectors fail LOUDLY: a short/long or null-holding vector
+    * would otherwise be silently assigned a cluster from a partial
+    * distance, where the declarative `zip_with` tree yields null and
+    * drops the row — the bit-identical-equivalence contract requires
+    * rejecting such rows, not guessing. */
   def argmin(v: ArrayData): Int = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid_argmin: vector has ${v.numElements()} elements, " +
+          s"centroids have dim $dim")
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"centroid_argmin: null element at index $j")
+      j += 1
+    }
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < k) {
       val off = c * dim
-      val n = math.min(v.numElements(), dim)
       var s = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         val d = v.getDouble(i) - flat(off + i)
         s += d * d
         i += 1

@@ -84,6 +84,20 @@ object Dedup {
       posexplode(T.minhashBands(col("shingles"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    minhashPairsSigned(sh, banded, threshold, maxBucketSize)
+  }
+
+  /** [[minhashPairs]] over a PRE-SIGNED frame: `sh` is (id, shingles —
+    * sorted distinct) and `banded` its (id, band, bucket) LSH keys. The
+    * entry point for callers that already paid the signature pass —
+    * [[LshIndex.ingestBatch]] signs each crawl batch exactly once and
+    * reuses the frames for corpus probe, within-batch dedup AND the index
+    * append, instead of re-shingling raw text per stage. */
+  private[pipeline] def minhashPairsSigned(
+      sh: DataFrame,
+      banded: DataFrame,
+      threshold: Double,
+      maxBucketSize: Long): DataFrame = {
     // degenerate-bucket guard: a band value shared by >maxBucketSize docs is
     // non-discriminative (would emit O(bucket²) candidates); drop it — at
     // LSH parameters matched to the threshold, true near-dups collide in

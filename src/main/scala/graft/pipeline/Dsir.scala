@@ -53,9 +53,14 @@ object Dsir {
     * tokens, in document order (the fold order of the weight) — the
     * DECLARATIVE reference spelling of the gram stream. [[buckets]] fuses
     * this + FNV + mod into one codegen'd expression; the spec pins the
-    * two paths equal. */
+    * two paths equal. Empty tokens are dropped BEFORE bigram formation:
+    * `split` keeps the empty fragments that leading/trailing non-space
+    * whitespace produces (trim strips spaces only), and without the
+    * filter those would hash a meaningless '' gram — and diverge from
+    * DuckDB, whose `string_split_regex('')` yields [''] where Spark's
+    * tokens('') yields []. */
   def grams(text: Column): Column = {
-    val t = T.tokens(lower(text))
+    val t = filter(T.tokens(lower(text)), x => x =!= lit(""))
     val bigrams = when(size(t) < 2, array().cast("array<string>"))
       .otherwise(zip_with(
         slice(t, lit(1), size(t) - 1),
@@ -89,9 +94,12 @@ object Dsir {
       text: Column,
       target: Column,
       nBuckets: Int = 256): Model = {
+    // coalesce inside the sum: a null target (e.g. null lang under
+    // lang === "en") must count as 0, not null out the whole bucket's
+    // aggregate — and the oracle's CASE ... ELSE 0 does the same
     val rows = df
       .select(explode(buckets(text, nBuckets)).as("b"),
-        target.cast("int").as("t"))
+        coalesce(target.cast("int"), lit(0)).as("t"))
       .groupBy("b")
       .agg(count(lit(1)).as("raw"), sum(col("t")).cast("long").as("tgt"))
       .collect()

@@ -72,16 +72,32 @@ object LshIndex {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
+  /** Persist a signed frame: `sh` (id, shingles) and its `keys`
+    * (id, band, bucket) — already computed, so a caller holding both
+    * ([[ingestBatch]]) pays no second minhash pass. The two tables go to
+    * disjoint directories, so the writes run CONCURRENTLY — in a
+    * streaming trigger each append's fixed stage-launch + commit latency
+    * hides under the other's. */
   private def writeSignatures(
-      sh: DataFrame, numHashes: Int, bands: Int, numShards: Int,
+      sh: DataFrame, keys: DataFrame, numShards: Int,
       path: String, mode: String): Unit = {
-    sh.withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int"))
-      .repartition(col("shard"))
-      .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
-    bandKeys(sh, numHashes, bands)
-      .withColumn("shard", pmod(col("bucket"), lit(numShards.toLong)).cast("int"))
-      .repartition(col("shard"))
-      .write.mode(mode).partitionBy("shard").parquet(s"$path/buckets")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val wSh = Future {
+      sh.withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int"))
+        .repartition(col("shard"))
+        .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
+    }
+    val wKeys = Future {
+      keys
+        .withColumn("shard",
+          pmod(col("bucket"), lit(numShards.toLong)).cast("int"))
+        .repartition(col("shard"))
+        .write.mode(mode).partitionBy("shard").parquet(s"$path/buckets")
+    }
+    Await.result(wSh.zip(wKeys), Duration.Inf)
+    ()
   }
 
   /** Build the index at `path` (overwrites). One pass over the corpus
@@ -100,15 +116,26 @@ object LshIndex {
     Seq((shingleSize, numHashes, bands, numShards))
       .toDF("shingle_size", "num_hashes", "bands", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    metaCache.put(path, (shingleSize, numHashes, bands, numShards))
     val sh = shingleSets(corpus, id, text, shingleSize)
-    writeSignatures(sh, numHashes, bands, numShards, path, "overwrite")
+    writeSignatures(sh, bandKeys(sh, numHashes, bands), numShards, path,
+      "overwrite")
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta")
-      .select("shingle_size", "num_hashes", "bands", "num_shards").head()
-    (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
-  }
+  /** Band parameters per index path. Meta is immutable after [[build]]
+    * (which refreshes the entry), so caching it drops one driver
+    * round-trip — a whole Spark job — from EVERY probe/append: at a
+    * streaming trigger of 500 ms that fixed overhead is a measurable
+    * slice of the per-batch budget. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Int)]()
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int, Int) =
+    metaCache.computeIfAbsent(path, _ => {
+      val m = spark.read.parquet(s"$path/meta")
+        .select("shingle_size", "num_hashes", "bands", "num_shards").head()
+      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    })
 
   /** Add a batch to the index — the steady-state ingest step. Touches
     * only the new documents; the existing index files are untouched
@@ -118,7 +145,8 @@ object LshIndex {
     val (shingleSize, numHashes, bands, numShards) =
       readMeta(batch.sparkSession, path)
     val sh = shingleSets(batch, id, text, shingleSize)
-    writeSignatures(sh, numHashes, bands, numShards, path, "append")
+    writeSignatures(sh, bandKeys(sh, numHashes, bands), numShards, path,
+      "append")
   }
 
   /** The shard-pruned bucket-table scan a probe's shard set touches —
@@ -149,8 +177,16 @@ object LshIndex {
     * the SAME survivor set (its own index rows only produce self-pairs),
     * and re-appending adds redundant rows that cannot change any future
     * probe's verdict — bucket sizes are counted as distinct ids and the
-    * verify side is deduped by id. A crash between append and the
-    * caller's sink costs storage, never correctness. */
+    * verify side is deduped per pair. A crash between append and the
+    * caller's sink costs storage, never correctness.
+    *
+    * Fused signature pass: the batch is shingled + banded EXACTLY ONCE
+    * and the persisted frames feed all three stages — corpus probe,
+    * within-batch self-join ([[Dedup.minhashPairsSigned]]) and the index
+    * append. The candidate pair set is likewise persisted between its two
+    * consumers (id-shard derivation + verify join). All intermediates are
+    * unpersisted before return; the survivors come back persisted AND
+    * materialized, so downstream actions never re-trigger the probe. */
   def ingestBatch(
       spark: SparkSession,
       path: String,
@@ -159,15 +195,49 @@ object LshIndex {
       text: Column,
       threshold: Double = 0.6,
       maxBucketSize: Long = 2000): DataFrame = {
-    val (shingleSize, numHashes, bands, _) = readMeta(spark, path)
-    val dupOfCorpus = probe(spark, path, batch, id, text,
-        threshold, maxBucketSize)
-      .select(col("batch_id").as("__dup")).distinct()
-    val clean = batch.join(dupOfCorpus, id.cast("long") === col("__dup"),
-      "left_anti")
-    val survivors = Dedup.minhashDedup(clean, id, text,
-      shingleSize, numHashes, bands, threshold).persist()
-    append(survivors, id, text, path)
+    val (shingleSize, numHashes, bands, numShards) = readMeta(spark, path)
+    val bsh = shingleSets(batch, id, text, shingleSize).persist()
+    // persisted: every downstream subtree (guard, candidate join, self-
+    // join, append) references the band keys — caching them pins the
+    // 128-hash minhash fold to exactly ONE evaluation per batch
+    val batchKeys = bandKeys(bsh, numHashes, bands).persist()
+    val cand = candidatePairs(spark, path, batchKeys, numShards,
+      maxBucketSize).persist()
+    val dupOfCorpus = verifyCandidates(spark, path, numShards, cand, bsh,
+        threshold)
+      .select(col("batch_id").as("__dup")).distinct().persist()
+    // within-batch near-dup over the SAME signatures: restrict the signed
+    // frames to corpus-clean ids, self-join, drop the higher id of each
+    // verified pair (minhashDedup's greedy keep-lowest-id rule)
+    val cleanSh = bsh.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
+    val cleanKeys =
+      batchKeys.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
+    val losers = Dedup.minhashPairsSigned(cleanSh, cleanKeys, threshold,
+        maxBucketSize)
+      .select(col("id_b").as("__loser")).distinct().persist()
+    // ONE action materializes the whole verdict chain (probe verify +
+    // within-batch self-join); both verdict sets are batch-bounded id
+    // frames, persisted so the appends and the survivor projection below
+    // read cached ids instead of re-running LSH subtrees per consumer
+    losers.count()
+    val survSh = cleanSh.join(losers, col("id") === col("__loser"), "left_anti")
+      .persist()
+    val survKeys =
+      cleanKeys.join(losers, col("id") === col("__loser"), "left_anti")
+    // append from the already-computed signatures — no re-shingle, no
+    // second minhash pass over the batch text. The two tables are
+    // independent sinks of cached frames: write them CONCURRENTLY so one
+    // append's fixed stage/commit latency hides under the other's.
+    writeSignatures(survSh, survKeys, numShards, path, "append")
+    val survivors = batch.join(survSh.select(col("id").as("__keep")),
+        id.cast("long") === col("__keep"), "left_semi")
+      .persist()
+    // materialize the survivor cache BEFORE dropping the intermediates it
+    // was derived from, so the caller's sink reads cached rows instead of
+    // re-running the probe
+    survivors.count()
+    bsh.unpersist(); batchKeys.unpersist(); cand.unpersist()
+    dupOfCorpus.unpersist(); losers.unpersist(); survSh.unpersist()
     survivors
   }
 
@@ -222,7 +292,21 @@ object LshIndex {
       maxBucketSize: Long = 2000): DataFrame = {
     val (shingleSize, numHashes, bands, numShards) = readMeta(spark, path)
     val bsh = shingleSets(batch, id, text, shingleSize)
-    val batchKeys = bandKeys(bsh, numHashes, bands)
+    val candidates =
+      candidatePairs(spark, path, bandKeys(bsh, numHashes, bands),
+        numShards, maxBucketSize)
+    verifyCandidates(spark, path, numShards, candidates, bsh, threshold)
+  }
+
+  /** Candidate (batch_id, corpus_id) pairs from pre-signed batch band
+    * keys — [[probe]]'s generation half, split out so [[ingestBatch]] can
+    * persist the (batch-scale) pair set between its two consumers. */
+  private def candidatePairs(
+      spark: SparkSession,
+      path: String,
+      batchKeys: DataFrame,
+      numShards: Int,
+      maxBucketSize: Long): DataFrame = {
     // the batch's bucket-shard hit set: bounded by numShards — a
     // metadata-scale driver round-trip that buys the directory prune on
     // the corpus bucket table (IvfIndex.topK's probed-cell shape)
@@ -245,7 +329,7 @@ object LshIndex {
       .agg(countDistinct(col("id")).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
       .select("band", "bucket")
-    val candidates = corpusKeys
+    corpusKeys
       .join(okBuckets, Seq("band", "bucket"))
       .select(col("band"), col("bucket"), col("id").as("corpus_id"))
       .join(broadcast(batchKeys
@@ -258,27 +342,34 @@ object LshIndex {
       .filter(col("batch_id") =!= col("corpus_id"))
       .select("batch_id", "corpus_id")
       .distinct()
-    // the candidates' id-shard hit set, again bounded by numShards. The
-    // guard is deliberately skipped here — a SUPERSET of shards only
-    // widens the prune, and skipping it keeps this the sole extra action
-    // (no persist of candidates to leak, no second guard aggregation)
-    val idShards = corpusKeys
-      .join(broadcast(batchKeys.select("band", "bucket").distinct()),
-        Seq("band", "bucket"))
-      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"))
+  }
+
+  /** [[probe]]'s verification half: exact Jaccard over persisted corpus
+    * shingle sets, restricted to candidate ids. The candidates' id-shard
+    * hit set (bounded by numShards) is derived from the candidate pairs
+    * themselves — the EXACT shard set, and when the caller persisted
+    * `candidates` the derivation is a collect over cached rows, not a
+    * second corpus-side aggregation. */
+  private def verifyCandidates(
+      spark: SparkSession,
+      path: String,
+      numShards: Int,
+      candidates: DataFrame,
+      bsh: DataFrame,
+      threshold: Double): DataFrame = {
+    val idShards = candidates
+      .select(pmod(col("corpus_id"), lit(numShards.toLong)).cast("int").as("shard"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // dedupe by id before the verify join: a replayed append duplicates
-    // (id, shingles) rows verbatim; without this the verify would emit
-    // duplicate (batch_id, corpus_id) pairs. The aggregation touches only
-    // candidate-shard rows semi-restricted to candidate ids.
+    // a replayed append duplicates (id, shingles) rows VERBATIM, so the
+    // join may emit the same pair twice with identical payloads; the
+    // pair-level dropDuplicates replaces the old pre-join group-by and
+    // keeps the candidates subtree appearing ONCE in this plan (the
+    // group-by's semi-join restriction evaluated it a second time)
     val corpusSh = prunedShingles(spark, path, idShards)
-      .join(candidates.select(col("corpus_id")).distinct(),
-        col("id") === col("corpus_id"), "left_semi")
-      .groupBy("id").agg(first(col("shingles")).as("shingles"))
+      .select(col("id").as("corpus_id"), col("shingles").as("__sh_c"))
     candidates
-      .join(corpusSh
-          .select(col("id").as("corpus_id"), col("shingles").as("__sh_c")),
-        Seq("corpus_id"))
+      .join(corpusSh, Seq("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
       .join(bsh.select(col("id").as("batch_id"), col("shingles").as("__sh_b")),
         Seq("batch_id"))
       .withColumn("jaccard", T.jaccardSorted(col("__sh_b"), col("__sh_c")))

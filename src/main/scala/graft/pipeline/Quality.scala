@@ -94,4 +94,97 @@ object Quality {
           col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
           col("alpha_frac") >= minAlphaFrac &&
           col("n_stopwords") >= minStopwords, lit(false)))
+
+  /** Order-`n` corpus language-model quality score with COUNT PRUNING and
+    * STUPID BACKOFF [Brants et al., "Large Language Models in Machine
+    * Translation", EMNLP 2007] — the CCNet-style filter at its real
+    * order (the repo's `lm_score_bigram` is its order-2 on-ramp; this is
+    * the filter itself).
+    *
+    * Per scoring position (each adjacent `n`-gram of the lowercased
+    * non-empty token stream):
+    * {{{ S(w_i | ctx) = c(ngram)/c(ctx)          if the n-gram survives
+    *                    α · S(w_i | shorter ctx)  otherwise (recursively)
+    *     S(w_i)       = c(w_i)/N                  at order 1 }}}
+    * Count tables of order ≥ 2 keep only entries with count ≥ `minCount`
+    * (the Zipf-head argument: pruning drops the exponentially-long tail
+    * of singleton grams while the scores of real text barely move — the
+    * lever that makes an order-5 web-corpus model broadcastable). A
+    * surviving numerator's context ALWAYS survives too (count(ctx) ≥
+    * count(ngram) ≥ minCount), and the order-1 fallback is total
+    * (c(w_i) ≥ 1), so the score is never null/zero.
+    *
+    * Output: (doc_id, n_grams, nll) — n_grams = scoring positions, nll =
+    * mean −ln S, DECIMAL(28,18)-summed then 6-dp rounded (the repo float
+    * contract); docs with < n tokens score 0 with n_grams 0.
+    *
+    * Scale shape: n count aggregations over the corpus (each map-side
+    * combined; the pruned tables of order ≥ 2 are Zipf-truncated) and a
+    * scoring pass of 2(n−1)+1 BROADCAST left joins — the corpus-side
+    * stream never shuffles. α-power factors are pinned literals computed
+    * by iterated multiplication so the oracle embeds bit-identical
+    * constants. */
+  def lmScoreStupidBackoff(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      minCount: Long = 2L,
+      alpha: Double = 0.4): DataFrame = {
+    require(n >= 2, s"order must be >= 2: $n")
+    val low = lower(text)
+    def table(k: Int): DataFrame = {
+      val t = df.select(explode(TextFunctions.wordNgrams(low, k)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      if (k >= 2) t.filter(col("c") >= minCount) else t
+    }
+    val tables = (1 to n).map(k => k -> table(k)).toMap
+    // total token occurrences — one metadata-scale aggregate
+    val nTotal = tables(1).agg(sum(col("c"))).head().getLong(0).toDouble
+    // α^j by iterated multiplication (pinned; math.pow could differ)
+    val alphaPow = Iterator.iterate(1.0)(_ * alpha).take(n).toArray
+    // scoring positions with their numerator/context sub-grams: order-k
+    // numerator = words (n-k+1)..n of the position, context drops the
+    // last word
+    def sub(a: Int, b: Int): Column =
+      array_join(slice(col("__w"), a, b - a + 1), " ")
+    var pos = df.select(id.as("doc_id"),
+        explode(TextFunctions.wordNgrams(low, n)).as("__g"))
+      .withColumn("__w", split(col("__g"), " "))
+    for (k <- 2 to n) {
+      pos = pos.withColumn(s"__num$k", sub(n - k + 1, n))
+        .withColumn(s"__ctx$k", sub(n - k + 1, n - 1))
+    }
+    pos = pos.withColumn("__num1", sub(n, n)).drop("__w", "__g")
+    var joined = pos
+    for (k <- n to 2 by -1) {
+      joined = joined
+        .join(broadcast(tables(k)
+            .select(col("g").as(s"__num$k"), col("c").as(s"__cnum$k"))),
+          Seq(s"__num$k"), "left")
+        .join(broadcast(tables(k - 1)
+            .select(col("g").as(s"__ctx$k"), col("c").as(s"__cctx$k"))),
+          Seq(s"__ctx$k"), "left")
+    }
+    joined = joined.join(broadcast(tables(1)
+        .select(col("g").as("__num1"), col("c").as("__cnum1"))),
+      Seq("__num1"), "left")
+    var score: Column =
+      lit(alphaPow(n - 1)) * col("__cnum1").cast("double") / lit(nTotal)
+    for (k <- 2 to n) {
+      score = when(col(s"__cnum$k").isNotNull,
+        lit(alphaPow(n - k)) * col(s"__cnum$k").cast("double") /
+          col(s"__cctx$k").cast("double")).otherwise(score)
+    }
+    val scored = joined
+      .withColumn("__nll", (-log(score)).cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("__nll")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("nll"))
+    df.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
 }

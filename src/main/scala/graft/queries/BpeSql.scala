@@ -78,7 +78,7 @@ object BpeSql {
     * n_words) and `cnt` (doc_id, n_bpe for docs with ≥1 word) in scope —
     * every word occurrence pushed through the rank-ordered replace chain,
     * symbol count = chr(31)-count / 2, summed per document. */
-  private lazy val perDocCtes: String = {
+  private[queries] lazy val perDocCtes: String = {
     val chain = (0 until NumMerges).foldLeft(wrap("w")) { (acc, r) =>
       s"replace($acc, ${pat(r)}, ${rep(r)})"
     }

@@ -9,7 +9,11 @@ package graft.queries
   * per-document fold use `ln` on the same add-one-smoothed ratios; the
   * engines' sums differ only in fold order / final-ulp libm bits, so both
   * sides round to 6 dp (the repo's established float-oracle contract).
-  * Documents with no grams keep weight 0.0 via the left join.
+  * Documents with no grams keep weight 0.0 via the left join — the
+  * `list_filter(x <> '')` makes that literal: DuckDB's
+  * `string_split_regex('')` yields [''] where Spark's tokens('') yields
+  * [], and unfiltered that '' gram would give empty docs a nonzero
+  * weight on the oracle side only.
   */
 object DsirSql {
 
@@ -18,7 +22,8 @@ object DsirSql {
   private val base: String =
     s"""toks AS (
        |  SELECT doc_id, lang,
-       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                x -> x <> '') AS t
        |  FROM documents),
        |grams AS (
        |  SELECT doc_id, lang,

@@ -408,11 +408,11 @@ object Oracles {
       """SELECT doc_id,
         |  trim(regexp_replace(
         |    regexp_replace(nfc_normalize(text),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
         |    '[ \t]+', ' ', 'g')) AS norm_text,
         |  CAST(length(trim(regexp_replace(
         |    regexp_replace(nfc_normalize(text),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
         |    '[ \t]+', ' ', 'g'))) AS INTEGER) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1028,9 +1028,13 @@ object Oracles {
 
     // add-one bigram LM: the lm_score recipe at order 2 (DECIMAL sums,
     // 6-dp round); bigram stream keeps multiplicity
+    // toks filters empty fragments so the bigram stream matches Spark's
+    // wordNgramsF on hostile whitespace (leading \t/\n), not just fixtures
     "lm_score_bigram" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS t
         |  FROM documents),
         |t2 AS (SELECT doc_id, unnest(t) AS term FROM toks),
         |t3 AS (SELECT doc_id, term FROM t2 WHERE term <> ''),
@@ -1127,6 +1131,8 @@ object Oracles {
     "bpe_vocab" -> BpeSql.bpeVocabSql,
     "bpe_tokenize" -> BpeSql.bpeTokenizeSql,
     "pack_sequences_bpe" -> BpeSql.packSequencesBpeSql,
+    "train_shards" -> TrainShardsSql.trainShardsSql,
+    "lm_score_5gram" -> LmSql.lmScore5gramSql,
 
     // IVF ANN: the deterministic Lloyd trainer replayed iteration by
     // iteration (assign / collect-in-id-order / fold-update), float-cast

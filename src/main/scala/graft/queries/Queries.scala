@@ -750,6 +750,23 @@ object Queries {
     graft.pipeline.Pack.packSequences(
       t(spark, dir, "documents"), col("doc_id"), col("text"), budget = 512)
 
+  /** THE terminal composition — training-shard emission: BPE-budgeted
+    * per-shard greedy packing of the xxhash64-shuffled corpus, rolled up
+    * into ordered training sequences ([[graft.pipeline.TrainShards]];
+    * oracle [[TrainShardsSql]] replays the whole chain in one statement).
+    * Output (shard, seq_id, n_docs, seq_tokens, seq_text). */
+  def trainShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val m = graft.pipeline.Bpe.train(docs, col("text"),
+      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    graft.pipeline.TrainShards.sequences(docs, col("doc_id"), col("text"),
+        budget = TrainShardsSql.Budget,
+        numShards = TrainShardsSql.NumShards,
+        seed = TrainShardsSql.Seed,
+        tokenCount = m.tokenCount)
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** Token frequency: top-20 tokens with deterministic tie-break. */
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -1308,6 +1325,16 @@ object Queries {
         coalesce(col("nll2"), lit(0.0)).as("nll2"))
       .orderBy(col("doc_id"))
   }
+
+  /** Order-5 stupid-backoff LM quality score with count pruning — the
+    * CCNet-order filter itself ([[graft.pipeline.Quality.lmScoreStupidBackoff]];
+    * [[lmScoreBigram]] is its order-2 on-ramp). Oracle [[LmSql]] replays
+    * the pruned tables and the backoff CASE bit-for-bit. */
+  def lmScore5gram(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Quality.lmScoreStupidBackoff(
+        t(spark, dir, "documents"), col("doc_id"), col("text"),
+        n = LmSql.N, minCount = LmSql.MinCount, alpha = LmSql.Alpha)
+      .orderBy(col("doc_id"))
 
   /** Z-order (Morton) key of (l_orderkey, l_partkey) folded to 8 bits each
     * — the clustering key for 2-D file skipping (see

@@ -122,31 +122,50 @@ object XxHash64Sql {
     (head, s"${tag}v5")
   }
 
-  /** shuffle_shards oracle: Sampling.shuffleShards(documents, doc_id,
-    * numShards = 64, seed = 7) — shard = xxhash64(doc_id) mod 64, order =
-    * xxhash64(doc_id, 7) (seed chaining: hashLong(7, hashLong(doc_id,
-    * 42))), pos = dense rank within shard. Output (doc_id, shard, pos). */
-  lazy val shuffleShardsSql: String = {
+  /** Parameterized CTE chain replaying `Sampling.shuffleShards(src,
+    * doc_id, numShards, seed)`: shard = xxhash64(doc_id) mod numShards,
+    * order = xxhash64(doc_id, seed) (seed chaining: hashLong(seed,
+    * hashLong(doc_id, 42))), pos = dense rank within shard. All CTE names
+    * carry `tag` so the chain composes with other oracle fragments (the
+    * BPE chain also owns a `b0`). Returns (ctes — no leading WITH,
+    * finalCteName) with the final CTE exposing (doc_id, shard, pos). */
+  private[queries] def shuffleShardCtes(
+      tag: String, numShards: Int, seed: Long,
+      src: String = "documents"): (String, String) = {
     val uid = "((doc_id::HUGEINT % 18446744073709551616::HUGEINT) + " +
       "18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT"
-    val (c1, last1) = hashLongStages("x1", "uid", "42::HUGEINT", "hu1", "b0")
-    val (c2, last2) = hashLongStages("x2", "useed", "hu1", "hu2", last1)
-    s"""WITH b0 AS (
-       |  SELECT doc_id, $uid AS uid, 7::HUGEINT AS useed FROM documents),
-       |$c1,
-       |$c2,
-       |signedh AS (SELECT doc_id,
-       |  CASE WHEN hu1 >= 9223372036854775808::HUGEINT
-       |       THEN hu1 - 18446744073709551616::HUGEINT ELSE hu1 END AS h1,
-       |  CASE WHEN hu2 >= 9223372036854775808::HUGEINT
-       |       THEN hu2 - 18446744073709551616::HUGEINT ELSE hu2 END AS h2
-       |  FROM $last2),
-       |sharded AS (SELECT doc_id,
-       |  CAST(((h1 % 64) + 64) % 64 AS INTEGER) AS shard, h2 FROM signedh)
-       |SELECT doc_id, shard,
-       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
-       |       AS INTEGER) AS pos
-       |FROM sharded ORDER BY shard, pos""".stripMargin
+    val (c1, last1) =
+      hashLongStages(s"${tag}x1", "uid", "42::HUGEINT", "hu1", s"${tag}b0")
+    val (c2, last2) =
+      hashLongStages(s"${tag}x2", "useed", "hu1", "hu2", last1)
+    val ctes =
+      s"""${tag}b0 AS (
+         |  SELECT doc_id, $uid AS uid, $seed::HUGEINT AS useed FROM $src),
+         |$c1,
+         |$c2,
+         |${tag}signedh AS (SELECT doc_id,
+         |  CASE WHEN hu1 >= 9223372036854775808::HUGEINT
+         |       THEN hu1 - 18446744073709551616::HUGEINT ELSE hu1 END AS h1,
+         |  CASE WHEN hu2 >= 9223372036854775808::HUGEINT
+         |       THEN hu2 - 18446744073709551616::HUGEINT ELSE hu2 END AS h2
+         |  FROM $last2),
+         |${tag}sharded AS (SELECT doc_id,
+         |  CAST(((h1 % $numShards) + $numShards) % $numShards AS INTEGER)
+         |    AS shard, h2 FROM ${tag}signedh),
+         |${tag}pos AS (SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
+         |       AS INTEGER) AS pos
+         |  FROM ${tag}sharded)""".stripMargin
+    (ctes, s"${tag}pos")
+  }
+
+  /** shuffle_shards oracle: Sampling.shuffleShards(documents, doc_id,
+    * numShards = 64, seed = 7) — output (doc_id, shard, pos). */
+  lazy val shuffleShardsSql: String = {
+    val (ctes, last) = shuffleShardCtes("ss", 64, 7L)
+    s"""WITH $ctes
+       |SELECT doc_id, shard, pos
+       |FROM $last ORDER BY shard, pos""".stripMargin
   }
 
   /** The full multimodal_decode oracle query. */

@@ -140,12 +140,18 @@ object Curation {
         cfg.minTokens, cfg.maxTokens, cfg.minMeanWordLen,
         cfg.maxMeanWordLen, cfg.minAlphaFrac, cfg.minStopwords))
       .filter(cfg.extraFilter.getOrElse(lit(true)))
+    // persisted for the duration of the ingest: the chunk frame is the
+    // probe's signing input AND the survivor projection's base — caching
+    // it pins the gopher+chunk pass over the raw batch to one evaluation
     val chunks = Chunking.chunkTokens(kept, col("id"), col("text"),
         cfg.chunkSize, cfg.overlap)
       .withColumn("chunk_uid", chunkUid(col("id"), col("chunk_id")))
-    LshIndex.curateInto(spark, indexPath, chunks,
-      col("chunk_uid"), col("chunk_text"),
-      cfg.threshold, cfg.maxBucketSize)(sink)
+      .persist()
+    try
+      LshIndex.curateInto(spark, indexPath, chunks,
+        col("chunk_uid"), col("chunk_text"),
+        cfg.threshold, cfg.maxBucketSize)(sink)
+    finally { chunks.unpersist(); () }
   }
 
   /** The full foreachBatch body: consumed records → [[curateBatch]] →

@@ -121,6 +121,28 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("fused ≡ declarative on hostile whitespace (tabs, newlines, empties)") {
+    // trim() strips spaces only, so leading \t/\n survive into split and
+    // produce empty fragments — the fused path must drop them exactly as
+    // the declarative filter does, for EVERY spelling of emptiness
+    import spark.implicits._
+    val nasty = Seq(
+      "\tTabbed lead", "\nNewline lead", "trailing tab\t", "",
+      "   ", "\t", "\n \t ", "mid\t\ttabs here", "one",
+      " \t Mixed nbsp lead", "UPPER case MiX").toDF("text")
+    val rows = nasty.select(
+      Dsir.buckets(col("text"), 256).as("fused"),
+      Dsir.bucketsDeclarative(col("text"), 256).as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+    // whitespace-only docs produce NO grams (so no importance weight)
+    val empties = nasty.filter(length(trim(col("text"), " \t\n")) === 0)
+      .select(Dsir.buckets(col("text"), 256).as("b")).collect()
+    empties.foreach(r => assert(r.getSeq[Int](0).isEmpty))
+  }
+
   test("buckets rejects a non-power-of-two bucket count") {
     intercept[IllegalArgumentException] {
       Dsir.buckets(col("text"), 100)
