@@ -140,18 +140,16 @@ object SpanIndex {
     val fromBatch = occ.join(batchDup, Seq("g")).select("id", "pos")
     val starts = fromCorpus.union(fromBatch).distinct()
       .groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    // O(doc) reconstruction — the same sorted-interval merge expression
+    // as the one-shot operator (graft.functions.SpanFunctions)
     base.join(starts, Seq("id"), "left")
-      .withColumn("covered",
-        array_distinct(flatten(transform(
-          coalesce(col("starts"), array().cast("array<int>")),
-          p => sequence(p, p + (k - 1))))))
+      .withColumn("__sp", graft.functions.SpanFunctions.spanRemove(
+        col("w"), coalesce(col("starts"), array().cast("array<int>")), k))
       .select(
         col("id").as("doc_id"),
         size(col("w")).as("n_words"),
-        size(col("covered")).as("removed_words"),
-        array_join(
-          filter(col("w"), (_, i) => !array_contains(col("covered"), i)),
-          " ").as("kept_text"))
+        col("__sp.removed_words").as("removed_words"),
+        col("__sp.kept_text").as("kept_text"))
       .orderBy(col("doc_id"))
   }
 
