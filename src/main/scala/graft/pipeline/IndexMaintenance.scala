@@ -22,8 +22,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * delete-old sequence (the rename-aside discipline of
   * [[graft.core.log.LogRetention.compact]], confined to one directory at a
   * time so the index stays live and a crash can damage at most one
-  * directory). Directories are independent — a scheduler may compact them
-  * concurrently; this driver loop runs them serially for determinism.
+  * directory). Directories are independent, so they compact CONCURRENTLY
+  * (bounded pool): each rewrite is a small single-directory Spark job
+  * whose fixed launch/commit latency would otherwise serialize — at 64
+  * shards per table the serial loop pays 64 job latencies where the
+  * pooled one pays ~64/8.
   *
   * Crash contract (single maintainer, same assumption as `append` — the
   * indexes are owned by one curation pipeline): a crash between the
@@ -70,10 +73,10 @@ object IndexMaintenance {
     val partDirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath)
-    var stats = CompactStats(0, 0)
-    partDirs.foreach { dir =>
+    def compactOne(dir: Path): CompactStats = {
       val old = dataFiles(fs, dir)
-      if (old.size >= minFiles) {
+      if (old.size < minFiles) CompactStats(0, 0)
+      else {
         val tag = UUID.randomUUID().toString.take(8)
         val staging = new Path(root, s".compact-$tag")
         try {
@@ -89,10 +92,22 @@ object IndexMaintenance {
           // from here the directory is a superset (old + compacted) — every
           // read stays correct; the deletes shrink it back to one copy
           old.foreach(p => fs.delete(p, false))
-          stats = stats + CompactStats(1, old.size)
+          CompactStats(1, old.size)
         } finally fs.delete(staging, true)
       }
     }
-    stats
+    // bounded concurrency: directories are independent (unique staging
+    // tags, disjoint targets); the pool hides the per-directory job
+    // launch + commit latency that dominates these tiny rewrites
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, partDirs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try
+      Await.result(Future.sequence(partDirs.map(d => Future(compactOne(d)))),
+          Duration.Inf)
+        .foldLeft(CompactStats(0, 0))(_ + _)
+    finally pool.shutdown()
   }
 }

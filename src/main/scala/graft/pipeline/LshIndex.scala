@@ -45,6 +45,14 @@ import graft.functions.{TextFunctions => T}
   * silently use a different hash family — or a different sharding — than
   * the index it queries.
   *
+  * '''Id uniqueness contract.''' Document ids must be UNIQUE across
+  * everything ever built/appended into one index: the verify step reads
+  * one shingle set per id, so two different documents sharing an id would
+  * make dedup verdicts depend on which row a scan happens to surface.
+  * (Replayed appends are fine — they duplicate rows verbatim, so any pick
+  * is the same value. The curation pipeline's packed chunk uids satisfy
+  * uniqueness by construction.)
+  *
   * Degenerate-bucket guard: a bucket shared by more than `maxBucketSize`
   * corpus documents is non-discriminative (stop-shingle collisions) and
   * would emit O(bucket) candidates per matching batch row; probe drops
@@ -229,8 +237,12 @@ object LshIndex {
     // independent sinks of cached frames: write them CONCURRENTLY so one
     // append's fixed stage/commit latency hides under the other's.
     writeSignatures(survSh, survKeys, numShards, path, "append")
-    val survivors = batch.join(survSh.select(col("id").as("__keep")),
-        id.cast("long") === col("__keep"), "left_semi")
+    // lineage truncated: a composed pipeline stage downstream must not
+    // embed (and re-walk, per AQE stage) this whole shared-DAG plan —
+    // see PlanUtil.truncateLineage
+    val survivors = PlanUtil.truncateLineage(
+        batch.join(survSh.select(col("id").as("__keep")),
+          id.cast("long") === col("__keep"), "left_semi"))
       .persist()
     // materialize the survivor cache BEFORE dropping the intermediates it
     // was derived from, so the caller's sink reads cached rows instead of

@@ -46,12 +46,18 @@ import graft.functions.{TextFunctions => T}
   * different gram width than the index it queries. */
 object SpanIndex {
 
-  /** Batch gram occurrences: (id, pos, g) — one row per k-gram position,
-    * fingerprint = FNV-1a of the space-joined words (identical to
-    * [[Dedup.repeatedSpanRemoval]], so the two surfaces agree). */
-  private def occurrences(
-      df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+  /** Tokenized batch frame (id, w) — the shared signing input: probe's
+    * reconstruction and the gram pass both read it, so [[ingestBatch]]
+    * persists it and tokenizes the batch exactly once. */
+  private def baseOf(df: DataFrame, id: Column, text: Column): DataFrame =
     Dedup.spread(df.select(id.cast("long").as("id"), T.tokens(text).as("w")))
+
+  /** Gram occurrences of a tokenized frame: (id, pos, g) — one row per
+    * k-gram position, fingerprint = FNV-1a of the space-joined words
+    * (identical to [[Dedup.repeatedSpanRemoval]], so the two surfaces
+    * agree). */
+  private def occOf(base: DataFrame, k: Int): DataFrame =
+    base
       .select(col("id"),
         explode(
           when(size(col("w")) >= k,
@@ -62,6 +68,10 @@ object SpanIndex {
             .otherwise(array().cast("array<struct<pos:int,g:bigint>>")))
           .as("o"))
       .select(col("id"), col("o.pos").as("pos"), col("o.g").as("g"))
+
+  private def occurrences(
+      df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    occOf(baseOf(df, id, text), k)
 
   /** Distinct (g, owner=min id) of a frame's occurrences, shard-stamped. */
   private def gramSet(occ: DataFrame, numShards: Int): DataFrame =
@@ -119,8 +129,21 @@ object SpanIndex {
       text: Column,
       minCount: Long = 2L): DataFrame = {
     val (k, numShards) = readMeta(spark, path)
-    val base = batch.select(id.cast("long").as("id"), T.tokens(text).as("w"))
-    val occ = occurrences(batch, id, text, k)
+    val base = baseOf(batch, id, text)
+    probeCore(spark, path, base, occOf(base, k), k, numShards, minCount)
+  }
+
+  /** [[probe]] over a pre-tokenized frame and its occurrences — the
+    * entry point [[ingestBatch]] uses so the batch is tokenized and
+    * fingerprinted exactly once across probe + append. */
+  private def probeCore(
+      spark: SparkSession,
+      path: String,
+      base: DataFrame,
+      occ: DataFrame,
+      k: Int,
+      numShards: Int,
+      minCount: Long): DataFrame = {
     // batch gram-shard hit set: bounded by numShards, buys the prune
     val gramShards = occ
       .select(pmod(col("g"), lit(numShards.toLong)).cast("int").as("shard"))
@@ -166,8 +189,19 @@ object SpanIndex {
       id: Column,
       text: Column,
       minCount: Long = 2L): DataFrame = {
-    val cleaned = probe(spark, path, batch, id, text, minCount)
-    append(batch, id, text, path)
+    val (k, numShards) = readMeta(spark, path)
+    // sign once: tokenization + gram fingerprints are shared by the probe
+    // and the append; the cleaned rows come back persisted AND
+    // materialized (callers unpersist — Curation owns the lifecycle)
+    val base = baseOf(batch, id, text).persist()
+    val occ = occOf(base, k).persist()
+    // lineage truncated at the stage boundary — see PlanUtil.truncateLineage
+    val cleaned = PlanUtil.truncateLineage(
+        probeCore(spark, path, base, occ, k, numShards, minCount))
+      .persist()
+    writeGrams(occ, numShards, path, "append")
+    cleaned.count()
+    base.unpersist(); occ.unpersist()
     cleaned
   }
 

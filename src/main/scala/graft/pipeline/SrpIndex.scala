@@ -112,8 +112,10 @@ object SrpIndex {
       "left_anti")
     val losers = Dedup.embeddingNearDupPairs(clean, id, vec, threshold, nBits)
       .select(col("id_b").as("__loser")).distinct()
-    val survivors = clean.join(losers, id.cast("long") === col("__loser"),
-      "left_anti").persist()
+    // lineage truncated at the stage boundary — see PlanUtil.truncateLineage
+    val survivors = PlanUtil.truncateLineage(
+        clean.join(losers, id.cast("long") === col("__loser"), "left_anti"))
+      .persist()
     append(survivors, id, vec, path)
     survivors
   }

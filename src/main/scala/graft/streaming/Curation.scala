@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.catalog.Warehouse
 import graft.core.log.LogWriter
-import graft.pipeline.{Chunking, LshIndex, Quality}
+import graft.pipeline.{Chunking, LshIndex, Quality, SpanIndex, SrpIndex}
 
 /** Knobs of the curation pipeline, grouped so the streaming query, the
   * batch query path, and the crash harness share one literal.
@@ -28,7 +28,12 @@ final case class CurationConfig(
     threshold: Double = 0.6,
     maxBucketSize: Long = 2000,
     compactEvery: Int = 64,
-    extraFilter: Option[Column] = None) {
+    extraFilter: Option[Column] = None,
+    spanIndexPath: Option[String] = None,
+    spanMinCount: Long = 2L,
+    srpIndexPath: Option[String] = None,
+    embedding: Option[Column] = None,
+    srpThreshold: Double = 0.95) {
   /** Optional additional row-local document predicate over (`id`, `text`),
     * applied after the gopher verdict and before chunking — the hook that
     * composes model-driven selection into the stream: a fitted DSIR
@@ -45,6 +50,22 @@ final case class CurationConfig(
     * batches. In-body compaction is safe — foreachBatch bodies serialize
     * (single maintainer), and a replayed batch re-compacting is
     * idempotent. */
+  /** `spanIndexPath`: when set, a SPAN-CUT stage runs between the gopher
+    * filter and chunking — every word k-gram the corpus has already seen
+    * (or that repeats `spanMinCount`+ times within the batch) is removed
+    * from the document text before it chunks, against the persisted
+    * [[graft.pipeline.SpanIndex]] at this path (must exist — build it
+    * with the standing corpus or a sentinel doc). Replay-safe by the
+    * index's owner guard: a replayed batch re-derives the identical cut
+    * text, so the exactly-once argument composes unchanged. */
+  /** `srpIndexPath` + `embedding`: when both set, an EMBEDDING near-dup
+    * stage runs on the documents before chunking, against the persisted
+    * [[graft.pipeline.SrpIndex]] at this path — docs whose embedding has
+    * a corpus near-neighbor (cosine ≥ `srpThreshold`) drop, survivors'
+    * embeddings append. Same replay story as the text index (id-equal
+    * pairs ignored). The embedding column is a function of the consumed
+    * record (e.g. a deterministic featurizer over `value`), so replays
+    * re-derive it. */
 
   /** Chunk ordinals must fit [[Curation.ChunkBits]] for the packed chunk
     * uid; the gopher token cap bounds them. */
@@ -120,11 +141,15 @@ object Curation {
       col("ts"))
 
   /** One micro-batch of curation over prepared documents (id, text[, ts]):
-    * gopher filter → chunk → [[LshIndex.curateInto]]. `sink` receives the
-    * surviving chunks — (id, chunk_id, n_tokens, chunk_text, chunk_uid,
-    * plus any carried columns) persisted for its duration, unpersisted
-    * after (no per-batch leak in a long-lived query). Deterministic for a
-    * fixed (docs, index) — the replay-idempotence building block. */
+    * gopher filter → [optional embedding near-dup, `srpIndexPath`] →
+    * [optional span cut, `spanIndexPath`] → chunk →
+    * [[LshIndex.curateInto]]. `sink` receives the surviving chunks —
+    * (id, chunk_id, n_tokens, chunk_text, chunk_uid) persisted for its
+    * duration, unpersisted after (no per-batch leak in a long-lived
+    * query). Deterministic for a fixed (docs, indexes) — each optional
+    * stage is its index's replay-safe `ingestBatch`, so the
+    * exactly-once argument composes unchanged (crash-proven by
+    * `CurateCrashSpec` across all stages). */
   def curateBatch[T](
       spark: SparkSession,
       indexPath: String,
@@ -135,23 +160,47 @@ object Curation {
     // verdict-only gopher: one row-local predicate on the scan (identical
     // boundary decisions to gopherSignals, spec-pinned) — no signals
     // join, no second pass over the batch
-    val kept = docs.select(id.as("id"), text.as("text"))
+    val cols = Seq(id.as("id"), text.as("text")) ++
+      cfg.embedding.map(_.as("__emb")).toSeq
+    val kept = docs.select(cols: _*)
       .filter(Quality.gopherPasses(col("text"),
         cfg.minTokens, cfg.maxTokens, cfg.minMeanWordLen,
         cfg.maxMeanWordLen, cfg.minAlphaFrac, cfg.minStopwords))
       .filter(cfg.extraFilter.getOrElse(lit(true)))
-    // persisted for the duration of the ingest: the chunk frame is the
-    // probe's signing input AND the survivor projection's base — caching
-    // it pins the gopher+chunk pass over the raw batch to one evaluation
-    val chunks = Chunking.chunkTokens(kept, col("id"), col("text"),
-        cfg.chunkSize, cfg.overlap)
-      .withColumn("chunk_uid", chunkUid(col("id"), col("chunk_id")))
-      .persist()
-    try
+    val toFree = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      // embedding near-dup at DOC granularity (whole near-dup docs drop
+      // before any text work) — the SRP twin of the chunk-level LSH stage
+      val embedded = (cfg.srpIndexPath, cfg.embedding) match {
+        case (Some(p), Some(_)) =>
+          val surv = SrpIndex.ingestBatch(spark, p, kept,
+            col("id"), col("__emb"), cfg.srpThreshold)
+          toFree += surv
+          surv.select(col("id"), col("text"))
+        case _ => kept.select(col("id"), col("text"))
+      }
+      // span cut: remove every corpus-seen (or batch-repeated) k-gram
+      // span from the text BEFORE chunking
+      val spanned = cfg.spanIndexPath match {
+        case Some(p) =>
+          val cut = SpanIndex.ingestBatch(spark, p, embedded,
+            col("id"), col("text"), cfg.spanMinCount)
+          toFree += cut
+          cut.select(col("doc_id").as("id"), col("kept_text").as("text"))
+        case None => embedded
+      }
+      // persisted for the duration of the ingest: the chunk frame is the
+      // probe's signing input AND the survivor projection's base — caching
+      // it pins the gopher+chunk pass over the raw batch to one evaluation
+      val chunks = Chunking.chunkTokens(spanned, col("id"), col("text"),
+          cfg.chunkSize, cfg.overlap)
+        .withColumn("chunk_uid", chunkUid(col("id"), col("chunk_id")))
+        .persist()
+      toFree += chunks
       LshIndex.curateInto(spark, indexPath, chunks,
         col("chunk_uid"), col("chunk_text"),
         cfg.threshold, cfg.maxBucketSize)(sink)
-    finally { chunks.unpersist(); () }
+    } finally { toFree.foreach(_.unpersist()); () }
   }
 
   /** The full foreachBatch body: consumed records → [[curateBatch]] →
@@ -182,9 +231,17 @@ object Curation {
           batchId = Some(batchId))
         ()
     }
-    // scheduled index maintenance — see CurationConfig.compactEvery
-    if (cfg.compactEvery > 0 && batchId % cfg.compactEvery == 0) {
+    // scheduled index maintenance — see CurationConfig.compactEvery.
+    // Every ACTIVE index compacts: each stage's append adds one file per
+    // hit shard per batch, so all of them need the same file-count bound.
+    // batchId 0 is excluded — a fresh pipeline's first batch has nothing
+    // worth compacting, and paying a full index rewrite before the first
+    // record flows would dominate the pipeline's cold-start latency.
+    if (cfg.compactEvery > 0 && batchId > 0 &&
+        batchId % cfg.compactEvery == 0) {
       LshIndex.compact(spark, indexPath)
+      cfg.spanIndexPath.foreach(SpanIndex.compact(spark, _))
+      cfg.srpIndexPath.foreach(SrpIndex.compact(spark, _))
       ()
     }
   }

@@ -15,7 +15,11 @@ import graft.streaming.{Curation, CurationConfig, StreamIngest}
   * replayed from a fresh JVM into a no-op — no curated chunk lost, none
   * double-appended, no dedup verdict flipped.
   *
-  * {{{ runMain graft.tools.CurateCrash <crash|resume> <whDir> <ckptDir> <indexPath> <outFile> }}}
+  * {{{ runMain graft.tools.CurateCrash <crash|resume> <whDir> <ckptDir> <indexPath> <outFile> [spanIndexPath|-] [srpIndexPath|-] }}}
+  *
+  * The two optional trailing paths switch on the span-cut and the
+  * embedding near-dup stages of [[Curation.curateBatch]] (`-` = off), so
+  * the same crash/replay proof runs over the FULL composition.
   *
   *   - `crash`: drain once; the foreachBatch body COMPLETES (curated
   *     append + index append both landed) and then throws — the worst
@@ -37,8 +41,22 @@ object CurateCrash {
     chunkSize = 16, overlap = 4,
     threshold = 0.6)
 
+  /** Deterministic fake featurizer over the document text — a pure
+    * per-row function of the record (the replay contract for
+    * `CurationConfig.embedding`): 16 hash-derived floats in [-1, 1], so
+    * identical texts embed identically (cosine 1) and unrelated texts
+    * land near-orthogonal. */
+  def fakeEmbedding: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    transform(sequence(lit(1), lit(16)),
+      i => ((pmod(xxhash64(col("text"), i), lit(1000)) - lit(500))
+        .cast("double") / 500.0).cast("float"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(mode, whDir, ckpt, indexPath, outFile) = args.take(5)
+    val spanIdx = args.lift(5).filter(_ != "-")
+    val srpIdx = args.lift(6).filter(_ != "-")
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-curate-$mode")
@@ -50,10 +68,14 @@ object CurateCrash {
     spark.sparkContext.setLogLevel("ERROR")
     val wh = Warehouse(whDir)
 
+    val cfg = TestConfig.copy(
+      spanIndexPath = spanIdx,
+      srpIndexPath = srpIdx,
+      embedding = srpIdx.map(_ => fakeEmbedding))
     val q = StreamIngest.consumeAvailableNow(spark, wh, "docs", ckpt) {
       (records, batchId) =>
         Curation.runBatch(spark, wh, "curated", indexPath, records, batchId,
-          TestConfig)
+          cfg)
         Files.write(Paths.get(outFile),
           s"$batchId ${records.count()}\n".getBytes(UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -36,7 +36,8 @@ class CurateCrashSpec extends SparkSpec {
       .withColumn("id", col("ts"))
 
   private def runChild(mode: String, wh: String, ckpt: String,
-      index: String, out: String): Int = {
+      index: String, out: String, spanIndex: String = "-",
+      srpIndex: String = "-"): Int = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -49,7 +50,8 @@ class CurateCrashSpec extends SparkSpec {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
-      "graft.tools.CurateCrash", mode, wh, ckpt, index, out)
+      "graft.tools.CurateCrash", mode, wh, ckpt, index, out,
+      spanIndex, srpIndex)
     val p = new ProcessBuilder(cmd.asJava)
       .redirectErrorStream(true)
       .redirectOutput(new java.io.File(s"$out.log"))
@@ -79,7 +81,11 @@ class CurateCrashSpec extends SparkSpec {
     TopicCatalog.createTopic(spark, wh, "curated", 2)
     val index = s"${tmpDir("graft-curate-idx")}/lsh"
     LshIndex.build(
-      Seq((0L, "seed sentinel text unrelated to every real document body"))
+      // sentinel id OUTSIDE the packed chunk-uid space: ids must be
+      // unique per index (uid packing guarantees it in the pipeline);
+      // id 0 would collide with chunkUid(doc 0, chunk 0) = 0 and make
+      // the verify join's shingle pick arbitrary
+      Seq((999999999999L, "seed sentinel text unrelated to every real document body"))
         .toDF("doc_id", "text"),
       $"doc_id", $"text", index,
       shingleSize = 5, numHashes = 128, bands = 16)
@@ -115,5 +121,54 @@ class CurateCrashSpec extends SparkSpec {
     // state), and only E's chunks appended
     assert(curatedKeys(wh) ===
       Map("0/0" -> 1L, "0/1" -> 1L, "4/0" -> 1L, "4/1" -> 1L))
+  }
+
+  test("FULL composition (embedding + span + LSH stages) crash-replays to a no-op") {
+    val whDir = tmpDir("graft-curatef-xjvm")
+    val wh = Warehouse(whDir)
+    TopicCatalog.createTopic(spark, wh, "docs", 1)
+    TopicCatalog.createTopic(spark, wh, "curated", 2)
+    val sentinel =
+      Seq((1000000L, "seed sentinel text unrelated to every real document body"))
+        .toDF("doc_id", "text")
+    val index = s"${tmpDir("graft-curatef-idx")}/lsh"
+    LshIndex.build(sentinel, $"doc_id", $"text", index,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    val spanIndex = s"${tmpDir("graft-curatef-idx")}/span"
+    graft.pipeline.SpanIndex.build(sentinel, $"doc_id", $"text", spanIndex,
+      k = 5)
+    val srpIndex = s"${tmpDir("graft-curatef-idx")}/srp"
+    graft.pipeline.SrpIndex.build(
+      sentinel.withColumn("emb", CurateCrash.fakeEmbedding),
+      $"doc_id", $"emb", srpIndex)
+
+    // batch 1: A curates to 2 chunks (unique text — no span cut, no
+    // embedding neighbor); the short doc fails gopher
+    LogWriter.append(spark, wh, "docs",
+      records(0L -> textA, 1L -> "too short"), "id")
+
+    val ckpt = tmpDir("graft-curatef-ckpt")
+    val out1 = s"${tmpDir("graft-curatef-out")}/crash.txt"
+    val out2 = s"${tmpDir("graft-curatef-out")}/resume.txt"
+
+    assert(runChild("crash", whDir, ckpt, index, out1, spanIndex, srpIndex)
+      === 0, s"crash child must surface the injected failure (log: $out1.log)")
+    assert(outLines(out1) === Seq((0L, 2L)))
+    // the crashed batch's side effects landed across ALL THREE indexes
+    assert(curatedKeys(wh) === Map("0/0" -> 1L, "0/1" -> 1L))
+
+    // while down: an exact text dup of A (same embedding -> SRP drop;
+    // were it to pass, the span index would cut every gram anyway), and
+    // a novel doc E
+    LogWriter.append(spark, wh, "docs",
+      records(2L -> textA, 3L -> textE), "id")
+
+    assert(runChild("resume", whDir, ckpt, index, out2, spanIndex, srpIndex)
+      === 0, s"resume child must drain cleanly (log: $out2.log)")
+    // replay of the crashed batch first: A must NOT self-match in any of
+    // the three indexes it already appended to (id-equal/owner guards)
+    assert(outLines(out2) === Seq((0L, 2L), (1L, 2L)))
+    assert(curatedKeys(wh) ===
+      Map("0/0" -> 1L, "0/1" -> 1L, "3/0" -> 1L, "3/1" -> 1L))
   }
 }

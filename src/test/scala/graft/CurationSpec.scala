@@ -50,7 +50,9 @@ class CurationSpec extends SparkSpec {
     TopicCatalog.createTopic(spark, wh, "curated", 2)
     val index = s"${tmpDir(s"graft-cur-$tag-idx")}/lsh"
     LshIndex.build(
-      Seq((0L, "seed sentinel text unrelated to every real document body"))
+      // sentinel id OUTSIDE the packed chunk-uid space: ids must be
+      // unique per index — id 0 would collide with chunkUid(0, 0) = 0
+      Seq((999999999999L, "seed sentinel text unrelated to every real document body"))
         .toDF("doc_id", "text"),
       $"doc_id", $"text", index,
       shingleSize = 5, numHashes = 128, bands = 16)
