@@ -83,6 +83,7 @@ object SparkEntry {
     "pack_sequences_bpe" -> (Queries.packSequencesBpe _),
     "train_shards" -> (Queries.trainShards _),
     "lm_score_5gram" -> (Queries.lmScore5gram _),
+    "chunk_docs_bpe" -> (Queries.chunkDocsBpe _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),

@@ -54,4 +54,41 @@ object Chunking {
         size(col("col")).as("n_tokens"),
         array_join(col("col"), " ").as("chunk_text"))
   }
+
+  /** [[chunkTokens]] with the budget denominated in REAL model tokens: a
+    * trained [[Bpe.BpeModel]] prices every word (sum of BPE pieces over
+    * its lowercase `[a-z]+` runs — exactly `BpeModel.tokenCount`'s
+    * per-word contribution) and words fill chunks greedily under
+    * `budget`: a word joins the chunk its CUMULATIVE cost starts in
+    * ([[Pack.packSequences]]' rule at word granularity — words never
+    * split, a chunk may overflow by its last word, a word pricier than
+    * the whole budget owns its start chunk, so chunk ids can skip).
+    * No overlap — a fixed-token overlap is ill-defined when word costs
+    * vary; re-chunk with [[chunkTokens]] if overlap matters more than
+    * exact model-token budgets.
+    *
+    * Whitespace-token budgets under-count model tokens ~1.3–1.7× on
+    * English, so [[chunkTokens]] at `chunkSize` = the model context
+    * OVERFILLS it; this is the corrected pipeline, and the
+    * `CurationConfig` chunk budget should be read as model-token-
+    * denominated when this chunker is in play.
+    *
+    * Same 100 TB shape as [[chunkTokens]]: ONE codegen'd row-local pass
+    * (the merge table rides as a plan reference object), no shuffle.
+    * Output: (id, chunk_id int, n_tokens int — model tokens, chunk_text).
+    */
+  def chunkBpe(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      model: Bpe.BpeModel,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    df.select(id.as("id"),
+        explode(graft.functions.BpeFunctions.chunks(
+          text, model.merges, Bpe.Sep, budget)).as("__c"))
+      .select(col("id"), col("__c.chunk_id").as("chunk_id"),
+        col("__c.n_tokens").as("n_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
+  }
 }

@@ -111,4 +111,54 @@ object BpeSql {
        |  CAST(sum(tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
        |  CAST((sum(tokens) OVER (ORDER BY doc_id) - tokens) // 512 AS BIGINT) AS seq_id
        |FROM tok""".stripMargin
+
+  /** Must match the `chunk_docs_bpe` query. */
+  val ChunkBudget = 48
+
+  /** Model-token-budgeted chunking ([[graft.pipeline.Chunking.chunkBpe]]):
+    * whitespace tokens of each document priced by the replayed merge
+    * chain over their lowercase [a-z]+ runs, then Pack's greedy rule per
+    * document — word joins chunk (cum_before // budget); chunk rows are
+    * the grouped words in order. */
+  lazy val chunkDocsBpeSql: String = {
+    val chain = (0 until NumMerges).foldLeft(wrap("r")) { (acc, k) =>
+      s"replace($acc, ${pat(k)}, ${rep(k)})"
+    }
+    s"""$trainCtes,
+       |dtoks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                x -> x <> '') AS t
+       |  FROM documents),
+       |dwords AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(t) + 1)) AS pos,
+       |    unnest(t) AS word
+       |  FROM dtoks),
+       |druns AS (
+       |  SELECT doc_id, pos,
+       |    unnest(regexp_extract_all(lower(word), '[a-z]+')) AS r
+       |  FROM dwords),
+       |dseg AS (SELECT doc_id, pos, $chain AS seg FROM druns),
+       |dcost0 AS (
+       |  SELECT doc_id, pos,
+       |    CAST(sum((length(seg) - length(replace(seg, chr(31), ''))) // 2)
+       |      AS INTEGER) AS cost
+       |  FROM dseg GROUP BY doc_id, pos),
+       |dcost AS (
+       |  SELECT w.doc_id, w.pos, w.word,
+       |    coalesce(c.cost, 0) AS cost
+       |  FROM dwords w LEFT JOIN dcost0 c ON w.doc_id = c.doc_id AND w.pos = c.pos),
+       |dchunk AS (
+       |  SELECT doc_id, pos, word, cost,
+       |    CAST((sum(cost) OVER (PARTITION BY doc_id ORDER BY pos) - cost)
+       |      // $ChunkBudget AS INTEGER) AS chunk_id
+       |  FROM dcost)
+       |SELECT doc_id, chunk_id,
+       |  CAST(sum(cost) AS INTEGER) AS n_tokens,
+       |  string_agg(word, ' ' ORDER BY pos) AS chunk_text
+       |FROM dchunk
+       |GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
 }

@@ -1133,6 +1133,7 @@ object Oracles {
     "pack_sequences_bpe" -> BpeSql.packSequencesBpeSql,
     "train_shards" -> TrainShardsSql.trainShardsSql,
     "lm_score_5gram" -> LmSql.lmScore5gramSql,
+    "chunk_docs_bpe" -> BpeSql.chunkDocsBpeSql,
 
     // IVF ANN: the deterministic Lloyd trainer replayed iteration by
     // iteration (assign / collect-in-id-order / fold-update), float-cast

@@ -726,6 +726,21 @@ object Queries {
       budget = 512, tokenCount = m.tokenCount)
   }
 
+  /** Model-token-budgeted chunking: train BPE on the corpus, then chunk
+    * every document under a REAL-token budget
+    * ([[graft.pipeline.Chunking.chunkBpe]] — Pack's greedy rule at word
+    * granularity; oracle [[BpeSql.chunkDocsBpeSql]] replays costs and
+    * grouping exactly). */
+  def chunkDocsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val m = graft.pipeline.Bpe.train(docs, col("text"),
+      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    graft.pipeline.Chunking.chunkBpe(docs, col("doc_id"), col("text"), m,
+        budget = BpeSql.ChunkBudget)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Per-vector max-abs int8 quantization of the embedding column,
     * exploded to (vec_id, pos, q) integer rows for exact cross-engine
     * comparison. */

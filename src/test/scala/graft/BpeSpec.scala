@@ -81,4 +81,44 @@ class BpeSpec extends SparkSpec {
     assert(stats._1 >= stats._2, "BPE tokens >= whitespace words")
     assert(stats._1 < stats._3, "BPE tokens < characters (merges fired)")
   }
+
+  test("chunkBpe ≡ declarative word-cost packing (Pack's rule per doc)") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    val m = Bpe.train(docs, $"text", numMerges = 16, maxWords = 128)
+    val budget = 24
+    val fused = graft.pipeline.Chunking
+      .chunkBpe(docs, $"doc_id", $"text", m, budget)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getString(3))))
+      .toMap
+    // declarative recompute: explode words with position, price each via
+    // the model's per-word counter, window-cumulate, group
+    val w = Window.partitionBy("id").orderBy("pos")
+    val decl = docs
+      .select($"doc_id".as("id"),
+        posexplode(graft.functions.TextFunctions.wordNgrams($"text", 1)))
+      .withColumnRenamed("col", "word")
+      .withColumn("cost",
+        aggregate(transform(Bpe.words($"word"), x => m.wordTokenCount(x)),
+          lit(0), (a, x) => a + x))
+      .withColumn("chunk_id",
+        ((sum($"cost").over(w) - $"cost") / budget).cast("int"))
+      .groupBy($"id", $"chunk_id")
+      .agg(sum($"cost").cast("int").as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"word"))),
+          s => s("word"))).as("chunk_text"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getString(3))))
+      .toMap
+    assert(fused === decl)
+    // edge cases: empty doc -> no chunks; a giant word owns its chunk
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "a " * 200 + "zz"))
+      .toDF("doc_id", "text")
+    val chunks = graft.pipeline.Chunking
+      .chunkBpe(edge, $"doc_id", $"text", m, budget).collect()
+    assert(!chunks.exists(r => r.getLong(0) <= 2L), "blank docs chunk to nothing")
+  }
 }
