@@ -50,10 +50,16 @@ object Bench {
     "dedup_simhash" -> 0.65, "text_stats" -> 0.4, "lang_id" -> 0.2,
     "ann_brute" -> 0.25, "ann_srp" -> 0.35, "pipeline_clean" -> 0.9,
     "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
-    "chunk_docs" -> 0.6, "gopher_filters" -> 0.6, "dedup_incremental" -> 3.0,
+    "chunk_docs" -> 0.6, "gopher_filters" -> 0.6,
+    // round 10: the fused probe path (sign-once + cached meta + single
+    // verdict materialization) cut dedup_incremental 3.5 -> 1.9 and
+    // curate_pipeline 16.2 -> 9.9 solo; bands refreshed to the new level
+    "dedup_incremental" -> 2.2, "curate_pipeline" -> 11.0,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
     "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 3.2,
-    "dsir_sample" -> 0.5, "curate_pipeline" -> 18.0)
+    "dsir_sample" -> 0.5,
+    // round 10 additions (solo sf0.1 measurements + ~20% headroom)
+    "train_shards" -> 1.7, "lm_score_5gram" -> 3.2, "chunk_docs_bpe" -> 0.9)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -190,7 +196,12 @@ object Bench {
       // THE flagship composition: gopher -> chunk -> incremental LSH
       // dedup -> survivors, steady-state (index built once on warm-up,
       // timed passes measure the per-crawl-batch cost)
-      "curate_pipeline" -> (Queries.curatePipeline _))
+      "curate_pipeline" -> (Queries.curatePipeline _),
+      // round 10: the terminal training-shard emitter, the order-5
+      // stupid-backoff LM filter, and model-token-budgeted chunking
+      "train_shards" -> (Queries.trainShards _),
+      "lm_score_5gram" -> (Queries.lmScore5gram _),
+      "chunk_docs_bpe" -> (Queries.chunkDocsBpe _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

@@ -171,6 +171,40 @@ object ScaleStress {
     entries("lsh_probe_fixed_batch") =
       (probeTime(srcDir, "1x"), probeTime(scaled, "Nx"))
 
+    // --- the COMPOSED steady state: one fixed crawl batch through the
+    // whole curation body (gopher → chunk → probe-vs-index → within-batch
+    // dedup → append) against a 1× vs N× standing chunk index. This is
+    // the number the streaming pipeline pays per micro-batch; growth ≈ 1
+    // is the incremental-curation thesis measured end to end (the second
+    // bestOf2 pass replays against its own appended chunks — the
+    // id-equal guard makes that the same work by design). ---
+    val curateCfg = graft.streaming.CurationConfig(
+      minTokens = 30, maxTokens = 90, compactEvery = 0)
+    def curateChunksOf(df: org.apache.spark.sql.DataFrame) = {
+      val kept = df.select(col("doc_id").as("id"), col("text"))
+        .filter(graft.pipeline.Quality.gopherPasses(col("text"),
+          curateCfg.minTokens, curateCfg.maxTokens))
+      graft.pipeline.Chunking.chunkTokens(kept, col("id"), col("text"),
+          curateCfg.chunkSize, curateCfg.overlap)
+        .withColumn("chunk_uid",
+          graft.streaming.Curation.chunkUid(col("id"), col("chunk_id")))
+    }
+    def curateTime(dir: String, tag: String): Double = {
+      val idx = s"$work/cidx-$tag"
+      LshIndex.build(
+        curateChunksOf(spark.read.parquet(s"$dir/documents.parquet")),
+        col("chunk_uid"), col("chunk_text"), idx,
+        shingleSize = 5, numHashes = 128, bands = 16)
+      bestOf2 {
+        graft.streaming.Curation.curateBatch(spark, idx, batch,
+          col("doc_id"), col("text"), curateCfg) { survivors =>
+          survivors.write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+    entries("curate_pipeline_fixed_batch") =
+      (curateTime(srcDir, "1x"), curateTime(scaled, "Nx"))
+
     val qs = entries.map { case (k, (t1, tN)) =>
       f""""$k":{"t1":$t1%.3f,"tN":$tN%.3f,"growth":${tN / t1}%.2f}"""
     }.mkString("{", ",", "}")

@@ -43,6 +43,32 @@ class PhraseSpec extends SparkSpec {
     assert(got(3L) == "")
   }
 
+  test("property: automaton == naive multi-contains on random phrase sets") {
+    // small alphabet forces dense overlaps; generated sets deliberately
+    // include phrases that are suffixes/prefixes/substrings of each other
+    val rnd = new scala.util.Random(7)
+    def randStr(maxLen: Int): String =
+      Seq.fill(1 + rnd.nextInt(maxLen))("ab" (rnd.nextInt(2))).mkString
+    (0 until 20).foreach { round =>
+      val base = Seq.fill(3 + rnd.nextInt(4))(randStr(5)).distinct
+      // add suffixes and prefixes of existing phrases to stress fail links
+      val phrases = (base ++
+        base.filter(_.length > 1).map(_.tail) ++
+        base.filter(_.length > 1).map(_.init)).distinct
+        .filter(_.nonEmpty)
+      val texts = (0 until 40).map(i => (i.toLong, randStr(24)))
+      val got = texts.toDF("id", "text")
+        .select(col("id"),
+          PhraseFunctions.phraseHits(col("text"), phrases).as("hits"))
+        .as[(Long, String)].collect().toMap
+      texts.foreach { case (id, t) =>
+        val expected = phrases.filter(t.contains(_)).sorted.mkString(",")
+        assert(got(id) === expected,
+          s"round $round text='$t' phrases=${phrases.mkString("|")}")
+      }
+    }
+  }
+
   test("scan plan: no shuffle, matcher inside whole-stage codegen") {
     val dir = tmpDir("phrase-plan")
     Seq((1L, "a window merge b")).toDF("doc_id", "text")
