@@ -84,6 +84,7 @@ object SparkEntry {
     "train_shards" -> (Queries.trainShards _),
     "lm_score_5gram" -> (Queries.lmScore5gram _),
     "chunk_docs_bpe" -> (Queries.chunkDocsBpe _),
+    "curate_pipeline_spans" -> (Queries.curatePipelineSpans _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),

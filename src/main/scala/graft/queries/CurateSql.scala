@@ -26,8 +26,10 @@ package graft.queries
   * curated survivors, ordered. */
 object CurateSql {
 
-  lazy val curatePipelineSql: String =
-    s"""WITH gtok AS (
+  /** The shared gopher prefix: `gtok` (tokens) and `pass` (gopher-passed
+    * docs with their token lists), corpus-overridden band [30, 90]. */
+  private val gopherCtes: String =
+    s"""gtok AS (
        |  SELECT doc_id, text,
        |    CASE WHEN len(trim(text)) = 0 THEN []
        |         ELSE string_split_regex(trim(text), '\\s+') END AS t
@@ -40,11 +42,17 @@ object CurateSql {
        |    AND round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
        |          AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) >= 0.8
        |    AND len(list_intersect(list_distinct(t),
-       |          ['the', 'a', 'of', 'and', 'in', 'to', 'is'])) >= 2),
-       |cx AS (
+       |          ['the', 'a', 'of', 'and', 'in', 'to', 'is'])) >= 2)""".stripMargin
+
+  /** The shared LSH tail: chunk explode over a `ctoks` (doc_id, t)
+    * relation, then the corpus-vs-batch probe + within-batch dedup and
+    * the final survivor projection — identical machinery in both
+    * composed oracles. */
+  private val lshTail: String =
+    s"""cx AS (
        |  SELECT doc_id AS src, t,
        |    unnest(range((greatest(len(t) - 16, 1) + 47) // 48)) AS cid
-       |  FROM pass),
+       |  FROM ctoks),
        |chunks AS (
        |  SELECT src * 4096 + cid AS doc_id, src,
        |    CAST(cid AS INTEGER) AS chunk_id,
@@ -65,7 +73,10 @@ object CurateSql {
        |    ON c.band = b.band AND c.key = b.key AND (b.doc_id // 4096) % 4 = 0
        |  JOIN szs sb ON sb.doc_id = b.doc_id
        |  JOIN szs sc ON sc.doc_id = c.doc_id
-       |  WHERE CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
+       |  -- both-empty shingle sets verify at jaccard 1 (Spark's
+       |  -- sortedJaccard convention for sub-5-char chunks)
+       |  WHERE (sb.n = 0 AND sc.n = 0)
+       |    OR CAST(len(list_intersect(sb.shingles, sc.shingles)) AS DOUBLE) /
        |    CAST(sb.n + sc.n - len(list_intersect(sb.shingles, sc.shingles))
        |      AS DOUBLE) >= 0.6),
        |clean AS (
@@ -84,7 +95,8 @@ object CurateSql {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |  JOIN szs sa ON sa.doc_id = a.doc_id
        |  JOIN szs sb2 ON sb2.doc_id = b.doc_id
-       |  WHERE CAST(len(list_intersect(sa.shingles, sb2.shingles)) AS DOUBLE) /
+       |  WHERE (sa.n = 0 AND sb2.n = 0)
+       |    OR CAST(len(list_intersect(sa.shingles, sb2.shingles)) AS DOUBLE) /
        |    CAST(sa.n + sb2.n - len(list_intersect(sa.shingles, sb2.shingles))
        |      AS DOUBLE) >= 0.6)
        |SELECT c.doc_id AS chunk_uid, c.src AS doc_id, c.chunk_id,
@@ -92,4 +104,66 @@ object CurateSql {
        |FROM chunks c JOIN clean USING (doc_id)
        |WHERE c.doc_id NOT IN (SELECT lid FROM losers)
        |ORDER BY chunk_uid""".stripMargin
+
+  lazy val curatePipelineSql: String =
+    s"""WITH $gopherCtes,
+       |ctoks AS (SELECT doc_id, t FROM pass),
+       |$lshTail""".stripMargin
+
+  /** The FNV-1a 64 fold over the space-joined 5-gram at `pos` of token
+    * list `t` — identical arithmetic to the dedup_spans oracle (and
+    * [[graft.functions.TextFunctions.fingerprint64]]). */
+  private def spanFp: String =
+    s"""list_reduce(
+       |    list_concat([14695981039346656037::HUGEINT],
+       |      list_transform(
+       |        list_filter(string_split(array_to_string(t[pos+1 : pos+5], ' '), ''),
+       |                    c -> c <> ''),
+       |        c -> ord(c)::HUGEINT)),
+       |    (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+       |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+       |  )""".stripMargin
+
+  /** [[curatePipelineSql]] with the SPAN-CUT stage composed in
+    * ([[graft.streaming.Curation.curateBatch]] with `spanIndexPath`): the
+    * gopher-passed batch docs lose every word 5-gram span the standing
+    * span index has seen (grams of the gopher-passed CORPUS docs —
+    * owner ids are disjoint from batch ids, so the owner guard never
+    * masks a corpus hit) or that repeats within the batch, and the
+    * SURVIVING token stream chunks and dedups against the standing chunk
+    * index exactly as [[curatePipelineSql]]. Batch docs cut to nothing
+    * chunk to nothing (the chunker's n > 0 guard). */
+  lazy val curatePipelineSpansSql: String =
+    s"""WITH $gopherCtes,
+       |socc AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(t) - 5)) AS pos, t
+       |  FROM pass WHERE doc_id % 4 = 0),
+       |sbg AS (SELECT doc_id, pos, $spanFp AS fp FROM socc),
+       |scocc AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(t) - 5)) AS pos, t
+       |  FROM pass WHERE doc_id % 4 <> 0),
+       |scg AS (SELECT DISTINCT $spanFp AS fp FROM scocc),
+       |sdup AS (SELECT fp FROM sbg GROUP BY fp HAVING count(*) >= 2),
+       |shits AS (
+       |  SELECT doc_id, pos FROM sbg WHERE fp IN (SELECT fp FROM scg)
+       |  UNION
+       |  SELECT sbg.doc_id, sbg.pos FROM sbg JOIN sdup USING (fp)),
+       |scov AS (
+       |  SELECT doc_id,
+       |    list_distinct(flatten(list_transform(list(pos),
+       |      p -> generate_series(p, p + 4)))) AS covered
+       |  FROM shits GROUP BY doc_id),
+       |bspan AS (
+       |  SELECT p.doc_id,
+       |    list_transform(
+       |      list_filter(generate_series(1, len(t)),
+       |        i -> covered IS NULL OR NOT list_contains(covered, i - 1)),
+       |      i -> t[i]) AS t
+       |  FROM pass p LEFT JOIN scov USING (doc_id)
+       |  WHERE p.doc_id % 4 = 0),
+       |ctoks AS (
+       |  SELECT doc_id, t FROM pass WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, t FROM bspan WHERE len(t) > 0),
+       |$lshTail""".stripMargin
 }

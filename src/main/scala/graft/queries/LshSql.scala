@@ -119,13 +119,37 @@ object LshSql {
        |       ORDER BY j) AS sigu
        |  FROM mins GROUP BY doc_id),
        |bnd AS (SELECT doc_id, unnest(range(16)) AS band, sigu FROM sigs),
-       |keys AS (SELECT doc_id, band,
+       |keys0 AS (SELECT doc_id, band,
        |  list_reduce(
        |    list_concat([${xor64(s"$fnvBasis::HUGEINT", "band::HUGEINT")}],
        |                sigu[CAST(band*8+1 AS BIGINT):CAST(band*8+8 AS BIGINT)]),
        |    (h, s) -> ${mulc(xor64("h", "s"), fnvP)}) AS key
-       |  FROM bnd)""".stripMargin
+       |  FROM bnd),
+       |-- docs with EMPTY shingle sets (< 5 chars after normalization)
+       |-- never reach rows_/sigs, but Spark's minhash folds an all-
+       |-- Long.MaxValue signature into CONSTANT per-band keys for them —
+       |-- so all such docs collide in every band (and verify at jaccard 1
+       |-- via the both-empty convention). The constants are replayed here
+       |-- from the identical arithmetic.
+       |keys AS (
+       |  SELECT * FROM keys0
+       |  UNION ALL
+       |  SELECT s.doc_id, e.band, e.key
+       |  FROM szs s CROSS JOIN (VALUES $emptyBandKeyValues) AS e(band, key)
+       |  WHERE s.n = 0)""".stripMargin
   }
+
+  /** Per-band keys of the EMPTY MinHash signature (all Long.MaxValue) —
+    * the same fold as `TextFunctions.minhashBandKeys` over k=128/16 bands,
+    * as unsigned HUGEINT literals. */
+  private lazy val emptyBandKeyValues: String =
+    (0 until 16).map { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var j = 0
+      while (j < 8) { h = (h ^ Long.MaxValue) * 0x100000001b3L; j += 1 }
+      val u = BigInt(h) & ((BigInt(1) << 64) - 1)
+      s"($b, $u::HUGEINT)"
+    }.mkString(", ")
 
   /** minhashPairs(char 5-shingles, k = 128, bands = 16, threshold = 0.6,
     * maxBucketSize = 2000) — output (id_a, id_b, jaccard). */

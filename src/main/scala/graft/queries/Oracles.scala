@@ -1134,6 +1134,7 @@ object Oracles {
     "train_shards" -> TrainShardsSql.trainShardsSql,
     "lm_score_5gram" -> LmSql.lmScore5gramSql,
     "chunk_docs_bpe" -> BpeSql.chunkDocsBpeSql,
+    "curate_pipeline_spans" -> CurateSql.curatePipelineSpansSql,
 
     // IVF ANN: the deterministic Lloyd trainer replayed iteration by
     // iteration (assign / collect-in-id-order / fold-update), float-cast

@@ -558,6 +558,48 @@ object Queries {
     }
   }
 
+  private val spanCurateIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** [[curatePipeline]] with the SPAN-CUT stage composed in
+    * ([[graft.streaming.Curation.curateBatch]] with `spanIndexPath`): the
+    * standing state is the corpus chunk index PLUS a span index over the
+    * gopher-passed corpus docs' word 5-grams; batch docs lose every
+    * corpus-seen (or batch-repeated) span BEFORE chunking. Oracle
+    * [[CurateSql.curatePipelineSpansSql]] replays the full composition in
+    * one statement. */
+  def curatePipelineSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (lshPath, spanPath) = spanCurateIndexes.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-span")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      LshIndex.build(curateChunks(corpus),
+        col("chunk_uid"), col("chunk_text"),
+        s"$root/lsh", shingleSize = 5, numHashes = 128, bands = 16)
+      graft.pipeline.SpanIndex.build(
+        corpus.filter(Quality.gopherPasses(col("text"),
+          curateCfg.minTokens, curateCfg.maxTokens)),
+        col("doc_id"), col("text"), s"$root/span", k = 5)
+      (s"$root/lsh", s"$root/span")
+    })
+    graft.streaming.Curation.curateBatch(spark, lshPath,
+      docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"),
+      curateCfg.copy(spanIndexPath = Some(spanPath))) { survivors =>
+      val out = survivors
+        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+          col("n_tokens"), col("chunk_text"))
+        .orderBy("chunk_uid")
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    }
+  }
+
   /** SimHash near-dup pairs (approximate; no SQL oracle). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(spark, dir, "documents"),
