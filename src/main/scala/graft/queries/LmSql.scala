@@ -27,7 +27,36 @@ object LmSql {
   private def subExpr(a: Int, b: Int): String =
     (a to b).map(j => s"w[$j]").mkString(" || ' ' || ")
 
-  lazy val lmScore5gramSql: String = {
+  lazy val lmScore5gramSql: String =
+    s"""WITH $scoreCtes
+       |SELECT d.doc_id, coalesce(sc.n, 0) AS n_grams,
+       |  coalesce(sc.nll, 0.0) AS nll
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** CCNet-style perplexity terciles over the ORDER-5 score: per-lang
+    * 33/67 percentiles of the stupid-backoff nll (docs with ≥ 1 scoring
+    * position), 6-dp-rounded threshold compares — the `ppl_buckets`
+    * bucketing re-based on the real-order filter. */
+  lazy val pplBuckets5gramSql: String =
+    s"""WITH $scoreCtes,
+       |d AS (
+       |  SELECT sc.doc_id, doc.lang, sc.nll
+       |  FROM sc JOIN documents doc ON sc.doc_id = doc.doc_id),
+       |th AS (
+       |  SELECT lang,
+       |    round(quantile_cont(nll, 0.33333), 6) AS p33,
+       |    round(quantile_cont(nll, 0.66667), 6) AS p67
+       |  FROM d GROUP BY lang)
+       |SELECT d.doc_id, d.lang, d.nll,
+       |  CASE WHEN d.nll <= th.p33 THEN 'head'
+       |       WHEN d.nll <= th.p67 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM d JOIN th USING (lang) ORDER BY d.doc_id""".stripMargin
+
+  /** The shared score chain, ending in `sc` (doc_id, n, nll) — docs with
+    * at least one order-N scoring position. */
+  private lazy val scoreCtes: String = {
     val ap = alphaPow
     def f(j: Int): String = s"CAST('${ap(j)}' AS DOUBLE)"
     val countCtes = (1 to N).map { k =>
@@ -53,7 +82,7 @@ object LmSql {
         .stripMargin
     }.mkString("CASE ", "\n    ", s"""
       |    ELSE ${f(N - 1)} * CAST(n1.c AS DOUBLE) / nt END""".stripMargin)
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |                x -> x <> '') AS t
@@ -76,10 +105,6 @@ object LmSql {
        |  FROM subs s
        |  $joins
        |  CROSS JOIN ntot
-       |  GROUP BY s.doc_id)
-       |SELECT d.doc_id, coalesce(sc.n, 0) AS n_grams,
-       |  coalesce(sc.nll, 0.0) AS nll
-       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |  GROUP BY s.doc_id)""".stripMargin
   }
 }

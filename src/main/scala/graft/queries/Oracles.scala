@@ -1135,6 +1135,7 @@ object Oracles {
     "lm_score_5gram" -> LmSql.lmScore5gramSql,
     "chunk_docs_bpe" -> BpeSql.chunkDocsBpeSql,
     "curate_pipeline_spans" -> CurateSql.curatePipelineSpansSql,
+    "ppl_buckets_5gram" -> LmSql.pplBuckets5gramSql,
 
     // IVF ANN: the deterministic Lloyd trainer replayed iteration by
     // iteration (assign / collect-in-id-order / fold-update), float-cast

@@ -1393,6 +1393,24 @@ object Queries {
         n = LmSql.N, minCount = LmSql.MinCount, alpha = LmSql.Alpha)
       .orderBy(col("doc_id"))
 
+  /** CCNet perplexity terciles RE-BASED on the order-5 stupid-backoff
+    * score ([[pplBuckets]]'s bucketing over [[lmScore5gram]]'s nll) —
+    * docs with ≥ 1 scoring position bucket per-lang head/middle/tail. */
+  def pplBuckets5gram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = lmScore5gram(spark, dir).filter(col("n_grams") > 0)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val th = scored.groupBy("lang").agg(
+      round(expr("percentile(nll, 0.33333)"), 6).as("p33"),
+      round(expr("percentile(nll, 0.66667)"), 6).as("p67"))
+    scored.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("nll") <= col("p33"), "head")
+          .when(col("nll") <= col("p67"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Z-order (Morton) key of (l_orderkey, l_partkey) folded to 8 bits each
     * — the clustering key for 2-D file skipping (see
     * [[graft.pipeline.Layout.zorderBy]]; layout benefit is spec-asserted,
