@@ -204,53 +204,59 @@ object LshIndex {
       threshold: Double = 0.6,
       maxBucketSize: Long = 2000): DataFrame = {
     val (shingleSize, numHashes, bands, numShards) = readMeta(spark, path)
-    val bsh = shingleSets(batch, id, text, shingleSize).persist()
-    // persisted: every downstream subtree (guard, candidate join, self-
-    // join, append) references the band keys — caching them pins the
-    // 128-hash minhash fold to exactly ONE evaluation per batch
-    val batchKeys = bandKeys(bsh, numHashes, bands).persist()
-    val cand = candidatePairs(spark, path, batchKeys, numShards,
-      maxBucketSize).persist()
-    val dupOfCorpus = verifyCandidates(spark, path, numShards, cand, bsh,
-        threshold)
-      .select(col("batch_id").as("__dup")).distinct().persist()
-    // within-batch near-dup over the SAME signatures: restrict the signed
-    // frames to corpus-clean ids, self-join, drop the higher id of each
-    // verified pair (minhashDedup's greedy keep-lowest-id rule)
-    val cleanSh = bsh.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
-    val cleanKeys =
-      batchKeys.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
-    val losers = Dedup.minhashPairsSigned(cleanSh, cleanKeys, threshold,
-        maxBucketSize)
-      .select(col("id_b").as("__loser")).distinct().persist()
-    // ONE action materializes the whole verdict chain (probe verify +
-    // within-batch self-join); both verdict sets are batch-bounded id
-    // frames, persisted so the appends and the survivor projection below
-    // read cached ids instead of re-running LSH subtrees per consumer
-    losers.count()
-    val survSh = cleanSh.join(losers, col("id") === col("__loser"), "left_anti")
-      .persist()
-    val survKeys =
-      cleanKeys.join(losers, col("id") === col("__loser"), "left_anti")
-    // append from the already-computed signatures — no re-shingle, no
-    // second minhash pass over the batch text. The two tables are
-    // independent sinks of cached frames: write them CONCURRENTLY so one
-    // append's fixed stage/commit latency hides under the other's.
-    writeSignatures(survSh, survKeys, numShards, path, "append")
-    // lineage truncated: a composed pipeline stage downstream must not
-    // embed (and re-walk, per AQE stage) this whole shared-DAG plan —
-    // see PlanUtil.truncateLineage
-    val survivors = PlanUtil.truncateLineage(
-        batch.join(survSh.select(col("id").as("__keep")),
-          id.cast("long") === col("__keep"), "left_semi"))
-      .persist()
-    // materialize the survivor cache BEFORE dropping the intermediates it
-    // was derived from, so the caller's sink reads cached rows instead of
-    // re-running the probe
-    survivors.count()
-    bsh.unpersist(); batchKeys.unpersist(); cand.unpersist()
-    dupOfCorpus.unpersist(); losers.unpersist(); survSh.unpersist()
-    survivors
+    val toFree = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = { toFree += df; df.persist() }
+    // intermediates unpersist in a finally: a mid-batch failure (executor
+    // loss, disk full during the append) must not strand cached frames in
+    // the block manager for the life of a long-running streaming query
+    try {
+      val bsh = cached(shingleSets(batch, id, text, shingleSize))
+      // persisted: every downstream subtree (guard, candidate join, self-
+      // join, append) references the band keys — caching them pins the
+      // 128-hash minhash fold to exactly ONE evaluation per batch
+      val batchKeys = cached(bandKeys(bsh, numHashes, bands))
+      val cand = cached(candidatePairs(spark, path, batchKeys, numShards,
+        maxBucketSize))
+      val dupOfCorpus = cached(
+        verifyCandidates(spark, path, numShards, cand, bsh, threshold)
+          .select(col("batch_id").as("__dup")).distinct())
+      // within-batch near-dup over the SAME signatures: restrict the
+      // signed frames to corpus-clean ids, self-join, drop the higher id
+      // of each verified pair (minhashDedup's greedy keep-lowest-id rule)
+      val cleanSh =
+        bsh.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
+      val cleanKeys =
+        batchKeys.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
+      val losers = cached(
+        Dedup.minhashPairsSigned(cleanSh, cleanKeys, threshold, maxBucketSize)
+          .select(col("id_b").as("__loser")).distinct())
+      // ONE action materializes the whole verdict chain (probe verify +
+      // within-batch self-join); both verdict sets are batch-bounded id
+      // frames, persisted so the appends and the survivor projection below
+      // read cached ids instead of re-running LSH subtrees per consumer
+      losers.count()
+      val survSh = cached(
+        cleanSh.join(losers, col("id") === col("__loser"), "left_anti"))
+      val survKeys =
+        cleanKeys.join(losers, col("id") === col("__loser"), "left_anti")
+      // append from the already-computed signatures — no re-shingle, no
+      // second minhash pass over the batch text. The two tables are
+      // independent sinks of cached frames: write them CONCURRENTLY so one
+      // append's fixed stage/commit latency hides under the other's.
+      writeSignatures(survSh, survKeys, numShards, path, "append")
+      // lineage truncated: a composed pipeline stage downstream must not
+      // embed (and re-walk, per AQE stage) this whole shared-DAG plan —
+      // see PlanUtil.truncateLineage
+      val survivors = PlanUtil.truncateLineage(
+          batch.join(survSh.select(col("id").as("__keep")),
+            id.cast("long") === col("__keep"), "left_semi"))
+        .persist()
+      // materialize the survivor cache BEFORE dropping the intermediates
+      // it was derived from, so the caller's sink reads cached rows
+      // instead of re-running the probe
+      survivors.count()
+      survivors
+    } finally { toFree.foreach(_.unpersist()); () }
   }
 
   /** [[ingestBatch]] with the persist lifecycle owned INTERNALLY: runs

@@ -192,17 +192,20 @@ object SpanIndex {
     val (k, numShards) = readMeta(spark, path)
     // sign once: tokenization + gram fingerprints are shared by the probe
     // and the append; the cleaned rows come back persisted AND
-    // materialized (callers unpersist — Curation owns the lifecycle)
+    // materialized (callers unpersist — Curation owns the lifecycle).
+    // Intermediates unpersist in a finally so a mid-batch failure cannot
+    // strand cached frames in a long-running streaming query.
     val base = baseOf(batch, id, text).persist()
     val occ = occOf(base, k).persist()
-    // lineage truncated at the stage boundary — see PlanUtil.truncateLineage
-    val cleaned = PlanUtil.truncateLineage(
-        probeCore(spark, path, base, occ, k, numShards, minCount))
-      .persist()
-    writeGrams(occ, numShards, path, "append")
-    cleaned.count()
-    base.unpersist(); occ.unpersist()
-    cleaned
+    try {
+      // lineage truncated at the stage boundary — see PlanUtil.truncateLineage
+      val cleaned = PlanUtil.truncateLineage(
+          probeCore(spark, path, base, occ, k, numShards, minCount))
+        .persist()
+      writeGrams(occ, numShards, path, "append")
+      cleaned.count()
+      cleaned
+    } finally { base.unpersist(); occ.unpersist(); () }
   }
 
   /** Compact the gram table: rewrite multi-file shard directories into

@@ -111,6 +111,11 @@ final case class CurationConfig(
   * directory-prunes the index to hit shards), so steady-state cost grows
   * with the crawl rate, not the corpus. Run [[LshIndex.compact]] on a
   * maintenance schedule to keep the index's file count bounded.
+  *
+  * The pipeline's END is [[graft.pipeline.TrainShards.emitFromTopic]]:
+  * curated topic → shuffle-shard → token-budget packing → deterministic
+  * training-shard files (re-emission is byte-identical —
+  * `PipelineEndToEndSpec` pins raw-topic → shards end to end).
   */
 object Curation {
 
