@@ -120,17 +120,26 @@ object Quality {
     *
     * Scale shape: n count aggregations over the corpus (each map-side
     * combined; the pruned tables of order ≥ 2 are Zipf-truncated) and a
-    * scoring pass of 2(n−1)+1 BROADCAST left joins — the corpus-side
-    * stream never shuffles. α-power factors are pinned literals computed
-    * by iterated multiplication so the oracle embeds bit-identical
-    * constants. */
+    * scoring pass of 2(n−1)+1 left joins. Each count table is persisted,
+    * row-counted, and joined BROADCAST iff it holds ≤ `maxBroadcastRows`
+    * rows — larger tables fall back to a shuffled join on the gram key
+    * (Catalyst picks sort-merge/shuffled-hash) instead of forcing a
+    * driver OOM with an unconditional hint. The UNIGRAM table is the
+    * known memory bound: it cannot be count-pruned (the order-1 fallback
+    * must be total), so on a web corpus its distinct-token row count —
+    * hundreds of millions of tail tokens — is what trips the fallback;
+    * cap the vocabulary upstream (map tail tokens to an OOV symbol
+    * before scoring) if the broadcast path is required. α-power factors
+    * are pinned literals computed by iterated multiplication so the
+    * oracle embeds bit-identical constants. */
   def lmScoreStupidBackoff(
       df: DataFrame,
       id: Column,
       text: Column,
       n: Int,
       minCount: Long = 2L,
-      alpha: Double = 0.4): DataFrame = {
+      alpha: Double = 0.4,
+      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
     require(n >= 2, s"order must be >= 2: $n")
     val low = lower(text)
     def table(k: Int): DataFrame = {
@@ -138,9 +147,22 @@ object Quality {
         .groupBy("g").agg(count(lit(1)).as("c"))
       if (k >= 2) t.filter(col("c") >= minCount) else t
     }
-    val tables = (1 to n).map(k => k -> table(k)).toMap
-    // total token occurrences — one metadata-scale aggregate
-    val nTotal = tables(1).agg(sum(col("c"))).head().getLong(0).toDouble
+    val tables = (1 to n).map { k =>
+      val t = table(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k -> (t, t.count())
+    }.toMap
+    // broadcast-iff-small: an unconditional hint would OOM the driver on
+    // web-corpus tables; an over-threshold table joins shuffled instead
+    def joinSide(k: Int): DataFrame = {
+      val (t, rows) = tables(k)
+      if (rows <= maxBroadcastRows) broadcast(t) else t
+    }
+    // total token occurrences — one metadata-scale aggregate (null-safe:
+    // an empty corpus has no unigrams, sum(c) is null, every doc scores 0)
+    val nTotal = math.max(1L,
+      tables(1)._1.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
+      .toDouble
     // α^j by iterated multiplication (pinned; math.pow could differ)
     val alphaPow = Iterator.iterate(1.0)(_ * alpha).take(n).toArray
     // scoring positions with their numerator/context sub-grams: order-k
@@ -159,15 +181,15 @@ object Quality {
     var joined = pos
     for (k <- n to 2 by -1) {
       joined = joined
-        .join(broadcast(tables(k)
-            .select(col("g").as(s"__num$k"), col("c").as(s"__cnum$k"))),
+        .join(joinSide(k)
+            .select(col("g").as(s"__num$k"), col("c").as(s"__cnum$k")),
           Seq(s"__num$k"), "left")
-        .join(broadcast(tables(k - 1)
-            .select(col("g").as(s"__ctx$k"), col("c").as(s"__cctx$k"))),
+        .join(joinSide(k - 1)
+            .select(col("g").as(s"__ctx$k"), col("c").as(s"__cctx$k")),
           Seq(s"__ctx$k"), "left")
     }
-    joined = joined.join(broadcast(tables(1)
-        .select(col("g").as("__num1"), col("c").as("__cnum1"))),
+    joined = joined.join(joinSide(1)
+        .select(col("g").as("__num1"), col("c").as("__cnum1")),
       Seq("__num1"), "left")
     var score: Column =
       lit(alphaPow(n - 1)) * col("__cnum1").cast("double") / lit(nTotal)

@@ -91,12 +91,26 @@ object LshSql {
     * Emitted WITHOUT the leading `WITH` so callers can prepend their own
     * CTEs ([[CurateSql]] chains it after a gopher+chunk prefix). Tail
     * CTEs pick the join topology (self-join for [[dedupMinhashSql]],
-    * corpus-vs-batch for [[dedupIncrementalSql]]). */
+    * corpus-vs-batch for [[dedupIncrementalSql]]).
+    *
+    * The 128-way mix runs over the DISTINCT shingle hashes only (`dbase`),
+    * then hash-joins back onto the (doc, shingle) occurrences for the
+    * per-(doc, j) signed min — the mix is a pure function of (base, j),
+    * and HUGEINT multiplication is the dominant oracle cost, so mixing
+    * every occurrence (docs × shingles × 128 rows) did ~50× redundant
+    * work on a shared-vocabulary corpus (round 10's ~200 s oracles; ~6 s
+    * after).  The per-j additive constant `(j+1)·mixC mod 2^64` is a
+    * 128-row VALUES literal computed here in exact BigInt arithmetic
+    * rather than re-derived per row in SQL. */
   private[queries] def minhashKeysBody(src: String): String = {
     val mixC = BigInt("9e3779b97f4a7c15", 16)
     val mixK = BigInt("ff51afd7ed558ccd", 16)
     val fnvP = BigInt("100000001b3", 16)
     val fnvBasis = BigInt("cbf29ce484222325", 16)
+    val m = (BigInt(1) << 64)
+    val jcVals = (0 until 128)
+      .map(j => s"($j, ${(BigInt(j + 1) * mixC) % m}::HUGEINT)")
+      .mkString(", ")
     s"""sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(text) >= 5 THEN list_distinct(list_transform(range(len(text) - 4),
@@ -105,15 +119,18 @@ object LshSql {
        |szs AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
        |rows_ AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |based AS (SELECT doc_id, ${fnv("s")} AS base FROM rows_),
-       |jrows AS (SELECT doc_id, base, unnest(range(128)) AS j FROM based),
-       |m0 AS (SELECT doc_id, j, ${xor64("base", mulc("(j+1)::HUGEINT", mixC))} AS x0 FROM jrows),
-       |m1 AS (SELECT doc_id, j, ${xor64("x0", "x0 // 8589934592")} AS x1 FROM m0),
-       |m2 AS (SELECT doc_id, j, ${mulc("x1", mixK)} AS x2 FROM m1),
-       |m3 AS (SELECT doc_id, j, ${xor64("x2", "x2 // 8589934592")} AS x3 FROM m2),
-       |mins AS (SELECT doc_id, j,
-       |  min(CASE WHEN x3 >= 9223372036854775808::HUGEINT
-       |           THEN x3 - 18446744073709551616::HUGEINT ELSE x3 END) AS sj
-       |  FROM m3 GROUP BY doc_id, j),
+       |dbase AS (SELECT DISTINCT base FROM based),
+       |jc(j, mc) AS (VALUES $jcVals),
+       |m0 AS (SELECT base, j, ${xor64("base", "mc")} AS x0 FROM dbase CROSS JOIN jc),
+       |m1 AS (SELECT base, j, ${xor64("x0", "x0 // 8589934592")} AS x1 FROM m0),
+       |m2 AS (SELECT base, j, ${mulc("x1", mixK)} AS x2 FROM m1),
+       |m3 AS (SELECT base, j, ${xor64("x2", "x2 // 8589934592")} AS x3 FROM m2),
+       |mixd AS (SELECT base, j,
+       |  CASE WHEN x3 >= 9223372036854775808::HUGEINT
+       |       THEN x3 - 18446744073709551616::HUGEINT ELSE x3 END AS sx
+       |  FROM m3),
+       |mins AS (SELECT doc_id, j, min(sx) AS sj
+       |  FROM based JOIN mixd USING (base) GROUP BY doc_id, j),
        |sigs AS (SELECT doc_id,
        |  list(CASE WHEN sj < 0 THEN sj + 18446744073709551616::HUGEINT ELSE sj END
        |       ORDER BY j) AS sigu

@@ -168,4 +168,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(cluster#") || p.contains("cluster#"),
       "pairwise cosine joins on the cluster key")
   }
+
+  test("lm 5-gram backoff: count tables broadcast iff small, shuffle-join otherwise") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // small-table path (this corpus): every count-table join broadcasts
+    val small = graft.pipeline.Quality.lmScoreStupidBackoff(
+      docs, col("doc_id"), col("text"), n = 5)
+    val ps = plan(small)
+    assert(ps.contains("BroadcastHashJoin"),
+      "pruned count tables are broadcast-joined when under the row cap")
+    assert(!ps.contains("SortMergeJoin"),
+      "no shuffle join on the gram key when tables fit the cap")
+    // big-table path (web corpus, simulated with a 0-row cap): the hint
+    // must NOT fire — an unconditional broadcast of a billions-row 5-gram
+    // table is a driver OOM; the joins fall back to shuffled joins
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = graft.pipeline.Quality.lmScoreStupidBackoff(
+        docs, col("doc_id"), col("text"), n = 5, maxBroadcastRows = 0L)
+      val pb = plan(big)
+      assert(!pb.contains("BroadcastHashJoin"),
+        "over-cap tables must not broadcast")
+      assert(pb.contains("SortMergeJoin") || pb.contains("ShuffledHashJoin"),
+        "over-cap tables join via shuffle on the gram key")
+      // and the two strategies score IDENTICALLY
+      val a = small.orderBy("doc_id").collect().toSeq
+      val b = big.orderBy("doc_id").collect().toSeq
+      assert(a === b, "join strategy must not change scores")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("lm 5-gram backoff: empty corpus scores empty without NPE") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 0)
+    val out = graft.pipeline.Quality.lmScoreStupidBackoff(
+      docs, col("doc_id"), col("text"), n = 5)
+    assert(out.count() === 0L)
+  }
 }
