@@ -95,6 +95,25 @@ object Quality {
           col("alpha_frac") >= minAlphaFrac &&
           col("n_stopwords") >= minStopwords, lit(false)))
 
+  /** Measured size of one persisted LM count table: exact row count plus
+    * estimated in-memory bytes (gram text bytes + fixed per-row overhead)
+    * — the broadcast gate compares `estBytes`, not rows, because driver /
+    * executor broadcast memory is bounded in bytes. */
+  final case class LmTableStat(rows: Long, estBytes: Long)
+
+  /** An order-`n` stupid-backoff scoring plan plus the lifecycle of the
+    * persisted count tables it joins against. The tables stay cached
+    * until [[unpersist]] — the CALLER owns that call (repo convention:
+    * sink or materialize `scores`, then `unpersist()` in a finally).
+    * `scores` stays correct after `unpersist()` — the plan recomputes the
+    * count aggregations instead of reading cache. */
+  final case class LmScore(
+      scores: DataFrame,
+      tableStats: Map[Int, LmTableStat],
+      private val persisted: Seq[DataFrame]) {
+    def unpersist(): Unit = persisted.foreach(_.unpersist(false))
+  }
+
   /** Order-`n` corpus language-model quality score with COUNT PRUNING and
     * STUPID BACKOFF [Brants et al., "Large Language Models in Machine
     * Translation", EMNLP 2007] — the CCNet-style filter at its real
@@ -120,18 +139,28 @@ object Quality {
     *
     * Scale shape: n count aggregations over the corpus (each map-side
     * combined; the pruned tables of order ≥ 2 are Zipf-truncated) and a
-    * scoring pass of 2(n−1)+1 left joins. Each count table is persisted,
-    * row-counted, and joined BROADCAST iff it holds ≤ `maxBroadcastRows`
-    * rows — larger tables fall back to a shuffled join on the gram key
-    * (Catalyst picks sort-merge/shuffled-hash) instead of forcing a
-    * driver OOM with an unconditional hint. The UNIGRAM table is the
-    * known memory bound: it cannot be count-pruned (the order-1 fallback
-    * must be total), so on a web corpus its distinct-token row count —
-    * hundreds of millions of tail tokens — is what trips the fallback;
-    * cap the vocabulary upstream (map tail tokens to an OOV symbol
-    * before scoring) if the broadcast path is required. α-power factors
-    * are pinned literals computed by iterated multiplication so the
-    * oracle embeds bit-identical constants. */
+    * scoring pass of 2(n−1)+1 left joins. EAGER AT CONSTRUCTION: building
+    * the returned plan runs n + 1 Spark jobs up front (each count table
+    * is persisted, then one stats aggregate per table measures its rows,
+    * gram bytes and — for order 1 — the corpus token total); callers that
+    * only wanted a lazy plan get those jobs anyway. A table joins
+    * BROADCAST iff its estimated in-memory size (gram bytes + 24 B/row
+    * overhead) is ≤ `maxBroadcastBytes` — a BYTE gate, because broadcast
+    * memory is bounded in bytes, not rows; larger tables fall back to a
+    * shuffled join on the gram key (Catalyst picks sort-merge /
+    * shuffled-hash) instead of forcing a driver OOM with an unconditional
+    * hint. The UNIGRAM table is the known memory bound: it cannot be
+    * count-pruned (the order-1 fallback must be total), so on a web
+    * corpus its distinct-token footprint — hundreds of millions of tail
+    * tokens — is what trips the fallback; cap the vocabulary upstream
+    * (map tail tokens to an OOV symbol before scoring) if the broadcast
+    * path is required. α-power factors are pinned literals computed by
+    * iterated multiplication so the oracle embeds bit-identical
+    * constants.
+    *
+    * Lifecycle: the count tables stay persisted (MEMORY_AND_DISK) until
+    * the caller invokes [[LmScore.unpersist]] — materialize or sink
+    * `scores` first, unpersist in a finally. */
   def lmScoreStupidBackoff(
       df: DataFrame,
       id: Column,
@@ -139,7 +168,7 @@ object Quality {
       n: Int,
       minCount: Long = 2L,
       alpha: Double = 0.4,
-      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
+      maxBroadcastBytes: Long = 64L << 20): LmScore = {
     require(n >= 2, s"order must be >= 2: $n")
     val low = lower(text)
     def table(k: Int): DataFrame = {
@@ -147,22 +176,26 @@ object Quality {
         .groupBy("g").agg(count(lit(1)).as("c"))
       if (k >= 2) t.filter(col("c") >= minCount) else t
     }
+    // persist each table, then ONE stats pass per table: rows + gram text
+    // bytes (the broadcast gate's input) and, for order 1, the corpus
+    // token total — no separate count()/sum() jobs
     val tables = (1 to n).map { k =>
       val t = table(k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      k -> (t, t.count())
+      val st = t.agg(count(lit(1)), coalesce(sum(octet_length(col("g"))), lit(0L)),
+        coalesce(sum(col("c")), lit(0L))).head()
+      val rows = st.getLong(0)
+      k -> (t, LmTableStat(rows, st.getLong(1) + 24L * rows), st.getLong(2))
     }.toMap
-    // broadcast-iff-small: an unconditional hint would OOM the driver on
-    // web-corpus tables; an over-threshold table joins shuffled instead
+    // broadcast-iff-small IN BYTES: an unconditional hint would OOM the
+    // driver on web-corpus tables; an over-threshold table joins shuffled
     def joinSide(k: Int): DataFrame = {
-      val (t, rows) = tables(k)
-      if (rows <= maxBroadcastRows) broadcast(t) else t
+      val (t, stat, _) = tables(k)
+      if (stat.estBytes <= maxBroadcastBytes) broadcast(t) else t
     }
-    // total token occurrences — one metadata-scale aggregate (null-safe:
-    // an empty corpus has no unigrams, sum(c) is null, every doc scores 0)
-    val nTotal = math.max(1L,
-      tables(1)._1.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
-      .toDouble
+    // total token occurrences (from the unigram stats row — null-safe: an
+    // empty corpus has no unigrams and every doc scores 0)
+    val nTotal = math.max(1L, tables(1)._3).toDouble
     // α^j by iterated multiplication (pinned; math.pow could differ)
     val alphaPow = Iterator.iterate(1.0)(_ * alpha).take(n).toArray
     // scoring positions with their numerator/context sub-grams: order-k
@@ -204,9 +237,12 @@ object Quality {
       .agg(count(lit(1)).as("n_grams"),
         round(sum(col("__nll")).cast("double") /
           count(lit(1)).cast("double"), 6).as("nll"))
-    df.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+    val out = df.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("nll"), lit(0.0)).as("nll"))
+    LmScore(out,
+      tables.map { case (k, (_, stat, _)) => k -> stat },
+      tables.valuesIterator.map(_._1).toSeq)
   }
 }

