@@ -85,6 +85,7 @@ object SparkEntry {
     "lm_score_5gram" -> (Queries.lmScore5gram _),
     "chunk_docs_bpe" -> (Queries.chunkDocsBpe _),
     "curate_pipeline_spans" -> (Queries.curatePipelineSpans _),
+    "curate_pipeline_dsir" -> (Queries.curatePipelineDsir _),
     "ppl_buckets_5gram" -> (Queries.pplBuckets5gram _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),

@@ -110,6 +110,35 @@ object CurateSql {
        |ctoks AS (SELECT doc_id, t FROM pass),
        |$lshTail""".stripMargin
 
+  /** The `extraFilter` hook's threshold in the DSIR-composed query: keep
+    * batch docs whose 6-dp-rounded DSIR log importance weight (target =
+    * `lang = 'en'`, 256 buckets, fitted on ALL documents) is ≥ 0 — "more
+    * target-like than raw", the fitted model-driven selection the hook
+    * exists for. Shared by the Spark query and this oracle so both sides
+    * decide the boundary on identical doubles. */
+  val DsirTau: Double = 0.0
+
+  /** [[curatePipelineSql]] with a fitted DSIR importance filter composed
+    * in via `CurationConfig.extraFilter`
+    * ([[graft.streaming.Curation.curateBatch]]): batch docs must pass
+    * gopher AND carry a rounded log weight ≥ [[DsirTau]] before they
+    * chunk; the corpus (index seed) side is unchanged — the standing
+    * index predates the model. The weight chain is the `dsir_weights`
+    * oracle's CTEs verbatim ([[DsirSql.weightCtes]]); docs the weight
+    * join misses (no grams) coalesce to 0.0 exactly as
+    * [[graft.pipeline.Dsir.logWeight]]'s empty fold. */
+  lazy val curatePipelineDsirSql: String =
+    s"""WITH $gopherCtes,
+       |${DsirSql.weightCtes},
+       |ctoks AS (
+       |  SELECT doc_id, t FROM pass WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT p.doc_id, p.t
+       |  FROM pass p LEFT JOIN dw ON p.doc_id = dw.doc_id
+       |  WHERE p.doc_id % 4 = 0
+       |    AND round(coalesce(dw.logw_raw, 0.0), 6) >= $DsirTau),
+       |$lshTail""".stripMargin
+
   /** The FNV-1a 64 fold over the space-joined 5-gram at `pos` of token
     * list `t` — identical arithmetic to the dedup_spans oracle (and
     * [[graft.functions.TextFunctions.fingerprint64]]). */

@@ -18,47 +18,50 @@ package graft.queries
 object DsirSql {
 
   /** Shared CTE chain: tokens → unigrams+bigrams → FNV buckets →
-    * bucket counts (raw + target) → smoothed λ → per-doc raw log-weight. */
-  private val base: String =
-    s"""toks AS (
+    * bucket counts (raw + target) → smoothed λ → per-doc raw log-weight
+    * (`dw`). CTE names are d-prefixed so the chain composes into other
+    * oracles (the curate-pipeline DSIR variant stitches it next to the
+    * MinHash chain, which owns `rows_`/`hashed`). */
+  private[queries] val weightCtes: String =
+    s"""dtoks AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |                x -> x <> '') AS t
        |  FROM documents),
-       |grams AS (
+       |dgrams AS (
        |  SELECT doc_id, lang,
        |    list_concat(t,
        |      CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
        |           ELSE list_transform(range(len(t) - 1),
        |             i -> t[CAST(i + 1 AS BIGINT)] || ' ' || t[CAST(i + 2 AS BIGINT)])
        |      END) AS g
-       |  FROM toks),
-       |rows_ AS (SELECT doc_id, lang, unnest(g) AS s FROM grams),
-       |hashed AS (
+       |  FROM dtoks),
+       |drows AS (SELECT doc_id, lang, unnest(g) AS s FROM dgrams),
+       |dhashed AS (
        |  SELECT doc_id, lang, CAST(${LshSql.fnv("s")} % 256 AS INTEGER) AS b
-       |  FROM rows_),
-       |counts AS (
+       |  FROM drows),
+       |dcounts AS (
        |  SELECT b, count(*) AS raw,
        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
-       |  FROM hashed GROUP BY b),
-       |tot AS (
+       |  FROM dhashed GROUP BY b),
+       |dtot AS (
        |  SELECT CAST(sum(raw) AS DOUBLE) AS rt, CAST(sum(tgt) AS DOUBLE) AS tt
-       |  FROM counts),
-       |lam AS (
+       |  FROM dcounts),
+       |dlam AS (
        |  SELECT b,
        |    ln((CAST(tgt AS DOUBLE) + 1.0) / (tt + 256.0)) -
        |    ln((CAST(raw AS DOUBLE) + 1.0) / (rt + 256.0)) AS lam
-       |  FROM counts, tot),
-       |w AS (
+       |  FROM dcounts, dtot),
+       |dw AS (
        |  SELECT h.doc_id, sum(l.lam) AS logw_raw
-       |  FROM hashed h JOIN lam l USING (b) GROUP BY h.doc_id)""".stripMargin
+       |  FROM dhashed h JOIN dlam l USING (b) GROUP BY h.doc_id)""".stripMargin
 
   /** All-document importance weights — doc_id, lang, logw (6 dp). */
   lazy val dsirWeightsSql: String =
-    s"""WITH $base
+    s"""WITH $weightCtes
        |SELECT d.doc_id, d.lang,
-       |  round(coalesce(w.logw_raw, 0.0), 6) AS logw
-       |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+       |  round(coalesce(dw.logw_raw, 0.0), 6) AS logw
+       |FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
   /** Gumbel top-50 resample — the MINSTD hash-unit chain (the
@@ -66,15 +69,15 @@ object DsirSql {
     * the 6-dp-rounded score with id tie-break, exactly as
     * [[graft.pipeline.Dsir.resample]]. */
   lazy val dsirSampleSql: String =
-    s"""WITH $base,
+    s"""WITH $weightCtes,
        |sc AS (
        |  SELECT d.doc_id, d.lang,
-       |    coalesce(w.logw_raw, 0.0) +
+       |    coalesce(dw.logw_raw, 0.0) +
        |      (-ln(-ln(CAST(((d.doc_id + 1) % 2147483647)
        |          * 48271 % 2147483647
        |          * 48271 % 2147483647
        |          * 48271 % 2147483647 AS DOUBLE) / 2147483647.0))) AS s
-       |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+       |  FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id)
        |SELECT doc_id, lang, round(s, 6) AS score FROM sc
        |QUALIFY row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) <= 50
        |ORDER BY score DESC, doc_id""".stripMargin

@@ -1135,6 +1135,7 @@ object Oracles {
     "lm_score_5gram" -> LmSql.lmScore5gramSql,
     "chunk_docs_bpe" -> BpeSql.chunkDocsBpeSql,
     "curate_pipeline_spans" -> CurateSql.curatePipelineSpansSql,
+    "curate_pipeline_dsir" -> CurateSql.curatePipelineDsirSql,
     "ppl_buckets_5gram" -> LmSql.pplBuckets5gramSql,
 
     // IVF ANN: the deterministic Lloyd trainer replayed iteration by

@@ -558,6 +558,51 @@ object Queries {
     }
   }
 
+  private val dsirCurateState = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.pipeline.Dsir.Model)]()
+
+  /** [[curatePipeline]] with a FITTED model composed in through the
+    * `extraFilter` hook ([[graft.streaming.CurationConfig.extraFilter]]):
+    * a DSIR importance model (target = `lang = 'en'`, 256 buckets) is fit
+    * on the full corpus, and batch docs must score a 6-dp-rounded log
+    * weight ≥ [[CurateSql.DsirTau]] AFTER the gopher verdict and BEFORE
+    * chunking — the model-driven-selection story running inside the
+    * composed pipeline, not beside it. The λ table rides inside the
+    * filter expression as a plan reference (row-local, replay-pure — the
+    * exactly-once contract the hook documents). Standing chunk index =
+    * the corpus docs unfiltered (the index predates the model). Oracle
+    * [[CurateSql.curatePipelineDsirSql]] replays fit + weights + the
+    * whole composition in one statement. */
+  def curatePipelineDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (path, model) = dsirCurateState.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-dsir")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      LshIndex.build(curateChunks(docs.filter(col("doc_id") % 4 =!= 0)),
+        col("chunk_uid"), col("chunk_text"),
+        root.toString, shingleSize = 5, numHashes = 128, bands = 16)
+      (root.toString,
+        Dsir.fit(docs, col("text"), col("lang") === "en", nBuckets = 256))
+    })
+    graft.streaming.Curation.curateBatch(spark, path,
+      docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"),
+      curateCfg.copy(extraFilter = Some(
+        round(Dsir.logWeight(model, col("text")), 6)
+          >= lit(CurateSql.DsirTau)))) { survivors =>
+      val out = survivors
+        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+          col("n_tokens"), col("chunk_text"))
+        .orderBy("chunk_uid")
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    }
+  }
+
   private val spanCurateIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 

@@ -15,11 +15,12 @@ import graft.streaming.{Curation, CurationConfig, StreamIngest}
   * replayed from a fresh JVM into a no-op — no curated chunk lost, none
   * double-appended, no dedup verdict flipped.
   *
-  * {{{ runMain graft.tools.CurateCrash <crash|resume> <whDir> <ckptDir> <indexPath> <outFile> [spanIndexPath|-] [srpIndexPath|-] }}}
+  * {{{ runMain graft.tools.CurateCrash <crash|resume> <whDir> <ckptDir> <indexPath> <outFile> [spanIndexPath|-] [srpIndexPath|-] [dsir|-] }}}
   *
-  * The two optional trailing paths switch on the span-cut and the
-  * embedding near-dup stages of [[Curation.curateBatch]] (`-` = off), so
-  * the same crash/replay proof runs over the FULL composition.
+  * The optional trailing args switch on the span-cut and embedding
+  * near-dup stages of [[Curation.curateBatch]] (`-` = off) and the
+  * fitted-DSIR `extraFilter` stage (`dsir`), so the same crash/replay
+  * proof runs over the FULL composition.
   *
   *   - `crash`: drain once; the foreachBatch body COMPLETES (curated
   *     append + index append both landed) and then throws — the worst
@@ -41,6 +42,37 @@ object CurateCrash {
     chunkSize = 16, overlap = 4,
     threshold = 0.6)
 
+  /** Fixed two-document fit corpus for the `dsir` stage: both crash and
+    * resume JVMs re-fit the SAME model from these literals, so the
+    * extraFilter is a pure, replay-stable function of the document — the
+    * contract [[CurationConfig.extraFilter]] documents. Fruit vocabulary
+    * is the target; military-alphabet vocabulary is raw-only, so its λ
+    * buckets go negative and a fruit/neutral doc scores ≥ 0. */
+  val FitTarget: String =
+    "apple banana cherry durian elder figs grape honey icecream jackfruit " +
+      "kiwi lemon mango nectar orange peach quince raspberry strawberry tomato"
+  val FitRaw: String =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+
+  /** The fitted DSIR model both JVMs derive identically (deterministic
+    * fit over the literal corpus above). */
+  def testModel(spark: SparkSession): graft.pipeline.Dsir.Model = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.pipeline.Dsir.fit(
+      Seq((1L, FitTarget, true), (2L, FitRaw, false))
+        .toDF("id", "text", "is_target"),
+      col("text"), col("is_target"), nBuckets = 16)
+  }
+
+  /** The `dsir` stage's extraFilter: rounded fitted log weight ≥ 0. */
+  def dsirFilter(spark: SparkSession): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    round(graft.pipeline.Dsir.logWeight(testModel(spark), col("text")), 6)
+      .geq(lit(0.0))
+  }
+
   /** Deterministic fake featurizer over the document text — a pure
     * per-row function of the record (the replay contract for
     * `CurationConfig.embedding`): 16 hash-derived floats in [-1, 1], so
@@ -57,6 +89,7 @@ object CurateCrash {
     val Array(mode, whDir, ckpt, indexPath, outFile) = args.take(5)
     val spanIdx = args.lift(5).filter(_ != "-")
     val srpIdx = args.lift(6).filter(_ != "-")
+    val dsirOn = args.lift(7).contains("dsir")
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-curate-$mode")
@@ -71,7 +104,8 @@ object CurateCrash {
     val cfg = TestConfig.copy(
       spanIndexPath = spanIdx,
       srpIndexPath = srpIdx,
-      embedding = srpIdx.map(_ => fakeEmbedding))
+      embedding = srpIdx.map(_ => fakeEmbedding),
+      extraFilter = if (dsirOn) Some(dsirFilter(spark)) else None)
     val q = StreamIngest.consumeAvailableNow(spark, wh, "docs", ckpt) {
       (records, batchId) =>
         Curation.runBatch(spark, wh, "curated", indexPath, records, batchId,

@@ -37,7 +37,7 @@ class CurateCrashSpec extends SparkSpec {
 
   private def runChild(mode: String, wh: String, ckpt: String,
       index: String, out: String, spanIndex: String = "-",
-      srpIndex: String = "-"): Int = {
+      srpIndex: String = "-", dsir: String = "-"): Int = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -51,7 +51,7 @@ class CurateCrashSpec extends SparkSpec {
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-cp", System.getProperty("java.class.path"),
       "graft.tools.CurateCrash", mode, wh, ckpt, index, out,
-      spanIndex, srpIndex)
+      spanIndex, srpIndex, dsir)
     val p = new ProcessBuilder(cmd.asJava)
       .redirectErrorStream(true)
       .redirectOutput(new java.io.File(s"$out.log"))
@@ -119,6 +119,58 @@ class CurateCrashSpec extends SparkSpec {
     // identical survivors and its curated append no-opped (batchId skip);
     // the new batch's dup-of-A was dropped by the INDEX (previous batch's
     // state), and only E's chunks appended
+    assert(curatedKeys(wh) ===
+      Map("0/0" -> 1L, "0/1" -> 1L, "4/0" -> 1L, "4/1" -> 1L))
+  }
+
+  test("fitted-DSIR extraFilter stage crash-replays to a no-op (model-driven selection)") {
+    // textE IS the fit corpus's target doc (logw +3.04 at 16 buckets) and
+    // textA its raw doc (−7.41): the filter keeps E, cuts A. textV is
+    // vocabulary NEITHER side saw (+0.92 — unseen buckets inherit the
+    // positive raw/target prior), so a genuinely novel doc still flows.
+    // Values replayed outside Spark; both child JVMs re-fit identically.
+    val textV =
+      "asparagus broccoli cabbage daikon endive fennel garlic horseradish " +
+        "iceberg jicama kale leek mushroom nappa onion parsnip quinoa " +
+        "radish spinach turnip"
+    val whDir = tmpDir("graft-curated-xjvm")
+    val wh = Warehouse(whDir)
+    TopicCatalog.createTopic(spark, wh, "docs", 1)
+    TopicCatalog.createTopic(spark, wh, "curated", 2)
+    val index = s"${tmpDir("graft-curated-idx")}/lsh"
+    LshIndex.build(
+      Seq((999999999999L, "seed sentinel text unrelated to every real document body"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", index,
+      shingleSize = 5, numHashes = 128, bands = 16)
+
+    // batch 1: E passes gopher AND the DSIR filter (2 chunks); A passes
+    // gopher but the model cuts it; the short doc fails gopher
+    LogWriter.append(spark, wh, "docs",
+      records(0L -> CurateCrash.FitTarget, 1L -> CurateCrash.FitRaw,
+        2L -> "too short"), "id")
+
+    val ckpt = tmpDir("graft-curated-ckpt")
+    val out1 = s"${tmpDir("graft-curated-out")}/crash.txt"
+    val out2 = s"${tmpDir("graft-curated-out")}/resume.txt"
+
+    assert(runChild("crash", whDir, ckpt, index, out1, dsir = "dsir") === 0,
+      s"crash child must surface the injected failure (log: $out1.log)")
+    assert(outLines(out1) === Seq((0L, 3L)))
+    // only E curated: the fitted filter cut A BEFORE any index touched it
+    assert(curatedKeys(wh) === Map("0/0" -> 1L, "0/1" -> 1L))
+
+    // while down: another copy of A (must be cut AGAIN, by the replayed
+    // filter, not by the index) and the novel V (must flow)
+    LogWriter.append(spark, wh, "docs",
+      records(3L -> CurateCrash.FitRaw, 4L -> textV), "id")
+
+    assert(runChild("resume", whDir, ckpt, index, out2, dsir = "dsir") === 0,
+      s"resume child must drain cleanly (log: $out2.log)")
+    assert(outLines(out2) === Seq((0L, 3L), (1L, 2L)))
+    // exactly-once THROUGH the model stage: the replayed batch re-derived
+    // the identical keep set from the re-fit model (no dup of E, A still
+    // absent), and V's chunks appended once
     assert(curatedKeys(wh) ===
       Map("0/0" -> 1L, "0/1" -> 1L, "4/0" -> 1L, "4/1" -> 1L))
   }
