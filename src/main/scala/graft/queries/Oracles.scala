@@ -468,28 +468,7 @@ object Oracles {
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
 
-    "lang_id" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      w -> list_contains(['the','a','and','of','to','in','is','it','that','for'], w))) AS h_en,
-        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      w -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], w))) AS h_de,
-        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      w -> list_contains(['el','la','de','que','y','en','un','es','no','por'], w))) AS h_es,
-        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      w -> list_contains(['le','la','de','et','un','est','pas','que','pour','dans'], w))) AS h_fr,
-        |    len(list_filter(['的','是','不','了','在','人','有','我','他','这'],
-        |      ch -> instr(text, ch) > 0)) AS h_zh
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
-        |       WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'zh'
-        |       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'fr'
-        |       WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'es'
-        |       WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'en'
-        |       ELSE 'de' END AS lang_pred
-        |FROM h""".stripMargin,
+    "lang_id" -> LangIdSql.langIdSql,
 
     "pipeline_clean" ->
       """WITH dedup AS (

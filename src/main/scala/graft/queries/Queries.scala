@@ -694,10 +694,24 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.qualityScore(col("text")).as("quality"))
 
-  /** N-gram-heuristic language ID. */
-  def langId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
-      col("doc_id"), T.langId(col("text")).as("lang_pred"))
+  private val langModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.LangModel]()
+
+  /** Cavnar–Trenkle rank-profile language ID
+    * ([[graft.pipeline.LangProfile]]): char-trigram profiles fitted on
+    * the labeled corpus (memoized per input dir — fit is one aggregation
+    * + a |langs|×300 collect), then every doc classified by the
+    * row-local codegen'd out-of-place distance. Oracle [[LangIdSql]]
+    * replays fit + classify in one statement. ([[T.langId]], the
+    * stopword heuristic this replaced, remains the cheap signal inside
+    * [[pipelineClean]].) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = langModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.LangProfile.fit(docs, col("text"), col("lang")))
+    docs.select(col("doc_id"),
+      graft.pipeline.LangProfile.classify(model, col("text")).as("lang_pred"))
+  }
 
   /** End-to-end cleaning pipeline — the composition a training-data user
     * actually runs over a raw corpus: exact dedup (keep lowest doc_id per
