@@ -223,12 +223,34 @@ object Bench {
       results(name) = best
     }
 
+    // curate_pipeline per-stage breakdown (NOT in the headline total —
+    // the composed query is already timed above; these aim the next
+    // optimization): front = the batch half's gopher + chunk scan;
+    // probe = LSH probe of those chunks (persisted, so the timer sees
+    // the probe alone) against the same standing index the composed
+    // query uses. dedup + append ≈ curate_pipeline − front − probe.
+    val curateStagesJson = {
+      def front() = Queries.curateBatchChunks(spark, sfDir)
+      materialize(front())
+      val tFront = math.min(time(materialize(front())), time(materialize(front())))
+      val idx = Queries.ensureCurateIndex(spark, sfDir)
+      val chunks = front().persist()
+      chunks.count()
+      import org.apache.spark.sql.functions.col
+      def probe() = graft.pipeline.LshIndex.probe(spark, idx, chunks,
+        col("chunk_uid"), col("chunk_text"), threshold = 0.6)
+      materialize(probe())
+      val tProbe = math.min(time(materialize(probe())), time(materialize(probe())))
+      chunks.unpersist()
+      f""""curate_stages":{"front":$tFront%.3f,"probe":$tProbe%.3f}"""
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"max_heap_mb":$maxHeapMb"""
+    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"max_heap_mb":$maxHeapMb,$curateStagesJson%s"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
     println(json)

@@ -40,10 +40,31 @@ object Clustering {
       vec: Column,
       k: Int,
       iters: Int): DataFrame = {
-    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
-    val e = df.select(
+    val e = rounded(df, id, vec)
+    assign(e, fitCentroids(e, k, iters)).select(col("vec_id"), col("cluster"))
+  }
+
+  /** The fitted centroid table alone — for callers (SemDeDup) that want
+    * to fold the final assignment into their OWN projection over the
+    * vectors instead of paying a corpus-scale join against [[kmeans]]'s
+    * output. Runs `iters` + 1 driver-collect jobs (k × dim doubles each,
+    * metadata-scale). */
+  def kmeansCentroids(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int): Seq[Seq[Double]] =
+    fitCentroids(rounded(df, id, vec), k, iters)
+
+  /** The 6-dp-rounded (vec_id, v) projection every k-means step sees. */
+  private def rounded(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(
       id.as("vec_id"),
       transform(vec, x => round(x.cast("double"), 6)).as("v"))
+
+  private def fitCentroids(e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     var centroids: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
     require(centroids.size == k, s"need at least $k vectors, got ${centroids.size}")
@@ -62,7 +83,7 @@ object Clustering {
           .getOrElse(prev) // empty cluster: centroid carries over
       }
     }
-    assign(e, centroids).select(col("vec_id"), col("cluster"))
+    centroids
   }
 
   /** Nearest-centroid assignment: ONE codegen'd argmin expression with the

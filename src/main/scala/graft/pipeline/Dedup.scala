@@ -351,12 +351,16 @@ object Dedup {
       tau: Double): DataFrame = {
     val e = df.select(id.cast("long").as("vec_id"),
       transform(vec, x => round(x.cast("double"), 6)).as("v"))
-    val assigned = Clustering.kmeans(df, id, vec, k, iters)
-      .select(col("vec_id").cast("long").as("vec_id"), col("cluster"))
+    // fit centroids, then fold the FINAL assignment into this projection
+    // as the codegen'd argmin — joining against kmeans' (vec_id, cluster)
+    // output would shuffle the corpus-scale embedding table a second time
+    // for data the scan already has in hand
+    val cs = Clustering.kmeansCentroids(df, id, vec, k, iters)
     // the self-norm is pair-invariant: fold it ONCE per vector here (the
     // codegen'd sequential loop — bit-identical to the oracle's in-order
     // list_sum) instead of twice per pair inside the quadratic join
-    val wc = e.join(assigned, "vec_id")
+    val wc = e
+      .withColumn("cluster", graft.functions.VectorFunctions.centroidArgmin(col("v"), cs))
       .withColumn("n2", V.dotD(col("v"), col("v")))
     val a = wc.select(col("cluster"), col("vec_id").as("id_a"),
       col("v").as("va"), col("n2").as("na"))

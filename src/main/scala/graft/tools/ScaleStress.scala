@@ -116,7 +116,13 @@ object ScaleStress {
       // fit (one agg) + codegen'd fold scoring + TakeOrdered top-k
       "dsir_sample" -> (Queries.dsirSample _),
       // NLL scoring + per-lang quantile metadata agg
-      "ppl_buckets" -> (Queries.pplBuckets _))
+      "ppl_buckets" -> (Queries.pplBuckets _),
+      // BPE fit + ONE hash exchange (pos-rank + pack + roll-up fused)
+      "train_shards" -> (Queries.trainShards _),
+      // n count aggregations (Zipf-pruned above order 1) + scoring joins;
+      // the byte-gated broadcast fallback is the 100x story — at 32x the
+      // pruned tables still broadcast and growth should stay ~linear
+      "lm_score_5gram" -> (Queries.lmScore5gram _))
     linear.foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))
