@@ -97,6 +97,12 @@ final class LangModel(
       }
     })
     val m = math.min(grams.length, topK)
+    // the doc's top-m grams as Strings ONCE (the rank maps key on
+    // String) — converting inside the language loop would re-decode
+    // each gram topK × |langs| times per row
+    val docGrams = new Array[String](m)
+    var d = 0
+    while (d < m) { docGrams(d) = grams(d).toString; d += 1 }
     // distances: Σ |rank_doc − rank_lang|, missing gram → topK
     var best = -1
     var bestDist = Long.MaxValue
@@ -106,7 +112,7 @@ final class LangModel(
       var dist = 0L
       var j = 0
       while (j < m) {
-        val r = ranks.get(grams(j).toString)
+        val r = ranks.get(docGrams(j))
         dist += (if (r == null) topK.toLong else math.abs((j + 1).toLong - r.toLong))
         j += 1
       }

@@ -44,7 +44,14 @@ object LangProfile {
     * of each language's normalized text, ranked 1..topK by (count desc,
     * gram asc in binary order). Runs 1 Spark job at construction (the
     * profile collect). Languages come out sorted ascending — the
-    * classifier's tie-break order. */
+    * classifier's tie-break order.
+    *
+    * Fitted-langs-only contract: the model's candidate set is the
+    * languages that yielded AT LEAST ONE n-gram (some doc with normalized
+    * length ≥ n). A label whose docs are all sub-`n`-gram produces no
+    * profile and can never be predicted — oracles must derive their
+    * candidate set from the fitted profiles, not from the raw label
+    * column ([[graft.queries.LangIdSql]] does). */
   def fit(
       df: DataFrame,
       text: Column,

@@ -96,9 +96,13 @@ object Quality {
           col("n_stopwords") >= minStopwords, lit(false)))
 
   /** Measured size of one persisted LM count table: exact row count plus
-    * estimated in-memory bytes (gram text bytes + fixed per-row overhead)
-    * — the broadcast gate compares `estBytes`, not rows, because driver /
-    * executor broadcast memory is bounded in bytes. */
+    * estimated in-memory bytes of the BROADCAST HASHED RELATION it would
+    * become — (gram text bytes + 8 B count column + per-row UnsafeRow
+    * overhead) × a hashed-relation expansion factor (hash table buckets,
+    * pointer arrays, page rounding measured at ~3-4× raw row bytes). The
+    * estimate is deliberately biased HIGH: the gate compares `estBytes`,
+    * and admitting a table whose real footprint is several × the raw
+    * bytes is the failure mode the factor exists to prevent. */
   final case class LmTableStat(rows: Long, estBytes: Long)
 
   /** An order-`n` stupid-backoff scoring plan plus the lifecycle of the
@@ -185,7 +189,9 @@ object Quality {
       val st = t.agg(count(lit(1)), coalesce(sum(octet_length(col("g"))), lit(0L)),
         coalesce(sum(col("c")), lit(0L))).head()
       val rows = st.getLong(0)
-      k -> (t, LmTableStat(rows, st.getLong(1) + 24L * rows), st.getLong(2))
+      // raw row = gram bytes + 8 B count + 24 B UnsafeRow overhead; ×4
+      // for the BroadcastHashRelation's in-memory expansion
+      k -> (t, LmTableStat(rows, (st.getLong(1) + 32L * rows) * 4L), st.getLong(2))
     }.toMap
     // broadcast-iff-small IN BYTES: an unconditional hint would OOM the
     // driver on web-corpus tables; an over-threshold table joins shuffled

@@ -15,7 +15,11 @@ package graft.queries
   * character, matching the Spark side's code-point stepping.
   * Normalization is shared: lower, trim, whitespace runs → `_`, pad
   * with `_` (the Cavnar–Trenkle word-boundary marker). Docs with no
-  * trigram (normalized length < 3) predict 'und' via the left join. */
+  * trigram (normalized length < 3) predict 'und' via the left join.
+  * The candidate set is the FITTED languages (`DISTINCT lang FROM
+  * lprof`), matching [[graft.pipeline.LangProfile.fit]]'s contract: a
+  * label whose docs are all sub-trigram yields no profile and is not a
+  * candidate on either side. */
 object LangIdSql {
 
   /** Must match [[graft.pipeline.LangProfile.fit]]'s defaults. */
@@ -42,7 +46,7 @@ object LangIdSql {
        |  SELECT doc_id, g, row_number() OVER (
        |    PARTITION BY doc_id ORDER BY c DESC, g ASC) AS r
        |  FROM dcnt QUALIFY r <= $TopK),
-       |langs AS (SELECT DISTINCT lang FROM documents),
+       |langs AS (SELECT DISTINCT lang FROM lprof),
        |dist AS (
        |  SELECT dp.doc_id, l.lang,
        |    sum(CASE WHEN lp.r IS NULL THEN $TopK ELSE abs(dp.r - lp.r) END) AS dist

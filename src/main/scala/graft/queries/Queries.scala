@@ -1113,6 +1113,77 @@ object Queries {
         col("channels").as("bands"))
   }
 
+  /** REAL image resize with a SQL oracle: the same doc_id-seeded PNGs as
+    * [[multimodalDecodeReal]] (pixel rgb = (id·2654435761 + x·7 + y·131)
+    * & 0xffffff — SQL-replayable), decoded by real ImageIO and resampled
+    * by [[Multimodal.resizeNearest]] (integer nearest-neighbor, aspect-fit
+    * maxSide 4). The output carries a position-weighted checksum of the
+    * RESIZED pixels, and the oracle recomputes it from the source-pixel
+    * formula through the same floor arithmetic — only a byte-exact
+    * decode → resample chain matches. maxSide 4 against source sides
+    * 1..7 covers both the no-op (≤ 4) and downscale paths. */
+  def multimodalResizeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val png = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 7 + 1).toInt
+        val h = (id % 5 + 1).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 2654435761L + x * 7 + y * 131) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("id", "content")
+    Multimodal.resizePartitions(png, col("id"), col("content"), maxSide = 4)
+      .toDF()
+      .select(col("id").as("doc_id"), col("src_w"), col("src_h"),
+        col("resized_w"), col("resized_h"), col("checksum"))
+  }
+
+  /** Frame/slice sampling over REAL binary payloads with a SQL oracle:
+    * deterministic content bytes (byte j = (id + j·7) mod 256, length
+    * 64 + id mod 192) are synthesized partition-locally, then
+    * [[Multimodal.sampleSlices]] — the byte-range frame-sample analog —
+    * cuts 4 evenly-spaced 16-byte slices and each slice is checksummed
+    * with the codegen'd [[graft.functions.BinaryFunctions.byteSum]]. The
+    * oracle replays slice positions AND the unsigned-byte sums from the
+    * content formula — a slicer that was off by one byte anywhere
+    * mismatches. Row-local end to end: binary payloads never shuffle. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 4
+    val sliceBytes = 16
+    val ids = t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val bin = ids.mapPartitions { it =>
+      it.map { id =>
+        val len = (64 + id % 192).toInt
+        val b = new Array[Byte](len)
+        var j = 0
+        while (j < len) { b(j) = ((id + j * 7) % 256).toByte; j += 1 }
+        (id, b)
+      }
+    }.toDF("id", "content")
+    bin
+      .select(col("id").as("doc_id"), col("content"),
+        posexplode(Multimodal.sampleSlices(col("content"), n, sliceBytes)))
+      .select(col("doc_id"), col("pos").cast("int").as("slice_idx"),
+        ((col("pos") * greatest(length(col("content")) - sliceBytes, lit(1))
+          / lit(n - 1)) + 1).cast("int").as("start_pos"),
+        length(col("col")).as("slice_len"),
+        graft.functions.BinaryFunctions.byteSum(col("col")).as("byte_sum"))
+  }
+
   /** REAL video container parse with a SQL oracle: deterministic
     * headers-only MP4s are synthesized in-query
     * ([[Multimodal.Mp4Synth]] — real ftyp/moov/mvhd/trak/stsd boxes,
@@ -1489,8 +1560,15 @@ object Queries {
     try {
       val out = lm.scores.orderBy(col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      swapSnapshot("lm_score_5gram", out)
+      // if materialization or the swap throws, release the snapshot we
+      // just pinned — otherwise it leaks in the block manager for the
+      // JVM lifetime (only a completed swap hands ownership to snapshots)
+      try {
+        out.count()
+        swapSnapshot("lm_score_5gram", out)
+      } catch {
+        case e: Throwable => out.unpersist(false); throw e
+      }
     } finally lm.unpersist()
   }
 
