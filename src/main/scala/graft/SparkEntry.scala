@@ -93,6 +93,8 @@ object SparkEntry {
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),
+    "multimodal_resize_real" -> (Queries.multimodalResizeReal _),
+    "frame_sample" -> (Queries.frameSample _),
     "multimodal_decode_audio" -> (Queries.multimodalDecodeAudio _),
     "multimodal_decode_video" -> (Queries.multimodalDecodeVideo _),
     "compact_topic" -> (Queries.compactTopic _),

@@ -149,6 +149,105 @@ object Multimodal {
     }
   }
 
+  /** Resized-image record produced by the partition-local resize path:
+    * source dims, aspect-fit output dims, and a position-weighted pixel
+    * checksum of the RESIZED image — Σ (1 + x + y·w') · rgb'(x, y) — so an
+    * oracle that can replay the source pixels can verify the resample
+    * byte-for-byte (a dimension-only check would pass a resize that
+    * scrambled every pixel). */
+  case class ResizedMedia(
+      id: Long,
+      src_w: Int,
+      src_h: Int,
+      resized_w: Int,
+      resized_h: Int,
+      checksum: Long)
+
+  /** Aspect-fit output dims for a `maxSide` bound, integer arithmetic only
+    * (floor((side·maxSide)/longSide), floored at 1): never upscales, and
+    * both engines replay the division exactly — no float scale factor. */
+  def fitDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxSide) (w, h)
+    else (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
+  }
+
+  /** REAL nearest-neighbor resample of a decoded image to aspect-fit
+    * `maxSide`: output pixel (x, y) copies source pixel
+    * (⌊x·w/w'⌋, ⌊y·h/h'⌋). Our own integer loop rather than
+    * `Graphics2D.drawImage` — AWT's scaler is implementation-defined
+    * (interpolation, rounding), so its pixels are not reproducible across
+    * JVMs; nearest-neighbor with floor arithmetic is, which is what makes
+    * the resize oracle-able. */
+  def resizeNearest(
+      img: java.awt.image.BufferedImage,
+      maxSide: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val (dw, dh) = fitDims(w, h, maxSide)
+    if (dw == w && dh == h) img
+    else {
+      val out = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dh) {
+        val sy = y * h / dh
+        var x = 0
+        while (x < dw) {
+          out.setRGB(x, y, img.getRGB(x * w / dw, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Partition-local decode + aspect-fit resize: one decoder per partition
+    * ([[decodePartitions]]'s distribution shape — binary payloads never
+    * shuffle, the resize is a row-local pass). Non-decodable payloads are
+    * SKIPPED (a resize of undecodable bytes has no meaning — unlike
+    * [[decodePartitions]], there is no pseudo fallback to resize).
+    * Input: (id: Long, content: binary). */
+  def resizePartitions(
+      df: DataFrame,
+      id: Column,
+      content: Column,
+      maxSide: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), content.cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (i, bytes) =>
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val out = resizeNearest(img, maxSide)
+            val dw = out.getWidth
+            val dh = out.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                sum += (1L + x + y.toLong * dw) * (out.getRGB(x, y) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            Some(ResizedMedia(i, img.getWidth, img.getHeight, dw, dh, sum))
+          }
+        }
+      }
+  }
+
   /** Decoded-audio record produced by the partition-local audio path.
     * `amp_sum`/`sq_sum` are integer-exact PCM statistics (sum of |s| and of
     * s², both over all interleaved 16-bit samples) so an oracle can replay

@@ -770,6 +770,70 @@ object Oracles {
         |  CAST(3 AS INTEGER) AS bands
         |FROM documents""".stripMargin,
 
+    // the Spark side PNG-encodes doc_id-seeded pixels, ImageIO-decodes,
+    // and nearest-neighbor-resamples to aspect-fit maxSide 4; the oracle
+    // replays source dims, the integer aspect-fit, the floor-arithmetic
+    // source-pixel lookup, and the position-weighted checksum of the
+    // resized grid — only a byte-exact decode → resample chain matches
+    "multimodal_resize_real" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS id, doc_id % 7 + 1 AS w, doc_id % 5 + 1 AS h
+        |  FROM documents),
+        |dst AS (
+        |  SELECT id, w, h,
+        |    CASE WHEN greatest(w, h) <= 4 THEN w
+        |         ELSE greatest(1, (w * 4) // greatest(w, h)) END AS dw,
+        |    CASE WHEN greatest(w, h) <= 4 THEN h
+        |         ELSE greatest(1, (h * 4) // greatest(w, h)) END AS dh
+        |  FROM dims),
+        |px AS (
+        |  SELECT id, w, h, dw, dh, x, y,
+        |    (x * w) // dw AS sx, (y * h) // dh AS sy
+        |  FROM dst,
+        |    LATERAL (SELECT unnest(range(dw)) AS x),
+        |    LATERAL (SELECT unnest(range(dh)) AS y)),
+        |chk AS (
+        |  SELECT id, any_value(w) AS w, any_value(h) AS h, dw, dh,
+        |    sum((1 + x + y * dw)
+        |      * ((id * 2654435761 + sx * 7 + sy * 131) & 16777215)) AS c
+        |  FROM px GROUP BY id, dw, dh)
+        |SELECT id AS doc_id,
+        |  CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+        |  CAST(dw AS INTEGER) AS resized_w, CAST(dh AS INTEGER) AS resized_h,
+        |  CAST(c AS BIGINT) AS checksum
+        |FROM chk""".stripMargin,
+
+    // the Spark side synthesizes real binary payloads (byte j =
+    // (doc_id + j*7) mod 256, length 64 + doc_id mod 192), slices them
+    // with sampleSlices (4 evenly spaced 16-byte ranges), and checksums
+    // each REAL slice with the codegen'd byte_sum expression; the oracle
+    // replays positions and sums from the content formula
+    "frame_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 192 AS BIGINT) AS len
+        |  FROM documents),
+        |sl AS (
+        |  SELECT doc_id, len, i AS slice_idx,
+        |    CAST(floor(i * greatest(len - 16, 1) / 3.0) + 1 AS BIGINT)
+        |      AS start_pos
+        |  FROM base, LATERAL (SELECT unnest(range(4)) AS i)),
+        |sl2 AS (
+        |  SELECT doc_id, slice_idx, start_pos,
+        |    greatest(0, least(16, len - start_pos + 1)) AS slice_len
+        |  FROM sl),
+        |sums AS (
+        |  SELECT doc_id, slice_idx, start_pos, slice_len,
+        |    coalesce(sum((doc_id + (start_pos - 1 + j) * 7) % 256), 0)
+        |      AS byte_sum
+        |  FROM sl2
+        |    LEFT JOIN LATERAL (SELECT unnest(range(slice_len)) AS j) ON true
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(slice_idx AS INTEGER) AS slice_idx,
+        |  CAST(start_pos AS INTEGER) AS start_pos,
+        |  CAST(slice_len AS INTEGER) AS slice_len,
+        |  CAST(byte_sum AS BIGINT) AS byte_sum
+        |FROM sums""".stripMargin,
+
     // the Spark side ENCODES a real WAV per doc (PCM synthesized from doc_id
     // arithmetic) and decodes it back with the real javax.sound decoder; the
     // oracle replays the synthesis — header fields AND exact PCM statistics

@@ -161,4 +161,53 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.id).map(d => (d.id, d.width, d.height, d.features.toSeq))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("resizeNearest: aspect-fit dims, exact nearest-neighbor pixels, no upscale") {
+    // 6x3 gradient -> maxSide 4 => 4x2; out(x,y) = src(x*6/4, y*3/2)
+    val img = new BufferedImage(6, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 6) img.setRGB(x, y, x * 16 + y * 256)
+    val out = Multimodal.resizeNearest(img, 4)
+    assert(out.getWidth === 4 && out.getHeight === 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val sx = x * 6 / 4
+      val sy = y * 3 / 2
+      assert((out.getRGB(x, y) & 0xffffff) === (sx * 16 + sy * 256),
+        s"out($x,$y) must copy src($sx,$sy)")
+    }
+    // already within bound: same instance, untouched dims (never upscale)
+    val small = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.resizeNearest(small, 4) eq small)
+    // degenerate aspect: 100x1 -> 4x1, height floored at 1
+    assert(Multimodal.fitDims(100, 1, 4) === ((4, 1)))
+    assert(Multimodal.fitDims(1, 100, 4) === ((1, 4)))
+  }
+
+  test("resizePartitions: real decode -> resample, undecodable rows skipped") {
+    val df = Seq(
+      (1L, png(8, 4, 0x123456)),
+      (2L, png(2, 2, 0xabcdef)),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val out = Multimodal.resizePartitions(df, $"id", $"content", maxSide = 4)
+      .collect().map(r => r.id -> r).toMap
+    assert(!out.contains(3L), "undecodable payloads have no resize")
+    assert(out(1L).src_w === 8 && out(1L).src_h === 4)
+    assert(out(1L).resized_w === 4 && out(1L).resized_h === 2)
+    // constant-color image: checksum = rgb * sum(1 + x + y*w') over grid
+    val w = 4; val h = 2
+    val weights = (for (y <- 0 until h; x <- 0 until w) yield 1L + x + y.toLong * w).sum
+    assert(out(1L).checksum === 0x123456L * weights)
+    assert(out(2L).resized_w === 2 && out(2L).resized_h === 2, "no upscale")
+  }
+
+  test("byteSum: unsigned, empty-safe, codegen matches interpreted") {
+    import graft.functions.BinaryFunctions
+    val df = Seq(
+      (1L, Array[Byte](0, 1, 2, -1)), // -1 = 255 unsigned
+      (2L, Array.empty[Byte])).toDF("id", "b")
+    val got = df.select($"id", BinaryFunctions.byteSum($"b").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === (0 + 1 + 2 + 255).toLong)
+    assert(got(2L) === 0L)
+  }
 }
