@@ -47,7 +47,10 @@ object Bench {
     "poll_scan" -> 1.9, "q1_pricing" -> 0.75, "q3_shipping" -> 0.75,
     "q5_region" -> 0.85, "q6_forecast" -> 0.22, "q_window_rank" -> 0.33,
     "q_events_hourly" -> 0.26, "dedup_exact" -> 0.2, "dedup_minhash" -> 0.9,
-    "dedup_simhash" -> 0.65, "text_stats" -> 0.4, "lang_id" -> 0.2,
+    // lang_id 1.2: round 12 swapped the stopword heuristic (0.12 s) for
+    // the fitted Cavnar-Trenkle classifier; round 13's String-keyed
+    // classify measures 0.85-0.91 s solo at sf0.1 — band = solo + ~30%
+    "dedup_simhash" -> 0.65, "text_stats" -> 0.4, "lang_id" -> 1.2,
     "ann_brute" -> 0.25, "ann_srp" -> 0.35, "pipeline_clean" -> 0.9,
     "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
     "chunk_docs" -> 0.6, "gopher_filters" -> 0.6,

@@ -71,38 +71,33 @@ final class LangModel(
     if (langs.length == 0) return LangModel.Und
     val cp = s.toString.codePoints().toArray
     if (cp.length < n) return LangModel.Und
-    // one-pass occurrence counts over gram lengths 1..n
-    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    // one-pass occurrence counts over gram lengths 1..n — String keys
+    // (the rank maps' key type): ~3·|doc| gram occurrences per row, so a
+    // per-occurrence UTF8String re-encode on top of the String would be
+    // the hot path's dominant allocation
+    val counts = new java.util.HashMap[String, Array[Int]]()
     var k = 1
     while (k <= n) {
       var i = 0
       while (i <= cp.length - k) {
-        val g = UTF8String.fromString(new String(cp, i, k))
+        val g = new String(cp, i, k)
         val c = counts.get(g)
         if (c == null) counts.put(g, Array(1)) else c(0) += 1
         i += 1
       }
       k += 1
     }
-    // doc profile: rank by (count desc, gram asc — UTF8String.compareTo
-    // IS byte order, the oracle's varchar collation)
-    val grams = new Array[UTF8String](counts.size())
-    val it = counts.keySet().iterator()
-    var gi = 0
-    while (it.hasNext) { grams(gi) = it.next(); gi += 1 }
-    java.util.Arrays.sort(grams, new java.util.Comparator[UTF8String] {
-      def compare(a: UTF8String, b: UTF8String): Int = {
+    // doc profile: rank by (count desc, gram asc in UTF-8 BYTE order —
+    // the oracle's varchar collation; LangModel.utf8Order adjusts UTF-16
+    // surrogate ordering to match without materializing bytes)
+    val grams = counts.keySet().toArray(new Array[String](counts.size()))
+    java.util.Arrays.sort(grams, new java.util.Comparator[String] {
+      def compare(a: String, b: String): Int = {
         val d = counts.get(b)(0) - counts.get(a)(0)
-        if (d != 0) d else a.compareTo(b)
+        if (d != 0) d else LangModel.compareUtf8Order(a, b)
       }
     })
     val m = math.min(grams.length, topK)
-    // the doc's top-m grams as Strings ONCE (the rank maps key on
-    // String) — converting inside the language loop would re-decode
-    // each gram topK × |langs| times per row
-    val docGrams = new Array[String](m)
-    var d = 0
-    while (d < m) { docGrams(d) = grams(d).toString; d += 1 }
     // distances: Σ |rank_doc − rank_lang|, missing gram → topK
     var best = -1
     var bestDist = Long.MaxValue
@@ -112,7 +107,7 @@ final class LangModel(
       var dist = 0L
       var j = 0
       while (j < m) {
-        val r = ranks.get(docGrams(j))
+        val r = ranks.get(grams(j))
         dist += (if (r == null) topK.toLong else math.abs((j + 1).toLong - r.toLong))
         j += 1
       }
@@ -125,6 +120,29 @@ final class LangModel(
 
 object LangModel {
   private val Und = UTF8String.fromString("und")
+
+  /** Compare two Strings in UTF-8 BYTE order (= code-point order) without
+    * encoding: at the first differing UTF-16 unit, surrogates (which
+    * UTF-16 sorts below [0xE000, 0xFFFF]) are shifted above the BMP —
+    * Lucene's `compareUTF16InUTF8SortOrder` adjustment. */
+  def compareUtf8Order(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        if (ca >= 0xd800 || cb >= 0xd800)
+          return utf8Order(ca) - utf8Order(cb)
+        return ca - cb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def utf8Order(c: Char): Int =
+    if (c >= 0xd800) { if (c >= 0xe000) c - 0x800 else c + 0x2000 } else c
 }
 
 /** Codegen'd all-occurrences char n-grams over a StringType column — see

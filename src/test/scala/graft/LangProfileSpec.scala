@@ -74,4 +74,26 @@ class LangProfileSpec extends SparkSpec {
       .select(LangProfile.classify(m2, col("text"))).as[String].collect().toSeq
     assert(a === b, "row order of the fit input must not change the model")
   }
+
+  test("compareUtf8Order matches UTF-8 byte order, including surrogates") {
+    import graft.functions.LangModel.compareUtf8Order
+    import java.nio.charset.StandardCharsets.UTF_8
+    // supplementary char (surrogate pair) vs high-BMP char: UTF-16 unit
+    // order would sort the pair FIRST (0xD83D < 0xFFFD); byte order must
+    // sort it LAST
+    val sup = new String(Character.toChars(0x1F600)) // U+1F600, surrogate pair
+    val cases = Seq("a", "z", "\u00e9", "\ufffd", sup, "ab",
+      "a\ufffd", "a" + sup, "", "\ue000", "\ud7ff")
+    for (x <- cases; y <- cases) {
+      val byBytes = {
+        val ax = x.getBytes(UTF_8); val ay = y.getBytes(UTF_8)
+        val n = math.min(ax.length, ay.length)
+        var i = 0; var r = 0
+        while (i < n && r == 0) { r = (ax(i) & 0xff) - (ay(i) & 0xff); i += 1 }
+        if (r != 0) r else ax.length - ay.length
+      }
+      assert(Integer.signum(compareUtf8Order(x, y)) === Integer.signum(byBytes),
+        s"order of '$x' vs '$y'")
+    }
+  }
 }
