@@ -34,18 +34,35 @@ object LogReader {
     val to = fromOffset + max // exclusive
     // prune in-driver against the cached index — no Spark job; the poll
     // itself is then ONE job over just the intersecting files
-    val files = IndexCache.entries(spark, wh, topic)
+    val hits = IndexCache.entries(spark, wh, topic)
       .filter(e => e.isData && e.partition == partition &&
         e.endOffset >= fromOffset && e.baseOffset < to)
-      .map(_.file)
-    if (files.isEmpty) emptyLog(spark, wh, topic)
-    else
-      spark.read
+    if (hits.isEmpty) emptyLog(spark, wh, topic)
+    else {
+      // schema pinned (Schemas.record; `partition` resolves from the
+      // directory) — a poll is a point read, it must not pay a footer
+      // schema-inference pass per call
+      val slice = spark.read
         .option("basePath", wh.logDir(topic))
-        .parquet(files.toIndexedSeq: _*)
+        .schema(graft.core.Schemas.record)
+        .parquet(hits.map(_.file).toIndexedSeq: _*)
         .filter(col("offset") >= fromOffset && col("offset") < to)
-        .orderBy(col("offset"))
+      // a poll slice is bounded by `max` (and by the pruned files' record
+      // count, known from the index): sort it in ONE task instead of a
+      // range-exchange — a global orderBy shuffles every poll, pure fixed
+      // overhead for a micro-slice. Unbounded polls (pollAll-style max)
+      // over big windows keep the distributed sort.
+      val sliceRows = math.min(max, hits.map(_.count).sum)
+      if (sliceRows <= SinglePartitionSortRows)
+        slice.coalesce(1).sortWithinPartitions(col("offset"))
+      else slice.orderBy(col("offset"))
+    }
   }
+
+  /** Poll slices at or under this many rows sort in a single task (the
+    * slice is output-scale — it gets collected or appended either way);
+    * larger windows fall back to the distributed range sort. */
+  private val SinglePartitionSortRows = 1L << 22
 
   /** Kafka's `offsetsForTimes` analog: per partition, the earliest offset
     * whose record timestamp is at or after `tsMs` (empty entry when the
