@@ -44,7 +44,9 @@ object Bench {
     * scheduler jitter does not. */
   private val BAND: Map[String, Double] = Map(
     "ingest_append" -> 1.2, "ingest_bulk" -> 2.8, "ingest_parallel" -> 1.0,
-    "poll_scan" -> 1.9, "q1_pricing" -> 0.75, "q3_shipping" -> 0.75,
+    // poll_scan 1.6: round 13 pinned the read schema and single-task
+    // sorts bounded slices (1.28 s official, 78k rec/s)
+    "poll_scan" -> 1.6, "q1_pricing" -> 0.75, "q3_shipping" -> 0.75,
     "q5_region" -> 0.85, "q6_forecast" -> 0.22, "q_window_rank" -> 0.33,
     "q_events_hourly" -> 0.26, "dedup_exact" -> 0.2, "dedup_minhash" -> 0.9,
     // lang_id 1.2: round 12 swapped the stopword heuristic (0.12 s) for
@@ -62,7 +64,9 @@ object Bench {
     "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 3.2,
     "dsir_sample" -> 0.5,
     // round 10 additions (solo sf0.1 measurements + ~20% headroom)
-    "train_shards" -> 1.7, "lm_score_5gram" -> 3.2, "chunk_docs_bpe" -> 0.9)
+    "train_shards" -> 1.7, "lm_score_5gram" -> 3.2, "chunk_docs_bpe" -> 0.9,
+    // round 13 additions (solo sf0.1 measurements + headroom)
+    "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -204,7 +208,11 @@ object Bench {
       // stupid-backoff LM filter, and model-token-budgeted chunking
       "train_shards" -> (Queries.trainShards _),
       "lm_score_5gram" -> (Queries.lmScore5gram _),
-      "chunk_docs_bpe" -> (Queries.chunkDocsBpe _))
+      "chunk_docs_bpe" -> (Queries.chunkDocsBpe _),
+      // round 13: real image resize (decode -> nearest-neighbor resample
+      // -> pixel checksum) and byte-exact frame/slice sampling
+      "multimodal_resize_real" -> (Queries.multimodalResizeReal _),
+      "frame_sample" -> (Queries.frameSample _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass
