@@ -253,7 +253,20 @@ object Bench {
       materialize(probe())
       val tProbe = math.min(time(materialize(probe())), time(materialize(probe())))
       chunks.unpersist()
-      f""""curate_stages":{"front":$tFront%.3f,"probe":$tProbe%.3f}"""
+      // action-level split of ONE composed solo invocation: the fused
+      // verdict count (sign + probe + verify + within-batch self-join),
+      // the concurrent table appends, and the survivor materialization —
+      // the chain's real wall segments (it is one lazy plan; timing
+      // sub-frames would force extra actions and change the thing
+      // measured). Remainder vs the headline number = sink + harness.
+      val (_, stages) = graft.pipeline.StageTimers.capture {
+        materialize(Queries.curatePipeline(spark, sfDir))
+      }
+      val actionSplit = Seq("lsh_verdict", "lsh_append", "lsh_survivors")
+        .flatMap(k => stages.get(k).map(v => f""""$k":$v%.3f"""))
+        .mkString(",")
+      f""""curate_stages":{"front":$tFront%.3f,"probe":$tProbe%.3f""" +
+        (if (actionSplit.nonEmpty) s",$actionSplit}" else "}")
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

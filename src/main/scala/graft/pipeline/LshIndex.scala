@@ -234,7 +234,7 @@ object LshIndex {
       // within-batch self-join); both verdict sets are batch-bounded id
       // frames, persisted so the appends and the survivor projection below
       // read cached ids instead of re-running LSH subtrees per consumer
-      losers.count()
+      StageTimers.timed("lsh_verdict") { losers.count() }
       val survSh = cached(
         cleanSh.join(losers, col("id") === col("__loser"), "left_anti"))
       val survKeys =
@@ -243,7 +243,9 @@ object LshIndex {
       // second minhash pass over the batch text. The two tables are
       // independent sinks of cached frames: write them CONCURRENTLY so one
       // append's fixed stage/commit latency hides under the other's.
-      writeSignatures(survSh, survKeys, numShards, path, "append")
+      StageTimers.timed("lsh_append") {
+        writeSignatures(survSh, survKeys, numShards, path, "append")
+      }
       // lineage truncated: a composed pipeline stage downstream must not
       // embed (and re-walk, per AQE stage) this whole shared-DAG plan —
       // see PlanUtil.truncateLineage
@@ -254,7 +256,7 @@ object LshIndex {
       // materialize the survivor cache BEFORE dropping the intermediates
       // it was derived from, so the caller's sink reads cached rows
       // instead of re-running the probe
-      survivors.count()
+      StageTimers.timed("lsh_survivors") { survivors.count() }
       survivors
     } finally { toFree.foreach(_.unpersist()); () }
   }
