@@ -86,6 +86,8 @@ object SparkEntry {
     "chunk_docs_bpe" -> (Queries.chunkDocsBpe _),
     "curate_pipeline_spans" -> (Queries.curatePipelineSpans _),
     "curate_pipeline_dsir" -> (Queries.curatePipelineDsir _),
+    "curate_pipeline_decontam" -> (Queries.curatePipelineDecontam _),
+    "decontaminate_gate" -> (Queries.decontaminateGate _),
     "ppl_buckets_5gram" -> (Queries.pplBuckets5gram _),
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),

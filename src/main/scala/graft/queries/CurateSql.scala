@@ -139,6 +139,38 @@ object CurateSql {
        |    AND round(coalesce(dw.logw_raw, 0.0), 6) >= $DsirTau),
        |$lshTail""".stripMargin
 
+  /** [[curatePipelineSql]] with benchmark DECONTAMINATION composed in via
+    * `CurationConfig.extraFilter`: batch docs sharing ANY distinct word
+    * 5-gram (lowercased tokens, sub-5-token whole-text fallback — the
+    * `decontaminate` oracle's construction) with the `source = 'src0'`
+    * benchmark slice drop after gopher, before chunking. Gram membership
+    * replays on the gram STRINGS — the Spark gate compares FNV-1a 64
+    * fingerprints, identical up to 64-bit hash collisions (none at any
+    * tested scale). Corpus (index seed) side is unchanged. */
+  lazy val curatePipelineDecontamSql: String =
+    s"""WITH $gopherCtes,
+       |bg AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    generate_series(0, greatest(len(bt) - 5, 0)),
+       |    i -> array_to_string(bt[i + 1 : i + 5], ' ')))) AS g
+       |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS bt
+       |        FROM documents WHERE source = 'src0')),
+       |dirty AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(0, greatest(len(lt) - 5, 0)),
+       |      i -> array_to_string(lt[i + 1 : i + 5], ' ')))) AS g
+       |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS lt
+       |          FROM documents WHERE doc_id % 4 = 0))
+       |  WHERE g IN (SELECT g FROM bg)),
+       |ctoks AS (
+       |  SELECT doc_id, t FROM pass WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, t FROM pass
+       |  WHERE doc_id % 4 = 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |$lshTail""".stripMargin
+
   /** The FNV-1a 64 fold over the space-joined 5-gram at `pos` of token
     * list `t` — identical arithmetic to the dedup_spans oracle (and
     * [[graft.functions.TextFunctions.fingerprint64]]). */

@@ -91,6 +91,23 @@ object Oracles {
       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |  FROM d3) WHERE rn = 1""".stripMargin
 
+  /** Shared by `decontaminate` (broadcast gram join) and
+    * `decontaminate_gate` (row-local fingerprint gate): the two forms
+    * must produce identical overlap reports. */
+  private val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |    generate_series(0, greatest(len(t) - 5, 0)),
+      |    i -> array_to_string(t[i + 1: i + 5], ' '))) AS grams
+      |  FROM (SELECT doc_id, source,
+      |          string_split_regex(trim(lower(text)), '\s+') AS t
+      |        FROM documents)),
+      |bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE source = 'src0'),
+      |corpus AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE source <> 'src0')
+      |SELECT doc_id, count(*) AS n_overlap
+      |FROM corpus JOIN bench USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "ingest_offsets" ->
       """SELECT event_id,
@@ -939,19 +956,7 @@ object Oracles {
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> lbl)
         |ORDER BY doc_id""".stripMargin,
 
-    "decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, source, list_distinct(list_transform(
-        |    generate_series(0, greatest(len(t) - 5, 0)),
-        |    i -> array_to_string(t[i + 1: i + 5], ' '))) AS grams
-        |  FROM (SELECT doc_id, source,
-        |          string_split_regex(trim(lower(text)), '\s+') AS t
-        |        FROM documents)),
-        |bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE source = 'src0'),
-        |corpus AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE source <> 'src0')
-        |SELECT doc_id, count(*) AS n_overlap
-        |FROM corpus JOIN bench USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> decontaminateSql,
 
     // identical three-step MINSTD arithmetic: x <- x*48271 mod (2^31-1),
     // iterated 3x from (doc_id + 1 mod M) — exact integer math on both
@@ -1179,6 +1184,10 @@ object Oracles {
     "chunk_docs_bpe" -> BpeSql.chunkDocsBpeSql,
     "curate_pipeline_spans" -> CurateSql.curatePipelineSpansSql,
     "curate_pipeline_dsir" -> CurateSql.curatePipelineDsirSql,
+    "curate_pipeline_decontam" -> CurateSql.curatePipelineDecontamSql,
+    // the gate form must agree with the join form count-for-count — the
+    // SAME oracle text checks both
+    "decontaminate_gate" -> decontaminateSql,
     "ppl_buckets_5gram" -> LmSql.pplBuckets5gramSql,
 
     // IVF ANN: the deterministic Lloyd trainer replayed iteration by

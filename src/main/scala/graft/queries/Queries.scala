@@ -616,6 +616,71 @@ object Queries {
     }
   }
 
+  private val contamGates = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.ContamGate]()
+  private def contamGate(spark: SparkSession, dir: String) =
+    contamGates.computeIfAbsent(dir, _ =>
+      graft.pipeline.Contamination.fitGate(
+        t(spark, dir, "documents").filter(col("source") === "src0"),
+        col("text"), n = 5))
+
+  /** [[decontaminate]]'s overlap report computed by the ROW-LOCAL gate
+    * ([[graft.pipeline.Contamination.fitGate]] — benchmark gram
+    * fingerprints as a plan reference object, no join) instead of the
+    * broadcast gram join. SAME oracle as `decontaminate`: the two forms
+    * must agree doc for doc, count for count. */
+  def decontaminateGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val gate = contamGate(spark, dir)
+    docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        graft.pipeline.Contamination.overlapCount(col("text"), gate)
+          .cast("long").as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontamCurateState = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.pipeline.ContamGate)]()
+
+  /** [[curatePipeline]] with benchmark DECONTAMINATION composed in through
+    * the `extraFilter` hook: batch docs sharing ANY distinct word 5-gram
+    * with the benchmark slice (`source = 'src0'`) drop after the gopher
+    * verdict and before chunking. The gate is the row-local fingerprint
+    * set ([[graft.pipeline.Contamination.fitGate]]) — replay-pure by
+    * construction, so the pipeline's exactly-once argument composes
+    * unchanged. Own standing index (appends from the other composed
+    * queries must not leak into this one's probe base). Oracle
+    * [[CurateSql.curatePipelineDecontamSql]]. */
+  def curatePipelineDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (path, gate) = decontamCurateState.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-decon")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      LshIndex.build(curateChunks(docs.filter(col("doc_id") % 4 =!= 0)),
+        col("chunk_uid"), col("chunk_text"),
+        root.toString, shingleSize = 5, numHashes = 128, bands = 16)
+      (root.toString, contamGate(spark, dir))
+    })
+    graft.streaming.Curation.curateBatch(spark, path,
+      docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"),
+      curateCfg.copy(extraFilter = Some(
+        graft.pipeline.Contamination.overlapCount(col("text"), gate) === 0))) {
+      survivors =>
+        val out = survivors
+          .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+            col("n_tokens"), col("chunk_text"))
+          .orderBy("chunk_uid")
+        val rows = out.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+    }
+  }
+
   private val spanCurateIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 

@@ -51,6 +51,40 @@ class SamplingGraphsSpec extends SparkSpec {
     assert(clean == Set(1L, 3L))
   }
 
+  test("row-local contamination gate agrees with the join form exactly") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "tiny"), // sub-5-token doc: whole text is its one gram
+      (102L, "")) // empty doc: one empty gram
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "completely unrelated sentence about spark partitions and shuffles"),
+      (2L, "he said The QUICK brown fox jumps over the lazy dog tonight again"),
+      (3L, "tiny"), // whole-text gram hits the benchmark's whole-text gram
+      (4L, ""),
+      (5L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val gate = Contamination.fitGate(bench, col("text"), n = 5)
+    val got = corpus
+      .select(col("doc_id"),
+        Contamination.overlapCount(col("text"), gate).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val joined = Contamination.overlapReport(
+        corpus, col("doc_id"), col("text"), bench, col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    // the join form reports only overlapping docs; the gate reports 0
+    assert(got.filter(_._2 > 0).map { case (k, v) => k -> v.toLong } === joined)
+    assert(got(1L) === 0)
+    assert(got(2L) >= 5, "case-insensitive verbatim span must hit")
+    assert(got(3L) === 1 && got(4L) === 1)
+    // composable as a replay-pure extraFilter: a plain filter keeps
+    // exactly the clean docs
+    val kept = corpus
+      .filter(Contamination.overlapCount(col("text"), gate) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
   test("stratified sample is deterministic and respects rate 0 and 1") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "s")
