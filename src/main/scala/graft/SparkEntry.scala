@@ -92,6 +92,7 @@ object SparkEntry {
     "ann_brute" -> (Queries.annBrute _),
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),
+    "ann_pq" -> (Queries.annPq _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),

@@ -26,6 +26,11 @@ object VectorFunctions {
     * results are bit-identical to the fold (and to the DuckDB oracle's
     * `list_sum(list_transform(...))`), without the zipped intermediate
     * array the built-in composition allocates per pair. */
+  /** Element-wise 6-dp rounding to `array<double>`, codegen'd — see
+    * [[RoundVec6Expression]]. */
+  def roundVec6(v: Column): Column =
+    GraftInternal.column(RoundVec6Expression(GraftInternal.expression(v)))
+
   def dotD(a: Column, b: Column): Column =
     GraftInternal.column(
       DotProductDoubleExpression(GraftInternal.expression(a), GraftInternal.expression(b)))
@@ -249,4 +254,51 @@ case class SrpBucketExpression(child: Expression, nBits: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorFunctions.srp($c, $nBits)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd element-wise 6-dp rounding of a float/double array to
+  * `array<double>` — the float-contract projection every fitted-model
+  * consumer applies before distances. Bit-identical to
+  * `transform(v, x -> round(cast(x as double), 6))` (same
+  * BigDecimal-HALF_UP path as Spark's Round), but `transform` is a
+  * CodegenFallback higher-order function that ejects the projection from
+  * whole-stage codegen — this is the repo's one-pass expression form of
+  * the same arithmetic (the hot encode path at scale). */
+case class RoundVec6Expression(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "round_vec6"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RoundVec6Expression.eval(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RoundVec6Expression.eval($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RoundVec6Expression {
+  def eval(v: ArrayData, isFloat: Boolean):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val d = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      // Spark's Round(DoubleType): BigDecimal HALF_UP at scale 6
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -1194,6 +1194,7 @@ object Oracles {
     // iteration (assign / collect-in-id-order / fold-update), float-cast
     // centroids, ordered-fold cosines — see IvfSql
     "ann_ivf" -> IvfSql.annIvfSql,
+    "ann_pq" -> PqSql.annPqSql,
 
     // MinHash / SimHash LSH dedup: FNV-based signatures, band folds, and
     // bucket joins unrolled in exact HUGEINT SQL — see LshSql

@@ -1031,6 +1031,28 @@ object Queries {
     Similarity.ivfTopK(queries, corpus, 5, nCells = 8, nProbe = 3)
   }
 
+  private val pqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.Pq.Model]()
+
+  /** Product-quantization ANN ([[graft.pipeline.Pq]]): per-subspace
+    * codebooks fit once per corpus, vectors encoded to m=8 4-bit-range
+    * codes, top-5 by the ADC scan (per-query LUTs as ONE plan reference
+    * object — the scan reads codes, never vectors). Fully oracled:
+    * [[PqSql.annPqSql]] replays fit + encode + LUT + ADC in one
+    * statement. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = pqModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.Pq.fit(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = PqSql.M, ksub = PqSql.Ksub, iters = 2))
+    val codes = graft.pipeline.Pq.encode(
+      emb, col("vec_id"), col("embedding"), model)
+    graft.pipeline.Pq.adcTopK(
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        codes, model, PqSql.TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Pre-dedup text normalization ([[graft.functions.TextFunctions
     * .normalizeText]]): NFC, control-char strip, whitespace collapse,
     * trim — one codegen'd chain on the scan. Oracle replays it with
