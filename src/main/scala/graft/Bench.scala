@@ -66,7 +66,8 @@ object Bench {
     // round 10 additions (solo sf0.1 measurements + ~20% headroom)
     "train_shards" -> 1.7, "lm_score_5gram" -> 3.2, "chunk_docs_bpe" -> 0.9,
     // round 13 additions (solo sf0.1 measurements + headroom)
-    "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5)
+    "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
+    "ann_pq" -> 1.0)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -212,7 +213,9 @@ object Bench {
       // round 13: real image resize (decode -> nearest-neighbor resample
       // -> pixel checksum) and byte-exact frame/slice sampling
       "multimodal_resize_real" -> (Queries.multimodalResizeReal _),
-      "frame_sample" -> (Queries.frameSample _))
+      "frame_sample" -> (Queries.frameSample _),
+      // product-quantization ANN: codes-only ADC scan (fit cached)
+      "ann_pq" -> (Queries.annPq _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

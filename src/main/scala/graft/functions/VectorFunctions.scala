@@ -276,27 +276,32 @@ case class RoundVec6Expression(child: Expression)
   }
 
   override def nullSafeEval(input: Any): Any =
-    RoundVec6Expression.eval(input.asInstanceOf[ArrayData], isFloat)
+    RoundVec6Expression.round6(input.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RoundVec6Expression.eval($c, $isFloat)")
+      s"graft.functions.RoundVec6Expression.round6($c, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object RoundVec6Expression {
-  def eval(v: ArrayData, isFloat: Boolean):
+  // NOT named `eval`: the companion class inherits eval(InternalRow), so
+  // scalac would skip the static forwarder codegen calls through.
+  def round6(v: ArrayData, isFloat: Boolean):
       org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = v.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
       val d = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-      // Spark's Round(DoubleType): BigDecimal HALF_UP at scale 6
-      out(i) = java.math.BigDecimal.valueOf(d)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Spark's Round(DoubleType): NaN/±Inf pass through, else
+      // BigDecimal HALF_UP at scale 6
+      out(i) =
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+        else java.math.BigDecimal.valueOf(d)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

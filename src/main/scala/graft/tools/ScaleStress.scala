@@ -122,7 +122,8 @@ object ScaleStress {
       // n count aggregations (Zipf-pruned above order 1) + scoring joins;
       // the byte-gated broadcast fallback is the 100x story — at 32x the
       // pruned tables still broadcast and growth should stay ~linear
-      "lm_score_5gram" -> (Queries.lmScore5gram _))
+      "lm_score_5gram" -> (Queries.lmScore5gram _),
+      "ann_pq" -> (Queries.annPq _))
     linear.foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))

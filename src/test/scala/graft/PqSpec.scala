@@ -15,6 +15,23 @@ class PqSpec extends SparkSpec {
   private lazy val model =
     Pq.fit(emb, col("vec_id"), col("embedding"), dim = 64, m = 8, ksub = 256)
 
+  test("round_vec6 matches transform(round(cast)) exactly, incl. NaN/Inf") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Seq(1.2345675, -0.0000005, 3.14159265, 0.0)),
+      (2L, Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 1e-7)))
+      .toDF("id", "v")
+    val both = df.select(
+        VectorFunctions.roundVec6($"v").as("a"),
+        transform($"v", x => round(x.cast("double"), 6)).as("b"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    both.foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.compare(x, y) === 0, s"$x vs $y") // NaN-safe
+      }
+    }
+  }
+
   test("fit: m codebooks of ksub centroids of dsub dims, 9-dp means") {
     assert(model.centroids.length === 8)
     assert(model.centroids.forall(_.length === 256))
