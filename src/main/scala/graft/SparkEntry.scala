@@ -93,6 +93,7 @@ object SparkEntry {
     "ann_srp" -> (Queries.annSrp _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_pq" -> (Queries.annPq _),
+    "ann_ivfpq" -> (Queries.annIvfPq _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),

@@ -18,6 +18,21 @@ object PqFunctions {
   def pqAdc(codes: Column, ksub: Int, luts: Array[Array[Double]]): Column =
     GraftInternal.column(PqAdcExpression(
       GraftInternal.expression(codes), ksub, luts.map(_.toIndexedSeq).toIndexedSeq))
+
+  /** Cell-aware ADC for IVF-PQ ([[graft.pipeline.IvfPq]]): per row
+    * (codes, cell), the ADC distance to every query whose probe list
+    * contains `cell`, null otherwise — `lutByCell(q)(cell)` is the
+    * query's flat residual LUT for that cell (empty = not probed). One
+    * plan reference object; rows outside every probe list cost one
+    * array-null write per query. */
+  def ivfPqAdc(
+      codes: Column,
+      cell: Column,
+      ksub: Int,
+      lutByCell: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    GraftInternal.column(IvfPqAdcExpression(
+      GraftInternal.expression(codes), GraftInternal.expression(cell),
+      ksub, lutByCell))
 }
 
 /** See [[PqFunctions.pqAdc]]. */
@@ -46,6 +61,78 @@ case class PqAdcExpression(
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** See [[PqFunctions.ivfPqAdc]]. */
+case class IvfPqAdcExpression(
+    left: Expression,
+    right: Expression,
+    ksub: Int,
+    lutByCell: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "ivf_pq_adc"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(left, right, ksub,
+      s"luts[${lutByCell.length}x${lutByCell.headOption.map(_.length).getOrElse(0)}]")
+
+  @transient private lazy val table = new IvfPqAdcTable(
+    lutByCell.map(_.map(l => if (l.isEmpty) null else l.toArray).toArray).toArray,
+    ksub)
+
+  override def nullSafeEval(codes: Any, cell: Any): Any =
+    table.adc(codes.asInstanceOf[ArrayData], cell.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPqAdcTable", table,
+      classOf[IvfPqAdcTable].getName)
+    defineCodeGen(ctx, ev, (c, cl) => s"$ref.adc($c, $cl)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-query, per-cell flat LUT holder callable from generated code —
+  * `lutByCell(q)(cell)` null when query q does not probe `cell`. Same
+  * loud-failure contract as [[PqAdcTable]]. */
+final class IvfPqAdcTable(lutByCell: Array[Array[Array[Double]]], ksub: Int)
+    extends Serializable {
+  def adc(codes: ArrayData, cell: Int): GenericArrayData = {
+    val m = codes.numElements()
+    val nq = lutByCell.length
+    val out = new Array[Any](nq)
+    var q = 0
+    while (q < nq) {
+      val byCell = lutByCell(q)
+      if (cell < 0 || cell >= byCell.length)
+        throw new IllegalArgumentException(
+          s"ivf_pq_adc: cell $cell out of [0,${byCell.length})")
+      val lut = byCell(cell)
+      if (lut == null) out(q) = null
+      else {
+        if (lut.length != m * ksub)
+          throw new IllegalArgumentException(
+            s"ivf_pq_adc: $m codes against a ${lut.length / ksub}-subspace LUT")
+        var s = 0.0
+        var j = 0
+        while (j < m) {
+          val c = codes.getInt(j)
+          if (c < 0 || c >= ksub)
+            throw new IllegalArgumentException(
+              s"ivf_pq_adc: code $c out of [0,$ksub)")
+          s += lut(j * ksub + c)
+          j += 1
+        }
+        out(q) = s
+      }
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Flat LUT holder callable from generated code. Malformed codes fail

@@ -42,6 +42,17 @@ object VectorFunctions {
     GraftInternal.column(
       CosineExpression(GraftInternal.expression(a), GraftInternal.expression(b)))
 
+  /** Residual against a fitted centroid table: `v - centroids(cell)`,
+    * element-wise raw IEEE subtraction (exactly replayable in SQL as
+    * `v[i] - c[i]` — both engines subtract identical doubles). The
+    * IVF-PQ encode step ([[graft.pipeline.IvfPq]]): quantize the
+    * residual, not the vector. */
+  def centroidResidual(
+      v: Column, cell: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftInternal.column(CentroidResidualExpression(
+      GraftInternal.expression(v), GraftInternal.expression(cell),
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
+
   /** Sign bits of `nBits` fixed random-hyperplane projections, packed into a
     * long — the SRP-LSH bucket key for cosine similarity (Charikar 2002).
     * Hyperplane components are deterministic pseudo-randoms derived from
@@ -208,6 +219,62 @@ final class CentroidTable(flat: Array[Double], k: Int, dim: Int)
     }
     best
   }
+
+  /** `v - centroid(cell)`, raw IEEE element subtraction (see
+    * [[VectorFunctions.centroidResidual]]). Same loud-failure contract
+    * as [[argmin]]. */
+  def residual(v: ArrayData, cell: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid_residual: vector has ${v.numElements()} elements, " +
+          s"centroids have dim $dim")
+    if (cell < 0 || cell >= k)
+      throw new IllegalArgumentException(
+        s"centroid_residual: cell $cell out of [0,$k)")
+    val off = cell * dim
+    val out = new Array[Any](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"centroid_residual: null element at index $i")
+      out(i) = v.getDouble(i) - flat(off + i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd residual against a centroid table — see
+  * [[VectorFunctions.centroidResidual]]. */
+case class CentroidResidualExpression(
+    left: Expression,
+    right: Expression,
+    centroids: IndexedSeq[IndexedSeq[Double]]) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(left, right,
+      s"centroids[${centroids.length}x${centroids.headOption.map(_.length).getOrElse(0)}]")
+
+  @transient private lazy val table = new CentroidTable(
+    centroids.flatten.toArray, centroids.length,
+    centroids.headOption.map(_.length).getOrElse(0))
+
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    table.residual(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidTable", table,
+      classOf[CentroidTable].getName)
+    defineCodeGen(ctx, ev, (v, c) => s"$ref.residual($v, $c)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd nearest-centroid assignment — see

@@ -1195,6 +1195,7 @@ object Oracles {
     // centroids, ordered-fold cosines — see IvfSql
     "ann_ivf" -> IvfSql.annIvfSql,
     "ann_pq" -> PqSql.annPqSql,
+    "ann_ivfpq" -> IvfPqSql.annIvfPqSql,
 
     // MinHash / SimHash LSH dedup: FNV-based signatures, band folds, and
     // bucket joins unrolled in exact HUGEINT SQL — see LshSql

@@ -1053,6 +1053,30 @@ object Queries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.IvfPq.Model]()
+
+  /** IVF-PQ ANN ([[graft.pipeline.IvfPq]] — the IVFADC scheme, Jégou et
+    * al. TPAMI 2011 §IV): coarse cells + product-quantized RESIDUALS;
+    * each query ADC-scans the codes of its `nProbe` nearest cells only
+    * (cell filter BEFORE the projection — a partition prune when codes
+    * are cell-partitioned). Fully oracled: [[IvfPqSql.annIvfPqSql]]
+    * replays coarse fit + residuals + subspace fit + probe + LUT + ADC
+    * in one statement. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = ivfPqModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.IvfPq.fit(emb, col("vec_id"), col("embedding"),
+        dim = IvfPqSql.Dim, nCells = IvfPqSql.NCells, m = IvfPqSql.M,
+        ksub = IvfPqSql.Ksub, iters = 2))
+    val codes = graft.pipeline.IvfPq.encode(
+      emb, col("vec_id"), col("embedding"), model)
+    graft.pipeline.IvfPq.adcTopK(
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        codes, model, nProbe = IvfPqSql.NProbe, k = IvfPqSql.TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Pre-dedup text normalization ([[graft.functions.TextFunctions
     * .normalizeText]]): NFC, control-char strip, whitespace collapse,
     * trim — one codegen'd chain on the scan. Oracle replays it with
