@@ -67,7 +67,7 @@ object Bench {
     "train_shards" -> 1.7, "lm_score_5gram" -> 3.2, "chunk_docs_bpe" -> 0.9,
     // round 13 additions (solo sf0.1 measurements + headroom)
     "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
-    "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0)
+    "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -217,7 +217,9 @@ object Bench {
       // product-quantization ANN: codes-only ADC scan (fit cached)
       "ann_pq" -> (Queries.annPq _),
       // IVF-PQ: residual codes, probed cells only (fit cached)
-      "ann_ivfpq" -> (Queries.annIvfPq _))
+      "ann_ivfpq" -> (Queries.annIvfPq _),
+      // trained quality filter: row-local scoring scan (fit cached)
+      "qfilter_score" -> (Queries.qfilterScore _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

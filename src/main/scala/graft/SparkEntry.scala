@@ -65,6 +65,8 @@ object SparkEntry {
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "text_stats" -> (Queries.textStats _),
     "quality_score" -> (Queries.qualityScore _),
+    "qfilter_weights" -> (Queries.qfilterWeights _),
+    "qfilter_score" -> (Queries.qfilterScore _),
     "lang_id" -> (Queries.langId _),
     "pipeline_clean" -> (Queries.pipelineClean _),
     "offsets_for_times" -> (Queries.offsetsForTimes _),

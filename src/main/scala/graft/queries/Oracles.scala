@@ -1197,6 +1197,12 @@ object Oracles {
     "ann_pq" -> PqSql.annPqSql,
     "ann_ivfpq" -> IvfPqSql.annIvfPqSql,
 
+    // trained quality filter: 30 GD iterations unrolled (rational
+    // hard-sigmoid link, DECIMAL gradient sums, 9-dp weight updates) —
+    // see QfilterSql
+    "qfilter_weights" -> QfilterSql.qfilterWeightsSql,
+    "qfilter_score" -> QfilterSql.qfilterScoreSql,
+
     // MinHash / SimHash LSH dedup: FNV-based signatures, band folds, and
     // bucket joins unrolled in exact HUGEINT SQL — see LshSql
     "dedup_incremental" -> LshSql.dedupIncrementalSql,

@@ -772,6 +772,47 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.qualityScore(col("text")).as("quality"))
 
+  private val qfilterModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.QualityClassifier.Model]()
+
+  /** The trained quality filter's model, fitted once per input dir:
+    * provenance-seeded labels (positives = the curated seed sources
+    * src0..src9, the fastText-filter setup), 30 full-batch GD
+    * iterations ([[graft.pipeline.QualityClassifier.fit]] — each ONE
+    * map-side-combined aggregate). */
+  private def qfilterModel(
+      spark: SparkSession, dir: String): graft.pipeline.QualityClassifier.Model =
+    qfilterModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.QualityClassifier.fit(
+        t(spark, dir, "documents"),
+        graft.pipeline.QualityClassifier.features(col("text")),
+        when(substring(col("source"), 4, 8).cast("int") < 10, 1.0)
+          .otherwise(0.0),
+        iters = QfilterSql.Iters, lr = 0.5))
+
+  /** The trained weights themselves (one row per feature, 1-based index)
+    * — the oracle replays all 30 GD iterations in SQL and must land on
+    * bit-identical doubles. */
+  def qfilterWeights(spark: SparkSession, dir: String): DataFrame = {
+    val m = qfilterModel(spark, dir)
+    import spark.implicits._
+    m.weights.zipWithIndex
+      .map { case (w, i) => (i + 1, w) }.toDF("j", "weight")
+      .orderBy(col("j"))
+  }
+
+  /** Every document scored by the trained filter — one row-local
+    * codegen'd projection, weights as plan literals (no join, no model
+    * table); keep = score ≥ 0.5. */
+  def qfilterScore(spark: SparkSession, dir: String): DataFrame = {
+    val m = qfilterModel(spark, dir)
+    val Q = graft.pipeline.QualityClassifier
+    val p = Q.q(Q.score(Q.features(col("text")), m), 6)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), p.as("score"), (p >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   private val langModels = new java.util.concurrent.ConcurrentHashMap[
     String, graft.functions.LangModel]()
 
