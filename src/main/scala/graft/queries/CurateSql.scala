@@ -171,6 +171,36 @@ object CurateSql {
        |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
        |$lshTail""".stripMargin
 
+  /** The `extraFilter` hook's threshold in the trained-quality-filter
+    * composed query: keep batch docs whose q6 classifier score is ≥ 0.5
+    * (the `qfilter_score` keep convention). Shared by the Spark query
+    * and the oracle so both sides decide the boundary on identical
+    * doubles. */
+  val QfTau: Double = 0.5
+
+  /** [[curatePipelineSql]] with the TRAINED quality filter composed in
+    * via `CurationConfig.extraFilter`: the [[QfilterSql]] GD chain
+    * trains on the full corpus (provenance-seeded labels), and batch
+    * docs must pass gopher AND score ≥ [[QfTau]] before they chunk; the
+    * corpus (index seed) side is unchanged — the standing index
+    * predates the model. The score is the row-local q6 hard-sigmoid
+    * over the trained weights, replay-pure by construction (the hook's
+    * exactly-once contract). */
+  lazy val curatePipelineQfilterSql: String =
+    s"""WITH ${QfilterSql.chain},
+       |qsc AS MATERIALIZED (
+       |  SELECT b.doc_id,
+       |    floor((${QfilterSql.pExpr("w.w")}) * 1000000.0 + 0.5) / 1000000.0 AS p
+       |  FROM base b CROSS JOIN w${QfilterSql.Iters} w),
+       |$gopherCtes,
+       |ctoks AS (
+       |  SELECT doc_id, t FROM pass WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT p.doc_id, p.t
+       |  FROM pass p JOIN qsc q ON q.doc_id = p.doc_id
+       |  WHERE p.doc_id % 4 = 0 AND q.p >= $QfTau),
+       |$lshTail""".stripMargin
+
   /** The FNV-1a 64 fold over the space-joined 5-gram at `pos` of token
     * list `t` — identical arithmetic to the dedup_spans oracle (and
     * [[graft.functions.TextFunctions.fingerprint64]]). */

@@ -1185,6 +1185,7 @@ object Oracles {
     "curate_pipeline_spans" -> CurateSql.curatePipelineSpansSql,
     "curate_pipeline_dsir" -> CurateSql.curatePipelineDsirSql,
     "curate_pipeline_decontam" -> CurateSql.curatePipelineDecontamSql,
+    "curate_pipeline_qfilter" -> CurateSql.curatePipelineQfilterSql,
     // the gate form must agree with the join form count-for-count — the
     // SAME oracle text checks both
     "decontaminate_gate" -> decontaminateSql,

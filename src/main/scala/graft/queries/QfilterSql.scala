@@ -51,7 +51,7 @@ object QfilterSql {
     (1 to D).map(j => s"$xa[$j] * $wa[$j]").mkString(" + ")
 
   /** p = clamp(0.25·(w·x) + 0.5, 0, 1) over `base` with weights `wk`. */
-  private def pExpr(wa: String): String =
+  private[queries] def pExpr(wa: String): String =
     s"least(greatest((${dot("b.x", wa)}) * 0.25 + 0.5, 0.0), 1.0)"
 
   private def iteration(k: Int): String = {
@@ -73,7 +73,7 @@ object QfilterSql {
        |  FROM g$k g CROSS JOIN w${k - 1} w)""".stripMargin
   }
 
-  private lazy val chain: String =
+  private[queries] lazy val chain: String =
     (base +: (1 to Iters).map(iteration)).mkString(",\n")
 
   /** The trained weights, one row per feature index (1-based). */

@@ -681,6 +681,52 @@ object Queries {
     }
   }
 
+  private val qfilterCurateIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[curatePipeline]] with the TRAINED quality filter composed in
+    * through the `extraFilter` hook: the [[graft.pipeline
+    * .QualityClassifier]] model (fit on the full corpus with
+    * provenance-seeded labels — the same fit as [[qfilterScore]]) gates
+    * batch docs at q6 score ≥ [[CurateSql.QfTau]] after the gopher
+    * verdict and before chunking. The score is one row-local codegen'd
+    * expression with the weights as plan literals — replay-pure by
+    * construction, the exactly-once contract the hook documents. Own
+    * standing index (appends from other composed queries must not leak
+    * into this probe base). Oracle
+    * [[CurateSql.curatePipelineQfilterSql]] replays GD training + the
+    * whole composition in one statement. */
+  def curatePipelineQfilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = qfilterCurateIndexes.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-qf")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      LshIndex.build(curateChunks(docs.filter(col("doc_id") % 4 =!= 0)),
+        col("chunk_uid"), col("chunk_text"),
+        root.toString, shingleSize = 5, numHashes = 128, bands = 16)
+      root.toString
+    })
+    val m = qfilterModel(spark, dir)
+    val Q = graft.pipeline.QualityClassifier
+    graft.streaming.Curation.curateBatch(spark, path,
+      docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"),
+      curateCfg.copy(extraFilter = Some(
+        Q.q(Q.score(Q.features(col("text")), m), 6)
+          >= lit(CurateSql.QfTau)))) { survivors =>
+      val out = survivors
+        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+          col("n_tokens"), col("chunk_text"))
+        .orderBy("chunk_uid")
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    }
+  }
+
   private val spanCurateIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
