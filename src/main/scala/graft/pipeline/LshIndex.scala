@@ -86,22 +86,29 @@ object LshIndex {
     * disjoint directories, so the writes run CONCURRENTLY — in a
     * streaming trigger each append's fixed stage-launch + commit latency
     * hides under the other's. */
+  /** `singleTask` (the APPEND shape): a micro-batch's signature rows are
+    * batch-scale, so `coalesce(1)` collapses each table's write to one
+    * task (the dynamic-partition writer still emits one file per hit
+    * shard) and skips the `repartition(shard)` exchange — two whole
+    * shuffle stages of pure fixed overhead per batch. The corpus-scale
+    * [[build]] keeps the exchange: there one task per shard is the
+    * parallelism, not the overhead. */
   private def writeSignatures(
       sh: DataFrame, keys: DataFrame, numShards: Int,
-      path: String, mode: String): Unit = {
+      path: String, mode: String, singleTask: Boolean = false): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    def shaped(df: DataFrame): DataFrame =
+      if (singleTask) df.coalesce(1) else df.repartition(col("shard"))
     val wSh = Future {
-      sh.withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int"))
-        .repartition(col("shard"))
+      shaped(sh.withColumn("shard",
+          pmod(col("id"), lit(numShards.toLong)).cast("int")))
         .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
     }
     val wKeys = Future {
-      keys
-        .withColumn("shard",
-          pmod(col("bucket"), lit(numShards.toLong)).cast("int"))
-        .repartition(col("shard"))
+      shaped(keys.withColumn("shard",
+          pmod(col("bucket"), lit(numShards.toLong)).cast("int")))
         .write.mode(mode).partitionBy("shard").parquet(s"$path/buckets")
     }
     Await.result(wSh.zip(wKeys), Duration.Inf)
@@ -154,7 +161,7 @@ object LshIndex {
       readMeta(batch.sparkSession, path)
     val sh = shingleSets(batch, id, text, shingleSize)
     writeSignatures(sh, bandKeys(sh, numHashes, bands), numShards, path,
-      "append")
+      "append", singleTask = true)
   }
 
   /** The shard-pruned bucket-table scan a probe's shard set touches —
@@ -244,7 +251,8 @@ object LshIndex {
       // independent sinks of cached frames: write them CONCURRENTLY so one
       // append's fixed stage/commit latency hides under the other's.
       StageTimers.timed("lsh_append") {
-        writeSignatures(survSh, survKeys, numShards, path, "append")
+        writeSignatures(survSh, survKeys, numShards, path, "append",
+          singleTask = true)
       }
       // lineage truncated: a composed pipeline stage downstream must not
       // embed (and re-walk, per AQE stage) this whole shared-DAG plan —

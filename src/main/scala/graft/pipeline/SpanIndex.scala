@@ -78,11 +78,16 @@ object SpanIndex {
     occ.groupBy("g").agg(min(col("id")).as("owner"))
       .withColumn("shard", pmod(col("g"), lit(numShards.toLong)).cast("int"))
 
+  /** `singleTask`: the APPEND shape — batch-scale gram sets write from
+    * one task (no `repartition` exchange, same one-file-per-hit-shard
+    * layout); [[build]] keeps the exchange (corpus-scale parallelism). */
   private def writeGrams(
-      occ: DataFrame, numShards: Int, path: String, mode: String): Unit =
-    gramSet(occ, numShards)
-      .repartition(col("shard"))
+      occ: DataFrame, numShards: Int, path: String, mode: String,
+      singleTask: Boolean = false): Unit = {
+    val g = gramSet(occ, numShards)
+    (if (singleTask) g.coalesce(1) else g.repartition(col("shard")))
       .write.mode(mode).partitionBy("shard").parquet(s"$path/grams")
+  }
 
   def build(
       corpus: DataFrame,
@@ -106,7 +111,8 @@ object SpanIndex {
   /** Add a batch's distinct gram fingerprints — steady-state ingest. */
   def append(batch: DataFrame, id: Column, text: Column, path: String): Unit = {
     val (k, numShards) = readMeta(batch.sparkSession, path)
-    writeGrams(occurrences(batch, id, text, k), numShards, path, "append")
+    writeGrams(occurrences(batch, id, text, k), numShards, path, "append",
+      singleTask = true)
   }
 
   /** The shard-pruned gram-table scan a probe's shard set touches —
@@ -202,7 +208,7 @@ object SpanIndex {
       val cleaned = PlanUtil.truncateLineage(
           probeCore(spark, path, base, occ, k, numShards, minCount))
         .persist()
-      writeGrams(occ, numShards, path, "append")
+      writeGrams(occ, numShards, path, "append", singleTask = true)
       cleaned.count()
       cleaned
     } finally { base.unpersist(); occ.unpersist(); () }

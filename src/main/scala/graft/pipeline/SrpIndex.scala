@@ -46,15 +46,31 @@ object SrpIndex {
       // verbatim (nBits ≤ 30 by construction: srp produces < 2^nBits)
       .withColumn("bucket", V.srpBucket(col("v"), nBits).cast("int"))
 
+  /** `singleTask`: the APPEND shape — batch-scale rows write from one
+    * task per table (no `repartition` exchange, same one-file-per-hit-
+    * directory layout) and the two tables write concurrently so one
+    * commit's fixed latency hides under the other's. [[build]] keeps the
+    * exchange (corpus-scale parallelism). */
   private def writeSignatures(
-      sig: DataFrame, numShards: Int, path: String, mode: String): Unit = {
-    sig.select("id", "bucket")
-      .repartition(col("bucket"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/buckets")
-    sig.select(col("id"), col("v"))
-      .withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int"))
-      .repartition(col("shard"))
-      .write.mode(mode).partitionBy("shard").parquet(s"$path/vectors")
+      sig: DataFrame, numShards: Int, path: String, mode: String,
+      singleTask: Boolean = false): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def shaped(df: DataFrame, part: String): DataFrame =
+      if (singleTask) df.coalesce(1) else df.repartition(col(part))
+    val wB = Future {
+      shaped(sig.select("id", "bucket"), "bucket")
+        .write.mode(mode).partitionBy("bucket").parquet(s"$path/buckets")
+    }
+    val wV = Future {
+      shaped(sig.select(col("id"), col("v"))
+          .withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int")),
+          "shard")
+        .write.mode(mode).partitionBy("shard").parquet(s"$path/vectors")
+    }
+    Await.result(wB.zip(wV), Duration.Inf)
+    ()
   }
 
   /** Build the index at `path` (overwrites). One pass over the corpus. */
@@ -79,7 +95,7 @@ object SrpIndex {
   def append(batch: DataFrame, id: Column, vec: Column, path: String): Unit = {
     val (nBits, numShards) = readMeta(batch.sparkSession, path)
     writeSignatures(signatures(batch, id, vec, nBits), numShards, path,
-      "append")
+      "append", singleTask = true)
   }
 
   /** The full steady-state embedding-ingest step — the vector twin of
