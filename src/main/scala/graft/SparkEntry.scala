@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_ivf" -> (Queries.annIvf _),
     "ann_pq" -> (Queries.annPq _),
     "ann_ivfpq" -> (Queries.annIvfPq _),
+    "ann_ivfpq_index" -> (Queries.annIvfPqIndex _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),

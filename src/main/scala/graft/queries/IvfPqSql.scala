@@ -34,12 +34,12 @@ object IvfPqSql {
     s"""gd$it AS (
        |  SELECT e.vec_id, c.cid, ${dist(Dim, "e.v", "c.c")} AS d
        |  FROM e CROSS JOIN $prev c),
-       |ga$it AS (
+       |ga$it AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
        |    FROM gd$it) WHERE rn = 1),
-       |gm$it AS (
+       |gm$it AS MATERIALIZED (
        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
        |    SELECT a.cid, u.pos,
        |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE)
@@ -50,7 +50,7 @@ object IvfPqSql {
        |      ON u.vec_id = a.vec_id
        |    GROUP BY a.cid, u.pos)
        |  GROUP BY cid),
-       |g$it AS (
+       |g$it AS MATERIALIZED (
        |  SELECT cid, c FROM gm$it
        |  UNION ALL
        |  SELECT cid, c FROM $prev p WHERE NOT EXISTS (
@@ -62,12 +62,12 @@ object IvfPqSql {
     s"""pd$it AS (
        |  SELECT sr.j, sr.vec_id, c.cid, ${dist(Dsub, "sr.sv", "c.c")} AS d
        |  FROM sr JOIN $prev c ON c.j = sr.j),
-       |pa$it AS (
+       |pa$it AS MATERIALIZED (
        |  SELECT j, vec_id, cid FROM (
        |    SELECT j, vec_id, cid,
        |      row_number() OVER (PARTITION BY j, vec_id ORDER BY d, cid) AS rn
        |    FROM pd$it) WHERE rn = 1),
-       |pm$it AS (
+       |pm$it AS MATERIALIZED (
        |  SELECT j, cid, list(m ORDER BY pos) AS c FROM (
        |    SELECT a.j, a.cid, u.pos,
        |      round(CAST(sum(CAST(u.val AS DECIMAL(28,12))) AS DOUBLE)
@@ -78,77 +78,77 @@ object IvfPqSql {
        |      ON u.j = a.j AND u.vec_id = a.vec_id
        |    GROUP BY a.j, a.cid, u.pos)
        |  GROUP BY j, cid),
-       |p$it AS (
+       |p$it AS MATERIALIZED (
        |  SELECT j, cid, c FROM pm$it
        |  UNION ALL
        |  SELECT j, cid, c FROM $prev p WHERE NOT EXISTS (
        |    SELECT 1 FROM pm$it x WHERE x.j = p.j AND x.cid = p.cid))""".stripMargin
 
   lazy val annIvfPqSql: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS v
        |  FROM embeddings),
-       |g0 AS (
+       |g0 AS MATERIALIZED (
        |  SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
        |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
        |  WHERE rn <= $NCells),
        |${coarseLloyd("g0", 1)},
        |${coarseLloyd("g1", 2)},
-       |casg AS (
+       |casg AS MATERIALIZED (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${dist(Dim, "e.v", "c.c")}, c.cid) AS rn
        |    FROM e CROSS JOIN g2 c) WHERE rn = 1),
-       |res AS (
+       |res AS MATERIALIZED (
        |  SELECT e.vec_id, a.cell,
        |    list_transform(generate_series(1, $Dim),
        |      i -> round(e.v[i] - g.c[i], 6)) AS r
        |  FROM e JOIN casg a ON a.vec_id = e.vec_id
        |    JOIN g2 g ON g.cid = a.cell),
-       |sr AS (
+       |sr AS MATERIALIZED (
        |  SELECT t.j, res.vec_id, res.r[t.j*$Dsub+1 : t.j*$Dsub+$Dsub] AS sv
        |  FROM res, range($M) t(j)),
-       |p0 AS (
+       |p0 AS MATERIALIZED (
        |  SELECT j, CAST(rn - 1 AS INTEGER) AS cid, sv AS c FROM (
        |    SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
        |    FROM sr) WHERE rn <= $Ksub),
        |${pqLloyd("p0", 1)},
        |${pqLloyd("p1", 2)},
-       |enc AS (
+       |enc AS MATERIALIZED (
        |  SELECT j, vec_id, cid FROM (
        |    SELECT sr.j, sr.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY sr.j, sr.vec_id
        |        ORDER BY ${dist(Dsub, "sr.sv", "c.c")}, c.cid) AS rn
        |    FROM sr JOIN p2 c ON c.j = sr.j) WHERE rn = 1),
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT x.vec_id, a.cell, x.cs
        |  FROM (SELECT vec_id, list(cid ORDER BY j) AS cs FROM enc
        |        GROUP BY vec_id) x
        |    JOIN casg a ON a.vec_id = x.vec_id),
-       |qs AS (
+       |qs AS MATERIALIZED (
        |  SELECT vec_id AS qid,
        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS qv
        |  FROM embeddings WHERE vec_id < 5),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT qid, qv, cell FROM (
        |    SELECT q.qid, q.qv, c.cid AS cell,
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY ${dist(Dim, "q.qv", "c.c")}, c.cid) AS rn
        |    FROM qs q CROSS JOIN g2 c) WHERE rn <= $NProbe),
-       |qres AS (
+       |qres AS MATERIALIZED (
        |  SELECT p.qid, p.cell,
        |    list_transform(generate_series(1, $Dim), i -> p.qv[i] - g.c[i]) AS qr
        |  FROM probes p JOIN g2 g ON g.cid = p.cell),
-       |qlut AS (
+       |qlut AS MATERIALIZED (
        |  SELECT r.qid, r.cell, c.j, c.cid,
        |    ${dist(Dsub, s"(r.qr[c.j*$Dsub+1 : c.j*$Dsub+$Dsub])", "c.c")} AS d
        |  FROM qres r CROSS JOIN p2 c),
-       |flat AS (
+       |flat AS MATERIALIZED (
        |  SELECT qid, cell, list(d ORDER BY j, cid) AS lut
        |  FROM qlut GROUP BY qid, cell),
-       |s AS (
+       |s AS MATERIALIZED (
        |  SELECT f.qid, cd.vec_id AS id,
        |    list_sum(list_transform(generate_series(1, $M),
        |      j -> f.lut[(j-1)*$Ksub + cd.cs[j] + 1])) AS adc

@@ -1197,6 +1197,8 @@ object Oracles {
     "ann_ivf" -> IvfSql.annIvfSql,
     "ann_pq" -> PqSql.annPqSql,
     "ann_ivfpq" -> IvfPqSql.annIvfPqSql,
+    // the persisted-index path must reproduce the one-shot ranking
+    "ann_ivfpq_index" -> IvfPqSql.annIvfPqSql,
 
     // trained quality filter: 30 GD iterations unrolled (rational
     // hard-sigmoid link, DECIMAL gradient sums, 9-dp weight updates) —

@@ -1164,6 +1164,35 @@ object Queries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  private val ivfPqIndexPaths = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  /** [[annIvfPq]] through the PERSISTED index ([[graft.pipeline
+    * .IvfPqIndex]]): build once (model tables + cell-partitioned CODES
+    * on disk — the vectors are not stored), then the probe is a
+    * partition-directory-pruned scan of 8-byte codes. Same oracle as
+    * `ann_ivfpq` — the persisted path must produce the identical
+    * ranking. */
+  def annIvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val path = ivfPqIndexPaths.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      graft.pipeline.IvfPqIndex.build(
+        emb, col("vec_id"), col("embedding"), root.toString,
+        dim = IvfPqSql.Dim, nCells = IvfPqSql.NCells, m = IvfPqSql.M,
+        ksub = IvfPqSql.Ksub, iters = 2)
+      root.toString
+    })
+    graft.pipeline.IvfPqIndex.topK(spark, path,
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = IvfPqSql.TopK, nProbe = IvfPqSql.NProbe)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Pre-dedup text normalization ([[graft.functions.TextFunctions
     * .normalizeText]]): NFC, control-char strip, whitespace collapse,
     * trim — one codegen'd chain on the scan. Oracle replays it with

@@ -123,7 +123,12 @@ object ScaleStress {
       // the byte-gated broadcast fallback is the 100x story — at 32x the
       // pruned tables still broadcast and growth should stay ~linear
       "lm_score_5gram" -> (Queries.lmScore5gram _),
-      "ann_pq" -> (Queries.annPq _))
+      "ann_pq" -> (Queries.annPq _),
+      // probed-cell ADC: growth should track nProbe/nCells of the code
+      // bytes, well under linear
+      "ann_ivfpq" -> (Queries.annIvfPq _),
+      // row-local scoring scan with plan-literal weights: linear
+      "qfilter_score" -> (Queries.qfilterScore _))
     linear.foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))
