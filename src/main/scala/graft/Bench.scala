@@ -67,7 +67,8 @@ object Bench {
     "train_shards" -> 1.7, "lm_score_5gram" -> 3.2, "chunk_docs_bpe" -> 0.9,
     // round 13 additions (solo sf0.1 measurements + headroom)
     "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
-    "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8)
+    "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8,
+    "curate_pipeline_full" -> 20.0)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -219,7 +220,10 @@ object Bench {
       // IVF-PQ: residual codes, probed cells only (fit cached)
       "ann_ivfpq" -> (Queries.annIvfPq _),
       // trained quality filter: row-local scoring scan (fit cached)
-      "qfilter_score" -> (Queries.qfilterScore _))
+      "qfilter_score" -> (Queries.qfilterScore _),
+      // the full composition: gopher -> DSIR ^ decontam ^ trained filter
+      // -> span cut -> chunk -> incremental LSH (indexes/models cached)
+      "curate_pipeline_full" -> (Queries.curatePipelineFull _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

@@ -90,6 +90,7 @@ object SparkEntry {
     "curate_pipeline_dsir" -> (Queries.curatePipelineDsir _),
     "curate_pipeline_decontam" -> (Queries.curatePipelineDecontam _),
     "curate_pipeline_qfilter" -> (Queries.curatePipelineQfilter _),
+    "curate_pipeline_full" -> (Queries.curatePipelineFull _),
     "decontaminate_gate" -> (Queries.decontaminateGate _),
     "ppl_buckets_5gram" -> (Queries.pplBuckets5gram _),
     "ann_brute" -> (Queries.annBrute _),

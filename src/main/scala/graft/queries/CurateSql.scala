@@ -238,11 +238,14 @@ object CurateSql {
     * SURVIVING token stream chunks and dedups against the standing chunk
     * index exactly as [[curatePipelineSql]]. Batch docs cut to nothing
     * chunk to nothing (the chunker's n > 0 guard). */
-  lazy val curatePipelineSpansSql: String = mat(
-    s"""WITH $gopherCtes,
-       |socc AS (
+  /** The span-cut CTE block over a (doc_id, t) batch-source CTE: every
+    * word 5-gram the gopher-passed CORPUS has seen (or that repeats
+    * within the batch) is removed; `bspan` is the surviving token
+    * stream. Shared by the spans-composed and the full composition. */
+  private def spanCtes(batchSrc: String): String =
+    s"""socc AS (
        |  SELECT doc_id, unnest(generate_series(0, len(t) - 5)) AS pos, t
-       |  FROM pass WHERE doc_id % 4 = 0),
+       |  FROM $batchSrc),
        |sbg AS (SELECT doc_id, pos, $spanFp AS fp FROM socc),
        |scocc AS (
        |  SELECT doc_id, unnest(generate_series(0, len(t) - 5)) AS pos, t
@@ -264,8 +267,61 @@ object CurateSql {
        |      list_filter(generate_series(1, len(t)),
        |        i -> covered IS NULL OR NOT list_contains(covered, i - 1)),
        |      i -> t[i]) AS t
-       |  FROM pass p LEFT JOIN scov USING (doc_id)
-       |  WHERE p.doc_id % 4 = 0),
+       |  FROM $batchSrc p LEFT JOIN scov USING (doc_id))""".stripMargin
+
+  lazy val curatePipelineSpansSql: String = mat(
+    s"""WITH $gopherCtes,
+       |bsrc AS (SELECT doc_id, t FROM pass WHERE doc_id % 4 = 0),
+       |${spanCtes("bsrc")},
+       |ctoks AS (
+       |  SELECT doc_id, t FROM pass WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, t FROM bspan WHERE len(t) > 0),
+       |$lshTail""".stripMargin)
+
+  /** THE FULL COMPOSITION — every model-driven stage in one streaming
+    * body ([[graft.streaming.Curation.curateBatch]] with `extraFilter` =
+    * DSIR ∧ decontamination ∧ trained filter, plus `spanIndexPath`):
+    * batch docs pass gopher, then must (a) carry a DSIR log weight ≥
+    * [[DsirTau]], (b) share NO word 5-gram with the benchmark slice,
+    * (c) score ≥ [[QfTau]] on the trained quality filter; survivors
+    * lose every corpus-seen/batch-repeated 5-gram span, chunk, and
+    * dedup against the standing chunk index. One statement replays
+    * all of it: the oracle stitches the DSIR weight chain, the
+    * benchmark gram set, the 30-iteration GD chain, the span block and
+    * the LSH tail end to end. */
+  lazy val curatePipelineFullSql: String = mat(
+    s"""WITH ${QfilterSql.chain},
+       |qsc AS MATERIALIZED (
+       |  SELECT b.doc_id,
+       |    floor((${QfilterSql.pExpr("w.w")}) * 1000000.0 + 0.5) / 1000000.0 AS p
+       |  FROM base b CROSS JOIN w${QfilterSql.Iters} w),
+       |$gopherCtes,
+       |${DsirSql.weightCtes},
+       |bg AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    generate_series(0, greatest(len(bt) - 5, 0)),
+       |    i -> array_to_string(bt[i + 1 : i + 5], ' ')))) AS g
+       |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS bt
+       |        FROM documents WHERE source = 'src0')),
+       |dirty AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(0, greatest(len(lt) - 5, 0)),
+       |      i -> array_to_string(lt[i + 1 : i + 5], ' ')))) AS g
+       |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS lt
+       |          FROM documents WHERE doc_id % 4 = 0))
+       |  WHERE g IN (SELECT g FROM bg)),
+       |bsrc AS (
+       |  SELECT p.doc_id, p.t
+       |  FROM pass p
+       |    LEFT JOIN dw ON p.doc_id = dw.doc_id
+       |    JOIN qsc q ON q.doc_id = p.doc_id
+       |  WHERE p.doc_id % 4 = 0
+       |    AND round(coalesce(dw.logw_raw, 0.0), 6) >= $DsirTau
+       |    AND p.doc_id NOT IN (SELECT doc_id FROM dirty)
+       |    AND q.p >= $QfTau),
+       |${spanCtes("bsrc")},
        |ctoks AS (
        |  SELECT doc_id, t FROM pass WHERE doc_id % 4 <> 0
        |  UNION ALL

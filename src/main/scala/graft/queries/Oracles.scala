@@ -1186,6 +1186,9 @@ object Oracles {
     "curate_pipeline_dsir" -> CurateSql.curatePipelineDsirSql,
     "curate_pipeline_decontam" -> CurateSql.curatePipelineDecontamSql,
     "curate_pipeline_qfilter" -> CurateSql.curatePipelineQfilterSql,
+    // the full composition: DSIR + decontamination + trained filter +
+    // span cut + LSH, one statement
+    "curate_pipeline_full" -> CurateSql.curatePipelineFullSql,
     // the gate form must agree with the join form count-for-count — the
     // SAME oracle text checks both
     "decontaminate_gate" -> decontaminateSql,

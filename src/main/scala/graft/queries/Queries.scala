@@ -769,6 +769,67 @@ object Queries {
     }
   }
 
+  private val fullCurateIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val fullDsirModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.Dsir.Model]()
+
+  /** THE FULL COMPOSITION — every model-driven stage in one streaming
+    * body: batch docs pass gopher, then the `extraFilter` conjunction of
+    * (a) fitted DSIR log weight ≥ [[CurateSql.DsirTau]], (b) the
+    * benchmark-gram decontamination gate, (c) the trained quality
+    * filter at [[CurateSql.QfTau]]; survivors lose every corpus-seen /
+    * batch-repeated 5-gram span (standing [[graft.pipeline.SpanIndex]]),
+    * chunk, and dedup against the standing chunk index. All three gate
+    * models ride the plan as reference objects / literals — row-local,
+    * so the pipeline's exactly-once replay argument holds for the whole
+    * conjunction. Oracle [[CurateSql.curatePipelineFullSql]] replays
+    * DSIR fit + benchmark grams + 30 GD iterations + span cut + LSH in
+    * ONE statement. */
+  def curatePipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (lshPath, spanPath) = fullCurateIndexes.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-curate-full")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.spark.network.util.JavaUtils
+          .deleteRecursively(root.toFile)
+        catch { case _: Throwable => () }))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      LshIndex.build(curateChunks(corpus),
+        col("chunk_uid"), col("chunk_text"),
+        s"$root/lsh", shingleSize = 5, numHashes = 128, bands = 16)
+      graft.pipeline.SpanIndex.build(
+        corpus.filter(Quality.gopherPasses(col("text"),
+          curateCfg.minTokens, curateCfg.maxTokens)),
+        col("doc_id"), col("text"), s"$root/span", k = 5)
+      (s"$root/lsh", s"$root/span")
+    })
+    val dsirModel = fullDsirModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.Dsir.fit(docs, col("text"),
+        col("lang") === "en", nBuckets = 256))
+    val gate = contamGate(spark, dir)
+    val qf = qfilterModel(spark, dir)
+    val Q = graft.pipeline.QualityClassifier
+    val allGates =
+      (round(Dsir.logWeight(dsirModel, col("text")), 6)
+        >= lit(CurateSql.DsirTau)) &&
+      (graft.pipeline.Contamination.overlapCount(col("text"), gate) === 0) &&
+      (Q.q(Q.score(Q.features(col("text")), qf), 6) >= lit(CurateSql.QfTau))
+    graft.streaming.Curation.curateBatch(spark, lshPath,
+      docs.filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"),
+      curateCfg.copy(extraFilter = Some(allGates),
+        spanIndexPath = Some(spanPath))) { survivors =>
+      val out = survivors
+        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+          col("n_tokens"), col("chunk_text"))
+        .orderBy("chunk_uid")
+      val rows = out.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    }
+  }
+
   /** SimHash near-dup pairs (approximate; no SQL oracle). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(spark, dir, "documents"),
