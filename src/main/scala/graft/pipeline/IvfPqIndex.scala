@@ -63,6 +63,7 @@ object IvfPqIndex {
     IvfPq.encode(corpus, id, vec, model)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    modelCache.put(path, model) // a re-build must not serve the old model
   }
 
   /** The stored model, reconstructed from the two centroid tables —

@@ -72,6 +72,20 @@ class IvfPqIndexSpec extends SparkSpec {
       s"4-of-16-cell probe must read 4 files, got $prunedFiles of $allFiles")
   }
 
+  test("re-build refreshes the cached model (no stale serve after drift rebuild)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-rebuild").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") < 300),
+      col("vec_id"), col("embedding"), root,
+      dim = 64, nCells = 8, m = 8, ksub = 16, iters = 2)
+    val first = IvfPqIndex.readModel(spark, root)
+    IvfPqIndex.build(emb, col("vec_id"), col("embedding"), root,
+      dim = 64, nCells = 8, m = 8, ksub = 16, iters = 2)
+    val second = IvfPqIndex.readModel(spark, root)
+    assert(second.coarse !== first.coarse,
+      "rebuild on the full corpus must produce (and serve) new centroids")
+  }
+
   test("append encodes against the stored model and is immediately probed") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-app").toString

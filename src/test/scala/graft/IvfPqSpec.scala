@@ -117,6 +117,38 @@ class IvfPqSpec extends SparkSpec {
       f"recall $recall%.2f must beat chance by a wide margin")
   }
 
+  test("nProbe = nCells degenerates to the full residual-ADC scan") {
+    // probing every cell removes the prune; the ranking must equal an
+    // exhaustive ADC pass over all codes — the recall-vs-probe dial's
+    // upper endpoint
+    val codes = IvfPq.encode(emb, col("vec_id"), col("embedding"), model)
+    val full = IvfPq.adcTopK(emb.filter(col("vec_id") < 5), col("vec_id"),
+        col("embedding"), codes, model, nProbe = 16, k = 10)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val codesMap = codes.as[(Long, Int, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val qvs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double"), 6)))
+      .as[(Long, Seq[Double])].collect()
+    // exhaustive hand ADC per query
+    val expect = qvs.flatMap { case (qid, q) =>
+      codesMap.toSeq.filter(_._1 != qid).map { case (id, (cell, cs)) =>
+        val cen = model.coarse(cell)
+        val d = (0 until 8).map { j =>
+          val sub = model.pq.centroids(j)(cs(j))
+          (0 until 8).map { i =>
+            val off = j * 8 + i
+            val x = (q(off) - cen(off)) - sub(i); x * x
+          }.sum
+        }.sum
+        (qid, id, d)
+      }.sortBy { case (_, id, d) => (d, id) }.take(10)
+        .zipWithIndex.map { case ((_, id, _), r) => (qid, id, r + 1) }
+    }.sortBy(r => (r._1, r._3))
+    assert(full.toSeq === expect.toSeq)
+  }
+
   test("cell filter + ADC run inside whole-stage codegen on the codes scan") {
     val codes = IvfPq.encode(emb, col("vec_id"), col("embedding"), model)
     val top = IvfPq.adcTopK(emb.filter(col("vec_id") < 3), col("vec_id"),
