@@ -47,6 +47,7 @@ object SparkEntry {
     "q_semijoin" -> (Queries.qSemiJoin _),
     "q_antijoin" -> (Queries.qAntiJoin _),
     "q_rollup" -> (Queries.qRollup _),
+    "q_cube" -> (Queries.qCube _),
     "q_priority_count" -> (Queries.qPriorityCount _),
     "q_pivot" -> (Queries.qPivot _),
     "q_quantiles" -> (Queries.qQuantiles _),

@@ -359,6 +359,12 @@ object Oracles {
       """SELECT p_brand, p_size, count(*) AS n
         |FROM part GROUP BY ROLLUP (p_brand, p_size)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,

@@ -399,6 +399,19 @@ object Queries {
       .rollup(col("p_brand"), col("p_size"))
       .agg(count(lit(1)).as("n"))
 
+  /** CUBE with the grouping-id bitmask — the remaining multi-dimensional
+    * aggregation shape next to [[qRollup]]/[[qPivot]]. Quantity sums go
+    * through DECIMAL so aggregation order cannot perturb bits; Spark's
+    * `grouping_id` and DuckDB's `GROUPING(a, b)` produce the same
+    * bitmask (left argument = high bit). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+
   // ===================== training-data pipeline operators =====================
 
   /** Exact dedup: lowest doc_id survives per distinct text. */
