@@ -100,6 +100,7 @@ object SparkEntry {
     "ann_pq" -> (Queries.annPq _),
     "ann_ivfpq" -> (Queries.annIvfPq _),
     "ann_ivfpq_index" -> (Queries.annIvfPqIndex _),
+    "ann_ivfpq_dist" -> (Queries.annIvfPqDist _),
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_decode_real" -> (Queries.multimodalDecodeReal _),

@@ -33,6 +33,26 @@ object PqFunctions {
     GraftInternal.column(IvfPqAdcExpression(
       GraftInternal.expression(codes), GraftInternal.expression(cell),
       ksub, lutByCell))
+
+  /** Per-(query-row, cell) flat residual LUT for the DISTRIBUTED IVF-PQ
+    * path: lut[j·ksub + c] = ‖(qv − coarse(cell))_sub(j) − pq(j)(c)‖²,
+    * computed row-locally with BOTH codebooks as one plan reference —
+    * the arithmetic twin of the driver-side LUT in
+    * [[graft.pipeline.IvfPq.adcTopK]], so the doubles agree exactly. */
+  def ivfPqLut(
+      qv: Column,
+      cell: Column,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      pq: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Column =
+    GraftInternal.column(IvfPqLutExpression(
+      GraftInternal.expression(qv), GraftInternal.expression(cell),
+      coarse, pq))
+
+  /** ADC distance of ONE (lut, codes) pair — the join-side fold of the
+    * distributed path: m lookups and adds, whole-stage codegen intact. */
+  def pqAdcPair(lut: Column, codes: Column, ksub: Int): Column =
+    GraftInternal.column(PqAdcPairExpression(
+      GraftInternal.expression(lut), GraftInternal.expression(codes), ksub))
 }
 
 /** See [[PqFunctions.pqAdc]]. */
@@ -61,6 +81,126 @@ case class PqAdcExpression(
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** See [[PqFunctions.ivfPqLut]]. */
+case class IvfPqLutExpression(
+    left: Expression,
+    right: Expression,
+    coarse: IndexedSeq[IndexedSeq[Double]],
+    pq: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "ivf_pq_lut"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(left, right,
+      s"coarse[${coarse.length}x${coarse.headOption.map(_.length).getOrElse(0)}]",
+      s"pq[${pq.length}x${pq.headOption.map(_.length).getOrElse(0)}]")
+
+  @transient private lazy val table = new IvfPqLutTable(
+    coarse.map(_.toArray).toArray,
+    pq.map(_.map(_.toArray).toArray).toArray)
+
+  override def nullSafeEval(qv: Any, cell: Any): Any =
+    table.lut(qv.asInstanceOf[ArrayData], cell.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPqLutTable", table,
+      classOf[IvfPqLutTable].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$ref.lut($q, $c)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codebook holder for [[IvfPqLutExpression]] — the identical fold
+  * order as the driver-side LUT loop in `IvfPq.adcTopK`. */
+final class IvfPqLutTable(
+    coarse: Array[Array[Double]],
+    pq: Array[Array[Array[Double]]]) extends Serializable {
+  private val m = pq.length
+  private val ksub = if (m == 0) 0 else pq(0).length
+  private val dsub = if (ksub == 0) 0 else pq(0)(0).length
+  private val dim = m * dsub
+
+  def lut(qv: ArrayData, cell: Int): GenericArrayData = {
+    if (qv.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"ivf_pq_lut: query has ${qv.numElements()} elements, model dim $dim")
+    if (cell < 0 || cell >= coarse.length)
+      throw new IllegalArgumentException(
+        s"ivf_pq_lut: cell $cell out of [0,${coarse.length})")
+    val cen = coarse(cell)
+    val out = new Array[Any](m * ksub)
+    var j = 0
+    while (j < m) {
+      val cb = pq(j)
+      var c = 0
+      while (c < ksub) {
+        val sub = cb(c)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val off = j * dsub + i
+          val d = (qv.getDouble(off) - cen(off)) - sub(i)
+          s += d * d
+          i += 1
+        }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** See [[PqFunctions.pqAdcPair]]. */
+case class PqAdcPairExpression(
+    left: Expression,
+    right: Expression,
+    ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_pair"
+
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    PqAdcPairExpression.adc(
+      lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) =>
+      s"graft.functions.PqAdcPairExpression.adc($l, $c, $ksub)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcPairExpression {
+  // NOT named `eval`: the companion class inherits eval(InternalRow), so
+  // scalac would skip the static forwarder codegen calls through.
+  def adc(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m * ksub)
+      throw new IllegalArgumentException(
+        s"pq_adc_pair: $m codes against a ${lut.numElements() / ksub}-subspace LUT")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(s"pq_adc_pair: code $c out of [0,$ksub)")
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
 }
 
 /** See [[PqFunctions.ivfPqAdc]]. */

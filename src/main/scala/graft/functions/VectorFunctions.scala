@@ -42,6 +42,17 @@ object VectorFunctions {
     GraftInternal.column(
       CosineExpression(GraftInternal.expression(a), GraftInternal.expression(b)))
 
+  /** The `n` nearest centroids of a (6-dp-rounded) vector — squared-L2
+    * ascending, centroid-id tie-break — as `array<int>`. The row-local
+    * probe-list step of the DISTRIBUTED IVF-PQ path
+    * ([[graft.pipeline.IvfPq.adcTopKDistributed]]): each query row
+    * derives its own probe set with the coarse table as a plan
+    * reference, no driver round-trip. */
+  def centroidTopN(v: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    GraftInternal.column(CentroidTopNExpression(
+      GraftInternal.expression(v),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, n))
+
   /** Residual against a fitted centroid table: `v - centroids(cell)`,
     * element-wise raw IEEE subtraction (exactly replayable in SQL as
     * `v[i] - c[i]` — both engines subtract identical doubles). The
@@ -220,6 +231,50 @@ final class CentroidTable(flat: Array[Double], k: Int, dim: Int)
     best
   }
 
+  /** The `n` nearest centroid ids, squared-L2 ascending with id
+    * tie-break (see [[VectorFunctions.centroidTopN]]) — selection sort
+    * over the k distances (n ≪ k; k itself is metadata-scale). */
+  def topN(v: ArrayData, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid_topn: vector has ${v.numElements()} elements, " +
+          s"centroids have dim $dim")
+    val ds = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"centroid_topn: null element at index $i")
+        val d = v.getDouble(i) - flat(off + i)
+        s += d * d
+        i += 1
+      }
+      ds(c) = s
+      c += 1
+    }
+    val take = math.min(n, k)
+    val out = new Array[Any](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < k) {
+        if (!used(j) && ds(j) < bestD) { bestD = ds(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** `v - centroid(cell)`, raw IEEE element subtraction (see
     * [[VectorFunctions.centroidResidual]]). Same loud-failure contract
     * as [[argmin]]. */
@@ -243,6 +298,39 @@ final class CentroidTable(flat: Array[Double], k: Int, dim: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** Codegen'd n-nearest-centroid probe list — see
+  * [[VectorFunctions.centroidTopN]]. */
+case class CentroidTopNExpression(
+    child: Expression,
+    centroids: IndexedSeq[IndexedSeq[Double]],
+    n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_topn"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child,
+      s"centroids[${centroids.length}x${centroids.headOption.map(_.length).getOrElse(0)}]",
+      n)
+
+  @transient private lazy val table = new CentroidTable(
+    centroids.flatten.toArray, centroids.length,
+    centroids.headOption.map(_.length).getOrElse(0))
+
+  override def nullSafeEval(v: Any): Any =
+    table.topN(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidTable", table,
+      classOf[CentroidTable].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.topN($v, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Codegen'd residual against a centroid table — see

@@ -92,6 +92,48 @@ object IvfPq {
     df.select(id.cast("long").as("id"), cell.as("cell"), codes.as("codes"))
   }
 
+  /** [[adcTopK]] with the QUERY SIDE distributed — for query sets too
+    * large to collect (batch ANN serving: millions of queries against
+    * billions of codes). No driver round-trip at all: each query row
+    * derives its own probe list (`centroid_topn`), explodes to
+    * (qid, cell, lut) with the per-cell residual LUT computed
+    * row-locally (`ivf_pq_lut` — both codebooks ride as ONE plan
+    * reference), joins the codes on `cell` (broadcast when the probe
+    * side is small, hash-join co-located with cell-bucketed codes when
+    * it is not — Catalyst/AQE picks), folds the pair ADC
+    * (`pq_adc_pair`), and ranks per query. The arithmetic is the
+    * driver path's exactly (spec-asserted equal), so it shares the
+    * oracle. */
+  def adcTopKDistributed(
+      queries: DataFrame,
+      qid: Column,
+      qvec: Column,
+      codes: DataFrame,
+      model: Model,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val V = graft.functions.VectorFunctions
+    val P = graft.functions.PqFunctions
+    val probed = queries
+      .select(qid.cast("long").as("qid"), rounded(qvec).as("qv"))
+      .withColumn("cell",
+        explode(V.centroidTopN(col("qv"), model.coarse, nProbe)))
+      .withColumn("lut",
+        P.ivfPqLut(col("qv"), col("cell"), model.coarse, model.pq.centroids))
+      .select("qid", "cell", "lut")
+    probed.join(codes, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adc",
+        P.pqAdcPair(col("lut"), col("codes"), model.pq.ksub))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc").asc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** ADC top-k over probed cells only. Per query: the `nProbe` nearest
     * coarse cells (squared-L2 ascending, cell-id tie-break), one flat
     * residual LUT per probed cell — |q|·nProbe·m·ksub doubles on the

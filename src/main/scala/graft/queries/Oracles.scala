@@ -1208,6 +1208,8 @@ object Oracles {
     "ann_ivfpq" -> IvfPqSql.annIvfPqSql,
     // the persisted-index path must reproduce the one-shot ranking
     "ann_ivfpq_index" -> IvfPqSql.annIvfPqSql,
+    // ...and so must the distributed (driver-free) serving path
+    "ann_ivfpq_dist" -> IvfPqSql.annIvfPqSql,
 
     // trained quality filter: 30 GD iterations unrolled (rational
     // hard-sigmoid link, DECIMAL gradient sums, 9-dp weight updates) —

@@ -1238,6 +1238,25 @@ object Queries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** [[annIvfPq]] through the DISTRIBUTED serving path
+    * ([[graft.pipeline.IvfPq.adcTopKDistributed]] — no driver
+    * round-trip; probe list, LUT and pair-ADC are row-local codegen
+    * expressions around one cell join). Same model, same oracle: the
+    * arithmetic is the driver path's exactly. */
+  def annIvfPqDist(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = ivfPqModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.IvfPq.fit(emb, col("vec_id"), col("embedding"),
+        dim = IvfPqSql.Dim, nCells = IvfPqSql.NCells, m = IvfPqSql.M,
+        ksub = IvfPqSql.Ksub, iters = 2))
+    val codes = graft.pipeline.IvfPq.encode(
+      emb, col("vec_id"), col("embedding"), model)
+    graft.pipeline.IvfPq.adcTopKDistributed(
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        codes, model, nProbe = IvfPqSql.NProbe, k = IvfPqSql.TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private val ivfPqIndexPaths = new java.util.concurrent.ConcurrentHashMap[
     String, String]()
 

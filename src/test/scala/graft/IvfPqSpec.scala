@@ -149,6 +149,31 @@ class IvfPqSpec extends SparkSpec {
     assert(full.toSeq === expect.toSeq)
   }
 
+  test("distributed serving path equals the driver-LUT path exactly") {
+    val codes = IvfPq.encode(emb, col("vec_id"), col("embedding"), model)
+    val queries = emb.filter(col("vec_id") < 12)
+    val driver = IvfPq.adcTopK(queries, col("vec_id"), col("embedding"),
+        codes, model, nProbe = 4, k = 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val dist = IvfPq.adcTopKDistributed(queries, col("vec_id"),
+        col("embedding"), codes, model, nProbe = 4, k = 5)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(dist.toSeq === driver.toSeq)
+  }
+
+  test("distributed path probe/LUT/ADC all run inside whole-stage codegen") {
+    val codes = IvfPq.encode(emb, col("vec_id"), col("embedding"), model)
+    val top = IvfPq.adcTopKDistributed(emb.filter(col("vec_id") < 3),
+      col("vec_id"), col("embedding"), codes, model, nProbe = 4, k = 5)
+    top.collect()
+    val s = top.queryExecution.executedPlan.toString
+    assert(s.contains("centroid_topn") && s.contains("ivf_pq_lut")
+      && s.contains("pq_adc_pair"), s)
+    assert(s.linesIterator.exists(l =>
+      l.matches(""".*\*\(\d+\) Project.*pq_adc_pair.*""")),
+      "the pair-ADC projection must sit inside a '*(n)' codegen span\n" + s)
+  }
+
   test("cell filter + ADC run inside whole-stage codegen on the codes scan") {
     val codes = IvfPq.encode(emb, col("vec_id"), col("embedding"), model)
     val top = IvfPq.adcTopK(emb.filter(col("vec_id") < 3), col("vec_id"),
