@@ -48,6 +48,7 @@ object SparkEntry {
     "q_antijoin" -> (Queries.qAntiJoin _),
     "q_rollup" -> (Queries.qRollup _),
     "q_cube" -> (Queries.qCube _),
+    "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_priority_count" -> (Queries.qPriorityCount _),
     "q_pivot" -> (Queries.qPivot _),
     "q_quantiles" -> (Queries.qQuantiles _),

@@ -359,6 +359,12 @@ object Oracles {
       """SELECT p_brand, p_size, count(*) AS n
         |FROM part GROUP BY ROLLUP (p_brand, p_size)""".stripMargin,
 
+    // the salted two-phase aggregation must equal the plain GROUP BY
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -7,7 +7,7 @@ import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
 import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
-import graft.pipeline.{Chunking, Contamination, Dedup, Dsir, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, SpanIndex, SrpIndex}
+import graft.pipeline.{Chunking, Contamination, Dedup, Dsir, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, Skew, SpanIndex, SrpIndex}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
   * extensions), each paired with a DuckDB oracle in [[Oracles]] where the
@@ -411,6 +411,19 @@ object Queries {
         count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         grouping_id().cast("int").as("gid"))
+
+  /** Two-phase SALTED aggregation over a hot key
+    * ([[graft.pipeline.Skew.saltedAgg]]) — the non-algebraic-state skew
+    * fix — oracled against the plain GROUP BY it must equal: counts are
+    * order-free and the quantity sum runs through DECIMAL in both
+    * phases, so the salt split cannot perturb bits. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(spark, dir, "lineitem"), col("l_returnflag"), salts = 8,
+        partial = Seq(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("pq")),
+        combine = Seq(sum(col("pn")).as("n"),
+          sum(col("pq")).cast("double").as("sum_qty")))
+      .withColumnRenamed("key", "l_returnflag")
 
   // ===================== training-data pipeline operators =====================
 
