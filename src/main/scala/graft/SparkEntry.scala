@@ -49,6 +49,8 @@ object SparkEntry {
     "q_rollup" -> (Queries.qRollup _),
     "q_cube" -> (Queries.qCube _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
+    "q_distinct_sketch" -> (Queries.qDistinctSketch _),
+    "q_sketch_intersect" -> (Queries.qSketchIntersect _),
     "q_priority_count" -> (Queries.qPriorityCount _),
     "q_pivot" -> (Queries.qPivot _),
     "q_quantiles" -> (Queries.qQuantiles _),

@@ -365,6 +365,9 @@ object Oracles {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "q_distinct_sketch" -> HllSql.distinctSketchSql(graft.functions.HllFunctions.DefaultP),
+    "q_sketch_intersect" -> HllSql.sketchIntersectSql(graft.functions.HllFunctions.DefaultP),
+
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
-import graft.functions.{HeaderFunctions => H, Murmur2, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{HeaderFunctions => H, HllFunctions => HF, Murmur2, TextFunctions => T, VectorFunctions => V}
 import graft.pipeline.{Chunking, Contamination, Dedup, Dsir, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, Skew, SpanIndex, SrpIndex}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
@@ -424,6 +424,43 @@ object Queries {
         combine = Seq(sum(col("pn")).as("n"),
           sum(col("pq")).cast("double").as("sum_qty")))
       .withColumnRenamed("key", "l_returnflag")
+
+  /** Mergeable-sketch distinct counting ([[graft.functions.Hll]]): per-flag
+    * HLL sketches of distinct order keys built in ONE pass with map-side
+    * partial merge (the shuffle carries 512-byte register arrays, never
+    * keys — the 100 TB distinct-count shape), plus the merged '*ALL*' row
+    * demonstrating sketch union over pre-aggregated sketches. The FNV-hash
+    * sketch is deterministic, so the DuckDB oracle replays registers and
+    * estimate bit-exactly. */
+  def qDistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey").cast("string").as("k"))
+    val per = li.groupBy(col("l_returnflag")).agg(HF.hllSketch(col("k")).as("sk"))
+    val all = per.agg(HF.hllMerge(col("sk")).as("sk"))
+      .select(lit("*ALL*").as("l_returnflag"), col("sk"))
+    per.unionByName(all)
+      .select(col("l_returnflag"),
+        round(HF.hllEstimate(col("sk")), 6).as("est_distinct"))
+  }
+
+  /** Sketch set-algebra: estimated |A∩B| of distinct order keys between
+    * return-flag pairs via inclusion–exclusion — est(A)+est(B)−est(A∪B),
+    * the union sketch being a register-wise max ([[graft.functions.HllUnion]]).
+    * At warehouse scale the inputs are STORED per-partition sketches; here
+    * they build from the table inline. */
+  def qSketchIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey").cast("string").as("k"))
+    val per = li.groupBy(col("l_returnflag")).agg(HF.hllSketch(col("k")).as("sk"))
+    val a = per.select(col("l_returnflag").as("flag_a"), col("sk").as("sk_a"))
+    val b = per.select(col("l_returnflag").as("flag_b"), col("sk").as("sk_b"))
+    a.join(b, col("flag_a") < col("flag_b"))
+      .select(col("flag_a"), col("flag_b"),
+        round(
+          HF.hllEstimate(col("sk_a")) + HF.hllEstimate(col("sk_b"))
+            - HF.hllEstimate(HF.hllUnion(col("sk_a"), col("sk_b"))),
+          6).as("est_common"))
+  }
 
   // ===================== training-data pipeline operators =====================
 
