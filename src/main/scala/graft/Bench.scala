@@ -273,7 +273,9 @@ object Bench {
       val (_, stages) = graft.pipeline.StageTimers.capture {
         materialize(Queries.curatePipeline(spark, sfDir))
       }
-      val actionSplit = Seq("lsh_verdict", "lsh_append", "lsh_survivors")
+      val actionSplit = Seq("lsh_sign_shards", "lsh_candgen", "lsh_cand_shards",
+          "lsh_verifygen", "lsh_verdict", "lsh_append", "lsh_survivors",
+          "sink_collect")
         .flatMap(k => stages.get(k).map(v => f""""$k":$v%.3f"""))
         .mkString(",")
       f""""curate_stages":{"front":$tFront%.3f,"probe":$tProbe%.3f""" +

@@ -222,11 +222,15 @@ object LshIndex {
       // join, append) references the band keys — caching them pins the
       // 128-hash minhash fold to exactly ONE evaluation per batch
       val batchKeys = cached(bandKeys(bsh, numHashes, bands))
-      val cand = cached(candidatePairs(spark, path, batchKeys, numShards,
-        maxBucketSize))
-      val dupOfCorpus = cached(
-        verifyCandidates(spark, path, numShards, cand, bsh, threshold)
-          .select(col("batch_id").as("__dup")).distinct())
+      val cand = StageTimers.timed("lsh_candgen") {
+        cached(candidatePairs(spark, path, batchKeys, numShards,
+          maxBucketSize))
+      }
+      val dupOfCorpus = StageTimers.timed("lsh_verifygen") {
+        cached(
+          verifyCandidates(spark, path, numShards, cand, bsh, threshold)
+            .select(col("batch_id").as("__dup")).distinct())
+      }
       // within-batch near-dup over the SAME signatures: restrict the
       // signed frames to corpus-clean ids, self-join, drop the higher id
       // of each verified pair (minhashDedup's greedy keep-lowest-id rule)
@@ -338,9 +342,11 @@ object LshIndex {
     // the batch's bucket-shard hit set: bounded by numShards — a
     // metadata-scale driver round-trip that buys the directory prune on
     // the corpus bucket table (IvfIndex.topK's probed-cell shape)
-    val bucketShards = batchKeys
-      .select(pmod(col("bucket"), lit(numShards.toLong)).cast("int").as("shard"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val bucketShards = StageTimers.timed("lsh_sign_shards") {
+      batchKeys
+        .select(pmod(col("bucket"), lit(numShards.toLong)).cast("int").as("shard"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    }
     val corpusKeys = prunedBuckets(spark, path, bucketShards)
     // guard sizes count DISTINCT CORPUS ids only: a singleton corpus
     // bucket is still a valid probe target (unlike the self-join case,
@@ -385,9 +391,11 @@ object LshIndex {
       candidates: DataFrame,
       bsh: DataFrame,
       threshold: Double): DataFrame = {
-    val idShards = candidates
-      .select(pmod(col("corpus_id"), lit(numShards.toLong)).cast("int").as("shard"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val idShards = StageTimers.timed("lsh_cand_shards") {
+      candidates
+        .select(pmod(col("corpus_id"), lit(numShards.toLong)).cast("int").as("shard"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    }
     // a replayed append duplicates (id, shingles) rows VERBATIM, so the
     // join may emit the same pair twice with identical payloads; the
     // pair-level dropDuplicates replaces the old pre-join group-by and

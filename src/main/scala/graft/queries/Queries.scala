@@ -628,7 +628,7 @@ object Queries {
         .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
           col("n_tokens"), col("chunk_text"))
         .orderBy("chunk_uid")
-      val rows = out.collect()
+      val rows = graft.pipeline.StageTimers.timed("sink_collect") { out.collect() }
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), out.schema)
     }
