@@ -51,6 +51,8 @@ object SparkEntry {
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_distinct_sketch" -> (Queries.qDistinctSketch _),
     "q_sketch_intersect" -> (Queries.qSketchIntersect _),
+    "q_bloom_semijoin" -> (Queries.qBloomSemijoin _),
+    "q_bloom_antijoin" -> (Queries.qBloomAntijoin _),
     "q_priority_count" -> (Queries.qPriorityCount _),
     "q_pivot" -> (Queries.qPivot _),
     "q_quantiles" -> (Queries.qQuantiles _),

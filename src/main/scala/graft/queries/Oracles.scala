@@ -368,6 +368,24 @@ object Oracles {
     "q_distinct_sketch" -> HllSql.distinctSketchSql(graft.functions.HllFunctions.DefaultP),
     "q_sketch_intersect" -> HllSql.sketchIntersectSql(graft.functions.HllFunctions.DefaultP),
 
+    // the bloom only PRUNES (no false negatives); the exact joins confirm,
+    // so the result must equal the plain semi/anti join
+    "q_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_bloom_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

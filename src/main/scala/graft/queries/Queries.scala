@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
-import graft.functions.{HeaderFunctions => H, HllFunctions => HF, Murmur2, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{BloomFunctions => BF, HeaderFunctions => H, HllFunctions => HF, Murmur2, TextFunctions => T, VectorFunctions => V}
 import graft.pipeline.{Chunking, Contamination, Dedup, Dsir, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, Skew, SpanIndex, SrpIndex}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
@@ -460,6 +460,49 @@ object Queries {
           HF.hllEstimate(col("sk_a")) + HF.hllEstimate(col("sk_b"))
             - HF.hllEstimate(HF.hllUnion(col("sk_a"), col("sk_b"))),
           6).as("est_common"))
+  }
+
+  /** Bloom-pruned semi join ([[graft.functions.Bloom]]): the urgent-order
+    * key set folds into a 32 KB filter (distributed bit-OR partials), and
+    * the lineitem scan drops non-members ROW-LOCALLY inside codegen before
+    * the exact semi join — at 100 TB the filter ships where a hash
+    * relation can't, and the join shuffle carries only might-contain
+    * survivors. False positives cost work, never correctness, so the
+    * oracle is the plain semi join. */
+  def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent
+      .agg(BF.bloomAgg(col("o_orderkey").cast("string")).as("b"))
+      .head.getAs[Array[Byte]](0) // ONE mBits/8-byte row — metadata-scale
+    t(spark, dir, "lineitem")
+      .filter(BF.mightContain(bloom, col("l_orderkey").cast("string")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  /** Bloom-split anti join: customers with no urgent orders. No false negatives
+    * means might-contain=false rows are DEFINITE anti-join results with
+    * zero join work; only the might-contain sliver reaches the exact
+    * anti join. Oracle = the plain anti join. */
+  def qBloomAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val bloom = orders
+      .agg(BF.bloomAgg(col("o_custkey").cast("string")).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val definiteNo = cust
+      .filter(!BF.mightContain(bloom, col("c_custkey").cast("string")))
+    val maybe = cust
+      .filter(BF.mightContain(bloom, col("c_custkey").cast("string")))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    definiteNo.unionByName(maybe)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
   }
 
   // ===================== training-data pipeline operators =====================
