@@ -68,7 +68,9 @@ object Bench {
     // round 13 additions (solo sf0.1 measurements + headroom)
     "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
     "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8,
-    "curate_pipeline_full" -> 20.0)
+    "curate_pipeline_full" -> 20.0,
+    // round 13 sketch/filter additions (solo sf0.1 ~0.5-0.65 s + headroom)
+    "q_distinct_sketch" -> 0.8, "q_bloom_semijoin" -> 1.0)
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -223,7 +225,10 @@ object Bench {
       "qfilter_score" -> (Queries.qfilterScore _),
       // the full composition: gopher -> DSIR ^ decontam ^ trained filter
       // -> span cut -> chunk -> incremental LSH (indexes/models cached)
-      "curate_pipeline_full" -> (Queries.curatePipelineFull _))
+      "curate_pipeline_full" -> (Queries.curatePipelineFull _),
+      // round 13: mergeable HLL distinct sketch + bloom-pruned semi join
+      "q_distinct_sketch" -> (Queries.qDistinctSketch _),
+      "q_bloom_semijoin" -> (Queries.qBloomSemijoin _))
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_sketch_intersect" -> (Queries.qSketchIntersect _),
     "q_bloom_semijoin" -> (Queries.qBloomSemijoin _),
     "q_bloom_antijoin" -> (Queries.qBloomAntijoin _),
+    "q_cms_freq" -> (Queries.qCmsFreq _),
     "q_priority_count" -> (Queries.qPriorityCount _),
     "q_pivot" -> (Queries.qPivot _),
     "q_quantiles" -> (Queries.qQuantiles _),

@@ -32,6 +32,20 @@ object HllSql {
   private val Mod64 = "18446744073709551616::HUGEINT"
   private val Prime = "1099511628211::HUGEINT"
 
+  /** CTE chain applying [[graft.functions.Hll.mix]] to column `h` of CTE
+    * `src`, carrying `carry` columns through, ending in CTE `mixed`.
+    * Each xor stage references its input 4×, so every stage is
+    * MATERIALIZED — inlining would expand the chain exponentially. */
+  private[queries] def mixStages(src: String, carry: Seq[String],
+      prefix: String = "x", out: String = "mixed"): String = {
+    val cs = carry.map(_ + ", ").mkString
+    s"""${prefix}1 AS MATERIALIZED (SELECT $cs${xor64("h", s"h // ${BigInt(1) << 33}::HUGEINT")} AS h FROM $src),
+       |${prefix}2 AS MATERIALIZED (SELECT $cs(h * $Prime) % $Mod64 AS h FROM ${prefix}1),
+       |${prefix}3 AS MATERIALIZED (SELECT $cs${xor64("h", s"h // ${BigInt(1) << 29}::HUGEINT")} AS h FROM ${prefix}2),
+       |${prefix}4 AS MATERIALIZED (SELECT $cs(h * $Prime) % $Mod64 AS h FROM ${prefix}3),
+       |$out AS MATERIALIZED (SELECT $cs${xor64("h", s"h // ${BigInt(1) << 32}::HUGEINT")} AS h FROM ${prefix}4)""".stripMargin
+  }
+
   /** Shared CTE prefix: distinct (flag, orderkey-string) keys → fnv hash →
     * [[graft.functions.Hll.mix]] finalizer (staged MATERIALIZED CTEs — each
     * xor references its input 4×, inlining would blow up exponentially) →
@@ -42,11 +56,7 @@ object HllSql {
        |  SELECT DISTINCT l_returnflag AS g, CAST(l_orderkey AS VARCHAR) AS k
        |  FROM lineitem),
        |h0 AS MATERIALIZED (SELECT g, ${LshSql.fnv("k")} AS h FROM keys),
-       |x1 AS MATERIALIZED (SELECT g, ${xor64("h", s"h // ${BigInt(1) << 33}::HUGEINT")} AS h FROM h0),
-       |x2 AS MATERIALIZED (SELECT g, (h * $Prime) % $Mod64 AS h FROM x1),
-       |x3 AS MATERIALIZED (SELECT g, ${xor64("h", s"h // ${BigInt(1) << 29}::HUGEINT")} AS h FROM x2),
-       |x4 AS MATERIALIZED (SELECT g, (h * $Prime) % $Mod64 AS h FROM x3),
-       |mixed AS MATERIALIZED (SELECT g, ${xor64("h", s"h // ${BigInt(1) << 32}::HUGEINT")} AS h FROM x4),
+       |${mixStages("h0", Seq("g"))},
        |br AS (SELECT g, CAST(h // $divisor AS INTEGER) AS idx,
        |              h % $divisor AS rem FROM mixed),
        |rr AS (SELECT g, idx, (${rhoCase(p)}) AS rho FROM br),

@@ -366,6 +366,9 @@ object Oracles {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_distinct_sketch" -> HllSql.distinctSketchSql(graft.functions.HllFunctions.DefaultP),
+    "q_cms_freq" -> CmsSql.cmsFreqSql(
+      graft.functions.CmsFunctions.DefaultDepth,
+      graft.functions.CmsFunctions.DefaultWidth),
     "q_sketch_intersect" -> HllSql.sketchIntersectSql(graft.functions.HllFunctions.DefaultP),
 
     // the bloom only PRUNES (no false negatives); the exact joins confirm,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.log.LogWriter
 import graft.core.groups.{RangeAssignor, RoundRobinAssignor, StickyAssignor}
 import graft.core.routing.PartitionRouter
-import graft.functions.{BloomFunctions => BF, HeaderFunctions => H, HllFunctions => HF, Murmur2, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{BloomFunctions => BF, CmsFunctions => CF, HeaderFunctions => H, HllFunctions => HF, Murmur2, TextFunctions => T, VectorFunctions => V}
 import graft.pipeline.{Chunking, Contamination, Dedup, Dsir, Graphs, LshIndex, Multimodal, Quality, Sampling, Similarity, Skew, SpanIndex, SrpIndex}
 
 /** One named query per implemented operator (SURVEY.md §2 + the pipeline
@@ -503,6 +503,24 @@ object Queries {
       .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
     definiteNo.unionByName(maybe)
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Count–Min frequency sketch ([[graft.functions.Cms]]): ONE pass folds
+    * every order-key occurrence into a 512 KB depth×width counter array
+    * (map-side partial merge; the shuffle carries counters, never keys),
+    * then the driver-collected sketch answers point-frequency queries
+    * row-locally — est ≥ true count, within εN. Integer-only, so the
+    * DuckDB oracle replays hash-exactly. */
+  def qCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val sk = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("k"))
+      .agg(CF.cmsAgg(col("k")).as("sk"))
+      .head.getAs[Array[Byte]](0) // ONE 512 KB row — metadata-scale
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 1000 === 0)
+      .select(col("l_orderkey")).distinct()
+      .select(col("l_orderkey"),
+        CF.cmsEstimate(sk, col("l_orderkey").cast("string")).as("est_freq"))
   }
 
   // ===================== training-data pipeline operators =====================

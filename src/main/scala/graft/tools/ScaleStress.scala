@@ -128,7 +128,11 @@ object ScaleStress {
       // bytes, well under linear
       "ann_ivfpq" -> (Queries.annIvfPq _),
       // row-local scoring scan with plan-literal weights: linear
-      "qfilter_score" -> (Queries.qfilterScore _))
+      "qfilter_score" -> (Queries.qfilterScore _),
+      // sketch/filter aggregations: scan grows, shuffle stays CONSTANT
+      // (512-byte HLL registers / 32 KB bloom per group, never keys)
+      "q_distinct_sketch" -> (Queries.qDistinctSketch _),
+      "q_bloom_semijoin" -> (Queries.qBloomSemijoin _))
     linear.foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))

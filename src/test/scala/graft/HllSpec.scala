@@ -93,4 +93,28 @@ class HllSpec extends SparkSpec {
       Hll.estimate(Hll.mergeInto(ska.clone(), skb), 9)
     assert(math.abs(estCommon - 4000) < 1500, s"est overlap $estCommon vs 4000")
   }
+
+  test("streaming: HLL sketch state carries across micro-batches (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("k")
+      .agg(HF.hllSketch(col("k")).as("sk"))
+      .select(HF.hllEstimate(col("sk")).as("est"))
+    val q = agg.writeStream
+      .format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData((0 until 4000).map(i => s"s$i"): _*)
+      q.processAllAvailable()
+      input.addData((2000 until 8000).map(i => s"s$i"): _*)
+      q.processAllAvailable()
+      // state carried the registers across batches: estimate sees the
+      // UNION of both batches (8000 distinct), not just the last one
+      val est = spark.table("hll_stream").head.getDouble(0)
+      assert(est === Hll.estimate(sketchOf((0 until 8000).map(i => s"s$i")), 9))
+    } finally q.stop()
+  }
 }
