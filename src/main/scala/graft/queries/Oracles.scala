@@ -247,6 +247,26 @@ object Oracles {
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS tsn
+        |  FROM events),
+        |u1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN tsn END) AS t1
+        |  FROM e GROUP BY 1),
+        |u2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'click' AND tsn > t1 THEN tsn END) AS t2
+        |  FROM e JOIN u1 USING (user_id) GROUP BY 1),
+        |u3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND tsn > t2 THEN tsn END) AS t3
+        |  FROM e JOIN u2 USING (user_id) GROUP BY 1)
+        |SELECT '1_view' AS stage, count(t1) AS users FROM u1
+        |UNION ALL SELECT '2_click', count(t2) FROM u2
+        |UNION ALL SELECT '3_purchase', count(t3) FROM u3""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms

@@ -263,6 +263,36 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
+  /** Ordered-funnel analysis: users progressing view → click → purchase,
+    * each step strictly AFTER the previous one's first completion. Three
+    * chained window mins over the SAME user partitioning — Catalyst
+    * stacks them on ONE exchange+sort, so the funnel costs a single
+    * user-keyed shuffle at any scale. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    perUser
+      .agg(count(col("t1")).as("v"), count(col("t2")).as("c"),
+        count(col("t3")).as("p"))
+      .select(explode(map(
+        lit("1_view"), col("v"),
+        lit("2_click"), col("c"),
+        lit("3_purchase"), col("p")))
+        .as(Seq("stage", "users")))
+  }
+
   /** Sessionization: split each user's event stream at >30 min gaps
     * (lag + cumulative-sum session ids — the batch form of
     * `session_window`), then aggregate per session. */

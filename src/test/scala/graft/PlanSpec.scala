@@ -139,6 +139,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel: three chained window mins ride ONE user-keyed exchange") {
+    val df = Queries.qFunnel(spark, dir)
+    df.collect() // executedPlan under AQE needs the run
+    // AQE wraps exchanges in query stages, so assert on the final plan text
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val userKeyed = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userKeyed == 1,
+      s"funnel must sort/partition by user ONCE, found $userKeyed:\n$p")
+    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(p).size == 3,
+      s"three chained window mins expected:\n$p")
+  }
+
   test("decontaminate: benchmark gram set broadcasts, corpus never shuffles whole rows") {
     val p = plan(Queries.decontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "bench grams join by broadcast")
