@@ -99,17 +99,28 @@ object LshIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    def shaped(df: DataFrame): DataFrame =
-      if (singleTask) df.coalesce(1) else df.repartition(col("shard"))
+    def write(df: DataFrame, table: String): Unit =
+      if (singleTask)
+        // delta tail: ONE plain file per table per batch (shard rides as a
+        // data column), no dynamic-partition commit — vs one file per hit
+        // shard directory, the difference between 2 and ~128 files per
+        // micro-batch at a 500 ms trigger. compact() folds the tail into
+        // the sharded base.
+        df.coalesce(1).write.mode("append").parquet(s"$path/${table}_delta")
+      else
+        df.repartition(col("shard"))
+          .write.mode(mode).partitionBy("shard").parquet(s"$path/$table")
     val wSh = Future {
-      shaped(sh.withColumn("shard",
-          pmod(col("id"), lit(numShards.toLong)).cast("int")))
-        .write.mode(mode).partitionBy("shard").parquet(s"$path/shingles")
+      StageTimers.timed("lsh_append_sh") {
+        write(sh.withColumn("shard",
+          pmod(col("id"), lit(numShards.toLong)).cast("int")), "shingles")
+      }
     }
     val wKeys = Future {
-      shaped(keys.withColumn("shard",
-          pmod(col("bucket"), lit(numShards.toLong)).cast("int")))
-        .write.mode(mode).partitionBy("shard").parquet(s"$path/buckets")
+      StageTimers.timed("lsh_append_keys") {
+        write(keys.withColumn("shard",
+          pmod(col("bucket"), lit(numShards.toLong)).cast("int")), "buckets")
+      }
     }
     Await.result(wSh.zip(wKeys), Duration.Inf)
     ()
@@ -167,13 +178,36 @@ object LshIndex {
   /** The shard-pruned bucket-table scan a probe's shard set touches —
     * exposed so callers (and specs) can assert the directory pruning. */
   def prunedBuckets(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/buckets")
-      .filter(col("shard").isInCollection(shards))
+    prunedTable(spark, path, "buckets", shards)
 
   /** The shard-pruned shingle-table scan — see [[prunedBuckets]]. */
   def prunedShingles(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/shingles")
+    prunedTable(spark, path, "shingles", shards)
+
+  /** Sharded base (directory prune) ∪ unsharded delta tail (appended one
+    * file per batch; read whole — it is batch-scale until compact() folds
+    * it into the base, where the shard filter is a row predicate). */
+  private def prunedTable(
+      spark: SparkSession, path: String, table: String, shards: Seq[Int]): DataFrame = {
+    val base = spark.read.parquet(s"$path/$table")
       .filter(col("shard").isInCollection(shards))
+    deltaFiles(spark, path, table) match {
+      case Seq() => base
+      case files =>
+        base.unionByName(spark.read.parquet(files: _*)
+          .filter(col("shard").isInCollection(shards)))
+    }
+  }
+
+  private def deltaFiles(
+      spark: SparkSession, path: String, table: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/${table}_delta")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
 
   /** The full steady-state ingest step, shaped as a `foreachBatch` body
     * for a streaming curation pipeline (the near-dup sibling of
@@ -210,12 +244,36 @@ object LshIndex {
       text: Column,
       threshold: Double = 0.6,
       maxBucketSize: Long = 2000): DataFrame = {
+    val (survivors, free) =
+      ingestCore(spark, path, batch, id, text, threshold, maxBucketSize)
+    // materialize the survivor cache BEFORE dropping the intermediates it
+    // was derived from, so the caller's actions never re-run the probe
+    try { StageTimers.timed("lsh_survivors") { survivors.count() }; survivors }
+    finally free()
+  }
+
+  /** The probe/dedup/append chain WITHOUT the final survivor
+    * materialization: returns the persisted (not yet materialized)
+    * survivors plus the intermediate-cache release closure, so a caller
+    * that immediately runs its own action ([[curateInto]]'s sink) can BE
+    * the materializer — one fewer job per batch — and release the
+    * intermediates after. */
+  private def ingestCore(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double,
+      maxBucketSize: Long): (DataFrame, () => Unit) = {
     val (shingleSize, numHashes, bands, numShards) = readMeta(spark, path)
     val toFree = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = { toFree += df; df.persist() }
-    // intermediates unpersist in a finally: a mid-batch failure (executor
-    // loss, disk full during the append) must not strand cached frames in
-    // the block manager for the life of a long-running streaming query
+    var ok = false
+    // intermediates unpersist via the returned closure once the caller has
+    // materialized survivors; on FAILURE they release here — a mid-batch
+    // failure (executor loss, disk full during the append) must not strand
+    // cached frames in the block manager for the life of a streaming query
     try {
       val bsh = cached(shingleSets(batch, id, text, shingleSize))
       // persisted: every downstream subtree (guard, candidate join, self-
@@ -265,12 +323,9 @@ object LshIndex {
           batch.join(survSh.select(col("id").as("__keep")),
             id.cast("long") === col("__keep"), "left_semi"))
         .persist()
-      // materialize the survivor cache BEFORE dropping the intermediates
-      // it was derived from, so the caller's sink reads cached rows
-      // instead of re-running the probe
-      StageTimers.timed("lsh_survivors") { survivors.count() }
-      survivors
-    } finally { toFree.foreach(_.unpersist()); () }
+      ok = true
+      (survivors, () => { toFree.foreach(_.unpersist()); () })
+    } finally { if (!ok) toFree.foreach(_.unpersist()); () }
   }
 
   /** [[ingestBatch]] with the persist lifecycle owned INTERNALLY: runs
@@ -287,10 +342,14 @@ object LshIndex {
       text: Column,
       threshold: Double = 0.6,
       maxBucketSize: Long = 2000)(sink: DataFrame => T): T = {
-    val survivors =
-      ingestBatch(spark, path, batch, id, text, threshold, maxBucketSize)
+    // the sink's FIRST action materializes the persisted survivors while
+    // the probe intermediates are still cached (ingestCore defers their
+    // release) — the separate survivor-count job ingestBatch pays is
+    // folded into the sink's own action
+    val (survivors, free) =
+      ingestCore(spark, path, batch, id, text, threshold, maxBucketSize)
     try sink(survivors)
-    finally { survivors.unpersist(); () }
+    finally { free(); survivors.unpersist(); () }
   }
 
   /** Compact the index: rewrite every shard directory that accumulated
@@ -301,9 +360,33 @@ object LshIndex {
     * distinct (id, band, bucket) rows, shingles to one row per id —
     * exactly the normalizations probe applies on read. */
   def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
-    IndexMaintenance.compactTable(spark, s"$path/buckets", _.distinct()) +
+    foldDelta(spark, path, "buckets") +
+      foldDelta(spark, path, "shingles") +
+      IndexMaintenance.compactTable(spark, s"$path/buckets", _.distinct()) +
       IndexMaintenance.compactTable(spark, s"$path/shingles",
         _.groupBy("id").agg(first(col("shingles")).as("shingles")))
+
+  /** Fold the unsharded delta tail into the sharded base: append the
+    * delta rows partitioned by their precomputed shard column, then
+    * delete exactly the files that were folded. Crash between the fold
+    * and the deletes leaves rows duplicated base+delta — probes tolerate
+    * duplicate ROWS by construction (distinct-id guards, verify-side
+    * dedupe), so the step is replay-safe; files appended concurrently
+    * with the fold are not in the consumed list and survive untouched. */
+  private def foldDelta(
+      spark: SparkSession, path: String, table: String): IndexMaintenance.CompactStats = {
+    val files = deltaFiles(spark, path, table)
+    if (files.isEmpty) IndexMaintenance.CompactStats(0, 0)
+    else {
+      spark.read.parquet(files: _*)
+        .repartition(col("shard"))
+        .write.mode("append").partitionBy("shard").parquet(s"$path/$table")
+      val fs = new org.apache.hadoop.fs.Path(s"$path/${table}_delta")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      IndexMaintenance.CompactStats(1, files.size)
+    }
+  }
 
   /** Near-duplicate pairs between a new batch and the indexed corpus:
     * (batch_id, corpus_id, jaccard) with jaccard ≥ `threshold`, one row

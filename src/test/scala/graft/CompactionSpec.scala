@@ -41,8 +41,13 @@ class CompactionSpec extends SparkSpec {
     val tail = corpus.filter($"doc_id" % 2 === 0)
     LshIndex.append(tail, $"doc_id", $"text", path)
     LshIndex.append(tail, $"doc_id", $"text", path) // replayed append
-    assert(filesPerDir(s"$path/buckets").values.max > 1,
-      "appends must have accumulated multiple files per shard")
+    // appends land in the unsharded delta tail: ONE plain file per table
+    // per append, never one-per-hit-shard — the file-count contract that
+    // keeps a 500 ms streaming trigger from exploding the directory tree
+    def deltaCount(t: String) = new java.io.File(s"$path/${t}_delta")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(deltaCount("buckets") === 2 && deltaCount("shingles") === 2,
+      "each append must add exactly one delta file per table")
     def run() =
       LshIndex.probe(spark, path, batch, $"doc_id", $"text", threshold = 0.6)
         .as[(Long, Long, Double)].collect().toSet
@@ -50,6 +55,8 @@ class CompactionSpec extends SparkSpec {
     assert(before.nonEmpty)
     val stats = LshIndex.compact(spark, path)
     assert(stats.dirsCompacted > 0 && stats.filesRemoved > stats.dirsCompacted)
+    assert(deltaCount("buckets") === 0 && deltaCount("shingles") === 0,
+      "compact must fold the delta tail into the sharded base")
     assert(filesPerDir(s"$path/buckets").values.forall(_ == 1),
       "every bucket shard dir must hold exactly one file after compact")
     assert(filesPerDir(s"$path/shingles").values.forall(_ == 1),
