@@ -57,6 +57,62 @@ object IndexMaintenance {
         !n.startsWith("_") && !n.startsWith(".")
       }
 
+  // ------------------------- LSM-style delta tail -------------------------
+  // A partitioned index's `append` used to write one file per hit
+  // partition directory per batch through the dynamic-partition committer
+  // — ~O(dirs) files and commit work per micro-batch. The delta tail makes
+  // appends write ONE plain file per table (the partition value riding as
+  // a data column) into `<table>_delta/`; reads union the directory-pruned
+  // base with the (batch-scale) tail; compaction folds the tail into the
+  // sharded base. Crash between fold and delete duplicates rows at worst —
+  // the same duplicate-row class replayed appends already produce, which
+  // every probe tolerates by construction.
+
+  /** Data files currently in `<table>_delta/` (empty if absent). */
+  def deltaFiles(spark: SparkSession, table: String): Seq[String] = {
+    val dir = new Path(s"${table}_delta")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else dataFiles(fs, dir).map(_.toString)
+  }
+
+  /** Append a batch-scale frame as ONE file to the delta tail. */
+  def appendDelta(df: DataFrame, table: String): Unit =
+    df.coalesce(1).write.mode("append").parquet(s"${table}_delta")
+
+  /** Partition-pruned base ∪ delta tail, both filtered on `partCol`. */
+  def readWithDelta(
+      spark: SparkSession, table: String, partCol: String,
+      values: Seq[Int]): DataFrame = {
+    val base = spark.read.parquet(table)
+      .filter(org.apache.spark.sql.functions.col(partCol).isInCollection(values))
+    deltaFiles(spark, table) match {
+      case Seq() => base
+      case files =>
+        base.unionByName(spark.read.parquet(files: _*)
+          .filter(org.apache.spark.sql.functions.col(partCol)
+            .isInCollection(values)))
+    }
+  }
+
+  /** Fold the delta tail into the partitioned base (append partitioned by
+    * `partCol`), then delete exactly the folded files. Replay-safe: see
+    * the tail contract above. */
+  def foldDelta(
+      spark: SparkSession, table: String, partCol: String): CompactStats = {
+    val files = deltaFiles(spark, table)
+    if (files.isEmpty) CompactStats(0, 0)
+    else {
+      spark.read.parquet(files: _*)
+        .repartition(org.apache.spark.sql.functions.col(partCol))
+        .write.mode("append").partitionBy(partCol).parquet(table)
+      val fs = new Path(s"${table}_delta")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      files.foreach(f => fs.delete(new Path(f), false))
+      CompactStats(1, files.size)
+    }
+  }
+
   /** Compact every `col=value` partition directory under `table` holding
     * more than `minFiles` data files. `dedupe` runs on each directory's
     * rows during the rewrite (partition column excluded — it lives in the

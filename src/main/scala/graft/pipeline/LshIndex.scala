@@ -106,7 +106,7 @@ object LshIndex {
         // shard directory, the difference between 2 and ~128 files per
         // micro-batch at a 500 ms trigger. compact() folds the tail into
         // the sharded base.
-        df.coalesce(1).write.mode("append").parquet(s"$path/${table}_delta")
+        IndexMaintenance.appendDelta(df, s"$path/$table")
       else
         df.repartition(col("shard"))
           .write.mode(mode).partitionBy("shard").parquet(s"$path/$table")
@@ -184,30 +184,11 @@ object LshIndex {
   def prunedShingles(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
     prunedTable(spark, path, "shingles", shards)
 
-  /** Sharded base (directory prune) ∪ unsharded delta tail (appended one
-    * file per batch; read whole — it is batch-scale until compact() folds
-    * it into the base, where the shard filter is a row predicate). */
+  /** Sharded base (directory prune) ∪ unsharded delta tail — see
+    * [[IndexMaintenance.readWithDelta]]. */
   private def prunedTable(
-      spark: SparkSession, path: String, table: String, shards: Seq[Int]): DataFrame = {
-    val base = spark.read.parquet(s"$path/$table")
-      .filter(col("shard").isInCollection(shards))
-    deltaFiles(spark, path, table) match {
-      case Seq() => base
-      case files =>
-        base.unionByName(spark.read.parquet(files: _*)
-          .filter(col("shard").isInCollection(shards)))
-    }
-  }
-
-  private def deltaFiles(
-      spark: SparkSession, path: String, table: String): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/${table}_delta")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-  }
+      spark: SparkSession, path: String, table: String, shards: Seq[Int]): DataFrame =
+    IndexMaintenance.readWithDelta(spark, s"$path/$table", "shard", shards)
 
   /** The full steady-state ingest step, shaped as a `foreachBatch` body
     * for a streaming curation pipeline (the near-dup sibling of
@@ -360,33 +341,11 @@ object LshIndex {
     * distinct (id, band, bucket) rows, shingles to one row per id —
     * exactly the normalizations probe applies on read. */
   def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
-    foldDelta(spark, path, "buckets") +
-      foldDelta(spark, path, "shingles") +
+    IndexMaintenance.foldDelta(spark, s"$path/buckets", "shard") +
+      IndexMaintenance.foldDelta(spark, s"$path/shingles", "shard") +
       IndexMaintenance.compactTable(spark, s"$path/buckets", _.distinct()) +
       IndexMaintenance.compactTable(spark, s"$path/shingles",
         _.groupBy("id").agg(first(col("shingles")).as("shingles")))
-
-  /** Fold the unsharded delta tail into the sharded base: append the
-    * delta rows partitioned by their precomputed shard column, then
-    * delete exactly the files that were folded. Crash between the fold
-    * and the deletes leaves rows duplicated base+delta — probes tolerate
-    * duplicate ROWS by construction (distinct-id guards, verify-side
-    * dedupe), so the step is replay-safe; files appended concurrently
-    * with the fold are not in the consumed list and survive untouched. */
-  private def foldDelta(
-      spark: SparkSession, path: String, table: String): IndexMaintenance.CompactStats = {
-    val files = deltaFiles(spark, path, table)
-    if (files.isEmpty) IndexMaintenance.CompactStats(0, 0)
-    else {
-      spark.read.parquet(files: _*)
-        .repartition(col("shard"))
-        .write.mode("append").partitionBy("shard").parquet(s"$path/$table")
-      val fs = new org.apache.hadoop.fs.Path(s"$path/${table}_delta")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      IndexMaintenance.CompactStats(1, files.size)
-    }
-  }
 
   /** Near-duplicate pairs between a new batch and the indexed corpus:
     * (batch_id, corpus_id, jaccard) with jaccard ≥ `threshold`, one row

@@ -85,8 +85,12 @@ object SpanIndex {
       occ: DataFrame, numShards: Int, path: String, mode: String,
       singleTask: Boolean = false): Unit = {
     val g = gramSet(occ, numShards)
-    (if (singleTask) g.coalesce(1) else g.repartition(col("shard")))
-      .write.mode(mode).partitionBy("shard").parquet(s"$path/grams")
+    if (singleTask)
+      // delta tail — ONE plain file per batch; see IndexMaintenance
+      IndexMaintenance.appendDelta(g, s"$path/grams")
+    else
+      g.repartition(col("shard"))
+        .write.mode(mode).partitionBy("shard").parquet(s"$path/grams")
   }
 
   def build(
@@ -118,8 +122,7 @@ object SpanIndex {
   /** The shard-pruned gram-table scan a probe's shard set touches —
     * exposed so callers (and specs) can assert the directory pruning. */
   def prunedGrams(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/grams")
-      .filter(col("shard").isInCollection(shards))
+    IndexMaintenance.readWithDelta(spark, s"$path/grams", "shard", shards)
 
   /** Span removal for a new batch against the indexed corpus: returns
     * (doc_id, n_words, removed_words, kept_text), one row per batch doc.
@@ -218,6 +221,7 @@ object SpanIndex {
     * one file each, collapsing replayed-append duplicates to the lowest
     * owner per gram (the owner any probe would resolve). */
   def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
-    IndexMaintenance.compactTable(spark, s"$path/grams",
-      _.groupBy("g").agg(min(col("owner")).as("owner")))
+    IndexMaintenance.foldDelta(spark, s"$path/grams", "shard") +
+      IndexMaintenance.compactTable(spark, s"$path/grams",
+        _.groupBy("g").agg(min(col("owner")).as("owner")))
 }

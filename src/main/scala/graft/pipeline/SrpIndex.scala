@@ -57,17 +57,21 @@ object SrpIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    def shaped(df: DataFrame, part: String): DataFrame =
-      if (singleTask) df.coalesce(1) else df.repartition(col(part))
+    def write(df: DataFrame, part: String, table: String): Unit =
+      if (singleTask)
+        // delta tail — ONE plain file per table per batch; see
+        // [[IndexMaintenance.appendDelta]] / [[LshIndex]]'s layout note
+        IndexMaintenance.appendDelta(df, s"$path/$table")
+      else
+        df.repartition(col(part))
+          .write.mode(mode).partitionBy(part).parquet(s"$path/$table")
     val wB = Future {
-      shaped(sig.select("id", "bucket"), "bucket")
-        .write.mode(mode).partitionBy("bucket").parquet(s"$path/buckets")
+      write(sig.select("id", "bucket"), "bucket", "buckets")
     }
     val wV = Future {
-      shaped(sig.select(col("id"), col("v"))
+      write(sig.select(col("id"), col("v"))
           .withColumn("shard", pmod(col("id"), lit(numShards.toLong)).cast("int")),
-          "shard")
-        .write.mode(mode).partitionBy("shard").parquet(s"$path/vectors")
+        "shard", "vectors")
     }
     Await.result(wB.zip(wV), Duration.Inf)
     ()
@@ -156,20 +160,20 @@ object SrpIndex {
     * buckets collapse to distinct id rows per bucket directory, vectors to
     * one row per id; probe results are unchanged. */
   def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
-    IndexMaintenance.compactTable(spark, s"$path/buckets", _.distinct()) +
+    IndexMaintenance.foldDelta(spark, s"$path/buckets", "bucket") +
+      IndexMaintenance.foldDelta(spark, s"$path/vectors", "shard") +
+      IndexMaintenance.compactTable(spark, s"$path/buckets", _.distinct()) +
       IndexMaintenance.compactTable(spark, s"$path/vectors",
         _.groupBy("id").agg(first(col("v")).as("v")))
 
   /** The bucket-pruned scan a probe's bucket set touches — exposed so
     * callers (and specs) can assert the directory pruning. */
   def prunedBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/buckets")
-      .filter(col("bucket").isInCollection(buckets))
+    IndexMaintenance.readWithDelta(spark, s"$path/buckets", "bucket", buckets)
 
   /** The shard-pruned vector-table scan — see [[prunedBuckets]]. */
   def prunedVectors(spark: SparkSession, path: String, shards: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("shard").isInCollection(shards))
+    IndexMaintenance.readWithDelta(spark, s"$path/vectors", "shard", shards)
 
   /** Near-duplicate pairs between a new batch and the indexed corpus:
     * (batch_id, corpus_id, cosine) with cosine ≥ `threshold`. Bucket
