@@ -95,6 +95,16 @@ object IndexMaintenance {
     }
   }
 
+  /** Unfiltered base ∪ delta tail — for readers that filter later (the
+    * filter still partition-prunes the base; the tail is batch-scale). */
+  def readAllWithDelta(spark: SparkSession, table: String): DataFrame = {
+    val base = spark.read.parquet(table)
+    deltaFiles(spark, table) match {
+      case Seq() => base
+      case files => base.unionByName(spark.read.parquet(files: _*))
+    }
+  }
+
   /** Fold the delta tail into the partitioned base (append partitioned by
     * `partCol`), then delete exactly the folded files. Replay-safe: see
     * the tail contract above. */

@@ -96,9 +96,10 @@ object IvfIndex {
     val prepared = batch.select(id.cast("long").as("id"), vec.as("vec"))
     val assigned = Similarity.assignCellsWithDist(prepared, centroidDf).persist()
     try {
-      assigned.select("id", "vec", "cell")
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      // delta tail — ONE plain file per batch (cell as data column); see
+      // IndexMaintenance. compact() folds it into the cell directories.
+      IndexMaintenance.appendDelta(
+        assigned.select("id", "vec", "cell"), s"$path/cells")
       val row = assigned.agg(
         count(lit(1)).as("n"), avg(col("cdist")).as("m")).head()
       val buildMean = spark.read.parquet(s"$path/stats")
@@ -115,15 +116,15 @@ object IvfIndex {
     * stops taxing every probe's file opens, and any duplicate rows a
     * replayed append or torn compact left are collected. */
   def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
-    IndexMaintenance.compactTable(spark, s"$path/cells",
-      _.groupBy("id").agg(first(col("vec")).as("vec")))
+    IndexMaintenance.foldDelta(spark, s"$path/cells", "cell") +
+      IndexMaintenance.compactTable(spark, s"$path/cells",
+        _.groupBy("id").agg(first(col("vec")).as("vec")))
 
   /** The cell-pruned corpus scan a probe set touches — exposed so callers
     * (and specs) can assert the file pruning. `cells` is metadata-scale
     * (bounded by nCells). */
   def prunedCells(spark: SparkSession, path: String, cells: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isInCollection(cells))
+    IndexMaintenance.readWithDelta(spark, s"$path/cells", "cell", cells)
 
   /** Approximate top-k against a built index. One driver-side centroid
     * read, one pruned corpus scan, one broadcast join, one window re-rank.

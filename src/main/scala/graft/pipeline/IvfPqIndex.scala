@@ -100,8 +100,8 @@ object IvfPqIndex {
     val codes = IvfPq.encode(batch, id, vec, model).persist()
     try {
       val n = codes.count()
-      codes.coalesce(1)
-        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      // delta tail — ONE plain file per batch; compact() folds it in
+      IndexMaintenance.appendDelta(codes, s"$path/codes")
       n
     } finally { codes.unpersist(); () }
   }
@@ -109,14 +109,14 @@ object IvfPqIndex {
   /** Compact — each `cell=N` directory collapses to one file with one
     * codes row per id (see [[IndexMaintenance]]). */
   def compact(spark: SparkSession, path: String): IndexMaintenance.CompactStats =
-    IndexMaintenance.compactTable(spark, s"$path/codes",
-      _.groupBy("id").agg(first(col("codes")).as("codes")))
+    IndexMaintenance.foldDelta(spark, s"$path/codes", "cell") +
+      IndexMaintenance.compactTable(spark, s"$path/codes",
+        _.groupBy("id").agg(first(col("codes")).as("codes")))
 
   /** The cell-pruned codes scan a probe set touches — exposed so callers
     * (and specs) can assert the directory pruning. */
   def prunedCodes(spark: SparkSession, path: String, cells: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isInCollection(cells))
+    IndexMaintenance.readWithDelta(spark, s"$path/codes", "cell", cells)
 
   /** ADC top-k against the built index: one model read (cached), driver
     * LUTs, one pruned codes scan — output identical to
@@ -130,7 +130,7 @@ object IvfPqIndex {
       k: Int,
       nProbe: Int): DataFrame = {
     val model = readModel(spark, path)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = IndexMaintenance.readAllWithDelta(spark, s"$path/codes")
       .select(col("id"), col("cell"), col("codes"))
     IvfPq.adcTopK(queries, qid, qvec, codes, model, nProbe, k)
   }

@@ -98,8 +98,10 @@ class CompactionSpec extends SparkSpec {
     val tail = corpus.filter($"vec_id" % 2 === 0)
     IvfIndex.append(tail, $"vec_id", $"embedding", path)
     IvfIndex.append(tail, $"vec_id", $"embedding", path) // replayed append
-    // the replay duplicated (id, vec) rows — compaction must collapse them
-    val rawRows = spark.read.parquet(s"$path/cells").count()
+    // the replay duplicated (id, vec) rows (in the delta tail) —
+    // compaction must fold the tail and collapse the duplicates
+    val rawRows = graft.pipeline.IndexMaintenance
+      .readAllWithDelta(spark, s"$path/cells").count()
     def run() =
       IvfIndex.topK(spark, path, queries, k = 5, nProbe = 2)
         .as[(Long, Long, Int, Double)].collect().toSet

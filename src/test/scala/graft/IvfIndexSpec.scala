@@ -79,7 +79,10 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.build(a, col("id"), col("vec"), incr, nCells = 8, sampleSize = 200)
     val stats = IvfIndex.append(b, col("id"), col("vec"), incr)
     IvfIndex.build(corpus, col("id"), col("vec"), fresh, nCells = 8, sampleSize = 200)
-    val cellsOf = (p: String) => spark.read.parquet(s"$p/cells")
+    // delta-aware read: appended rows live in the cells_delta tail until
+    // compact() folds them into the cell directories
+    val cellsOf = (p: String) => graft.pipeline.IndexMaintenance
+      .readAllWithDelta(spark, s"$p/cells")
       .select("id", "cell").orderBy("id").collect().toSeq
     assert(stats.nAppended === b.count())
     assert(cellsOf(incr) === cellsOf(fresh),
