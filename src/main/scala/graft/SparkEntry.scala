@@ -41,6 +41,7 @@ object SparkEntry {
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_funnel" -> (Queries.qFunnel _),
+    "q_retention" -> (Queries.qRetention _),
     "q_asof_join" -> (Queries.qAsofJoin _),
     "q_range_join" -> (Queries.qRangeJoin _),
     "q_brand_stats" -> (Queries.qBrandStats _),

@@ -267,6 +267,21 @@ object Oracles {
         |UNION ALL SELECT '2_click', count(t2) FROM u2
         |UNION ALL SELECT '3_purchase', count(t3) FROM u3""".stripMargin,
 
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS day
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN day END) AS d0
+        |  FROM e GROUP BY 1)
+        |SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS week,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f USING (user_id)
+        |WHERE day >= d0
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts_ms

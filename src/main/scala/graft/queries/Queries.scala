@@ -293,6 +293,24 @@ object Queries {
         .as(Seq("stage", "users")))
   }
 
+  /** Cohort retention: users grouped by first-signup week, counted as
+    * retained in each week offset they show ANY activity. All-integer day
+    * arithmetic on the raw nano timestamps (exact on both engines); one
+    * user-keyed aggregation plus a broadcast-size first-signup join. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+    val first = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    e.join(first, Seq("user_id"))
+      .filter(col("day") >= col("d0"))
+      .select(col("user_id"), expr("d0 div 7").as("cohort_week"),
+        expr("(day - d0) div 7").as("week"))
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
   /** Sessionization: split each user's event stream at >30 min gaps
     * (lag + cumulative-sum session ids — the batch form of
     * `session_window`), then aggregate per session. */
