@@ -51,6 +51,7 @@ object SparkEntry {
     "q_rollup" -> (Queries.qRollup _),
     "q_cube" -> (Queries.qCube _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
+    "q_salted_join" -> (Queries.qSaltedJoin _),
     "q_distinct_sketch" -> (Queries.qDistinctSketch _),
     "q_sketch_intersect" -> (Queries.qSketchIntersect _),
     "q_bloom_semijoin" -> (Queries.qBloomSemijoin _),

@@ -394,6 +394,13 @@ object Oracles {
       """SELECT p_brand, p_size, count(*) AS n
         |FROM part GROUP BY ROLLUP (p_brand, p_size)""".stripMargin,
 
+    // the salted join must equal the plain join (salts only split work)
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     // the salted two-phase aggregation must equal the plain GROUP BY
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,

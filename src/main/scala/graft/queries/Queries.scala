@@ -571,6 +571,23 @@ object Queries {
         CF.cmsEstimate(sk, col("l_orderkey").cast("string")).as("est_freq"))
   }
 
+  /** Salted join over a hot key ([[graft.pipeline.Skew.saltedJoin]]): the
+    * left's rows scatter across (key, salt) sub-keys and the right
+    * replicates once per salt, splitting each hot key's row group across
+    * `salts` tasks — the shuffle-join skew fix when the right side is too
+    * big to broadcast. Row-level results equal the plain join (salts only
+    * repartition work), which is what the oracle pins. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val ords = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, ords, "o_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
   // ===================== training-data pipeline operators =====================
 
   /** Exact dedup: lowest doc_id survives per distinct text. */
