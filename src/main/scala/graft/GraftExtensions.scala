@@ -55,7 +55,27 @@ object GraftExtensions {
       SrpBucketExpression(args.head, intArg(args(1), "nBits")) },
     "sorted_jaccard" -> { args => SortedJaccardExpression(args.head, args(1)) },
     "zvalue" -> { args =>
-      ZValueExpression(args.head, args(1), intArg(args(2), "zvalue bits")) })
+      ZValueExpression(args.head, args(1), intArg(args(2), "zvalue bits")) },
+    // deterministic sketch suite — the aggregates return the raw sketch
+    // (BinaryType); the analyzer wraps AggregateFunctions automatically
+    "hll_sketch" -> { args =>
+      HllSketchAgg(args.head, intArg(args(1), "hll p")) },
+    "hll_merge" -> { args =>
+      HllMergeAgg(args.head, intArg(args(1), "hll p")) },
+    "hll_estimate" -> { args =>
+      HllEstimate(args.head, intArg(args(1), "hll p")) },
+    "hll_union" -> { args => HllUnion(args.head, args(1)) },
+    "bloom_agg" -> { args =>
+      BloomAgg(args.head, intArg(args(1), "bloom mBits"),
+        intArg(args(2), "bloom k")) },
+    "bloom_contains" -> { args =>
+      BloomContainsExpr(args.head, args(1), intArg(args(2), "bloom k")) },
+    "cms_agg" -> { args =>
+      CmsAgg(args.head, intArg(args(1), "cms depth"),
+        intArg(args(2), "cms width")) },
+    "cms_estimate" -> { args =>
+      CmsEstimateExpr(args.head, args(1),
+        intArg(args(2), "cms depth"), intArg(args(3), "cms width")) })
   // Composite Column functions (tokenCount, qualityScore, ...) are NOT
   // registered here: in Spark 4 the Column→Expression conversion yields an
   // unresolved ColumnNode wrapper that a function-registry builder cannot

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftInternal}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -122,6 +122,22 @@ case class BloomMightContain(bloom: Array[Byte], child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
   override def prettyName: String = "bloom_might_contain"
+}
+
+/** SQL form of the membership probe: the filter arrives as an EXPRESSION
+  * (scalar subquery / literal / column) instead of driver-held bytes —
+  * `bloom_contains(bloom, key, k)`. Eval-only (the codegen'd
+  * driver-bytes [[BloomMightContain]] is the hot-path form). */
+case class BloomContainsExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(bloom: Any, key: Any): Any =
+    Bloom.contains(bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String], k)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContainsExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bloom_contains"
 }
 
 /** Column-facade. Default 2^18 bits (32 KB) / 7 probes ≈ 0.8% fpp at

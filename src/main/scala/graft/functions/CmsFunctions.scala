@@ -129,6 +129,22 @@ case class CmsEstimate(sketch: Array[Byte], child: Expression, depth: Int, width
   override def prettyName: String = "cms_estimate"
 }
 
+/** SQL form: sketch as an EXPRESSION (scalar subquery / column) —
+  * `cms_estimate(sketch, key, depth, width)`. Deserializes per row;
+  * the driver-held [[CmsEstimate]] is the bulk-probe form. */
+case class CmsEstimateExpr(left: Expression, right: Expression, depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(sketch: Any, key: Any): Any =
+    Cms.estimate(Cms.deserialize(sketch.asInstanceOf[Array[Byte]]),
+      key.asInstanceOf[UTF8String], depth, width)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimateExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cms_estimate"
+}
+
 /** Column-facade. Defaults: depth 4, width 16384 (512 KB sketch) —
   * ε ≈ e/16384 ≈ 0.017% of N, δ ≈ e^-4 ≈ 1.8%. */
 object CmsFunctions {

@@ -36,6 +36,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("z") === (0x0AL | 0x11L))
   }
 
+  test("sketch suite is callable from SQL: agg, merge, estimate, probes") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (0 until 5000).map(i => s"k${i % 1200}").toDF("k")
+      .createOrReplaceTempView("sketch_src")
+    val est = spark.sql(
+      """SELECT hll_estimate(hll_sketch(k, 9), 9) AS est FROM sketch_src"""
+    ).head.getDouble(0)
+    assert(math.abs(est - 1200) < 3 * 1.04 / math.sqrt(512) * 1200, s"est=$est")
+    // merge of per-group sketches == global sketch
+    val merged = spark.sql(
+      """SELECT hll_estimate(hll_merge(sk, 9), 9) AS est FROM (
+        |  SELECT hll_sketch(k, 9) AS sk FROM sketch_src GROUP BY length(k))
+        |""".stripMargin).head.getDouble(0)
+    assert(merged === est, "union of disjoint-group sketches = whole sketch")
+    // bloom: member true, non-member overwhelmingly false
+    val b = spark.sql(
+      """SELECT bloom_contains(b, 'k7', 7) AS yes,
+        |       bloom_contains(b, 'absent-key', 7) AS no
+        |FROM (SELECT bloom_agg(k, 262144, 7) AS b FROM sketch_src)
+        |""".stripMargin).head
+    assert(b.getBoolean(0) && !b.getBoolean(1))
+    // cms: point frequency of a key occurring ceil(5000/1200)-ish times
+    val f = spark.sql(
+      """SELECT cms_estimate(s, 'k3', 4, 16384) AS f
+        |FROM (SELECT cms_agg(k, 4, 16384) AS s FROM sketch_src)
+        |""".stripMargin).head.getLong(0)
+    assert(f >= 4 && f <= 6, s"k3 occurs 4-5 times, est=$f")
+  }
+
   test("non-literal arg to a literal parameter errors clearly") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
