@@ -52,6 +52,7 @@ object SparkEntry {
     "q_cube" -> (Queries.qCube _),
     "q_salted_agg" -> (Queries.qSaltedAgg _),
     "q_salted_join" -> (Queries.qSaltedJoin _),
+    "q_fuzzy_join" -> (Queries.qFuzzyJoin _),
     "q_distinct_sketch" -> (Queries.qDistinctSketch _),
     "q_sketch_intersect" -> (Queries.qSketchIntersect _),
     "q_bloom_semijoin" -> (Queries.qBloomSemijoin _),

@@ -394,6 +394,16 @@ object Oracles {
       """SELECT p_brand, p_size, count(*) AS n
         |FROM part GROUP BY ROLLUP (p_brand, p_size)""".stripMargin,
 
+    // the gram-bucketed fuzzy join must equal the plain quadratic join
+    "q_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT p_partkey AS id, p_name AS name FROM part
+        |  WHERE p_size <= 3 AND length(p_name) >= 9)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+
     // the salted join must equal the plain join (salts only split work)
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -588,6 +588,28 @@ object Queries {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
   }
 
+  /** Fuzzy entity-matching join: part-name pairs within Levenshtein
+    * distance 2. Candidates come from a character-3-gram bucket join —
+    * sound for d ≤ 2 at length ≥ 9 (each edit destroys ≤ 3 of the ≥ L−2
+    * grams, so ≤ 6 of ≥ 7 — at least one shared gram survives; the
+    * pigeonhole that makes the exact quadratic join unnecessary at
+    * scale) — then the codegen'd `levenshtein` verifies exactly. Oracle
+    * is the plain quadratic join. */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "part")
+      .filter(col("p_size") <= 3 && length(col("p_name")) >= 9)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    def grams(side: String) = names
+      .select(col("id").as(s"id_$side"), col("name").as(s"name_$side"),
+        explode(array_distinct(T.charShingles(col("name"), 3))).as("g"))
+    grams("a").join(grams("b"), "g")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   // ===================== training-data pipeline operators =====================
 
   /** Exact dedup: lowest doc_id survives per distinct text. */

@@ -152,6 +152,12 @@ class PlanSpec extends SparkSpec {
       s"three chained window mins expected:\n$p")
   }
 
+  test("q_fuzzy_join: candidates via gram equi-join, never a cartesian product") {
+    val p = plan(Queries.qFuzzyJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must bucket on grams, not cross-join:\n$p")
+  }
+
   test("decontaminate: benchmark gram set broadcasts, corpus never shuffles whole rows") {
     val p = plan(Queries.decontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "bench grams join by broadcast")
