@@ -30,18 +30,18 @@ case class ByteSumExpression(child: Expression) extends UnaryExpression {
   override def prettyName: String = "byte_sum"
 
   override def nullSafeEval(input: Any): Any =
-    ByteSumExpression.eval(input.asInstanceOf[Array[Byte]])
+    ByteSumExpression.evalBytes(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ByteSumExpression.eval($c)")
+      s"graft.functions.ByteSumExpression.evalBytes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object ByteSumExpression {
-  def eval(b: Array[Byte]): Long = {
+  def evalBytes(b: Array[Byte]): Long = {
     var s = 0L
     var i = 0
     while (i < b.length) { s += b(i) & 0xff; i += 1 }

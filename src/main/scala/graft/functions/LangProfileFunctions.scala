@@ -155,11 +155,11 @@ case class CharNgramsExpression(child: Expression, n: Int)
   override def prettyName: String = "char_ngrams_all"
 
   override def nullSafeEval(input: Any): Any =
-    CharNgramsExpression.eval(input.asInstanceOf[UTF8String], n)
+    CharNgramsExpression.evalGrams(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.CharNgramsExpression.eval($c, $n)")
+      s"graft.functions.CharNgramsExpression.evalGrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -168,7 +168,7 @@ case class CharNgramsExpression(child: Expression, n: Int)
 object CharNgramsExpression {
   /** All grams of lengths 1..n by code point (length-major, position
     * order), duplicates kept; empty below n code points (the und gate). */
-  def eval(s: UTF8String, n: Int): GenericArrayData = {
+  def evalGrams(s: UTF8String, n: Int): GenericArrayData = {
     val cp = s.toString.codePoints().toArray
     if (cp.length < n) return new GenericArrayData(Array.empty[Any])
     var total = 0
