@@ -63,6 +63,22 @@ object HllSql {
        |regs AS (SELECT g, idx, max(rho) AS rho FROM rr GROUP BY g, idx)""".stripMargin
   }
 
+  /** The bias-correction constant as a SQL literal, mirroring
+    * [[graft.functions.Hll.estimate]]'s small-m cases exactly (p=4/5/6
+    * use the empirical constants; larger m the closed form). Computed in
+    * the JVM and inlined — Double.toString round-trips, and DuckDB's
+    * decimal→double parse is correctly rounded, so the oracle sees the
+    * bit-identical alpha for EVERY p, not just p≥7. */
+  private def alphaLit(p: Int): String = {
+    val m = 1 << p
+    val a =
+      if (p == 4) 0.673
+      else if (p == 5) 0.697
+      else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    a.toString
+  }
+
   /** Unrounded estimate SELECT over a (g, regs LIST) relation named `lists`:
     * emits (g, est). Fold order and every IEEE op mirror
     * [[graft.functions.Hll.estimate]]. */
@@ -75,7 +91,7 @@ object HllSql {
        |  FROM lists),
        |unrounded AS (
        |  SELECT g, zeros,
-       |    (0.7213 / (1.0 + 1.079 / $m.0)) * $m * $m / s AS raw
+       |    CAST(${alphaLit(p)} AS DOUBLE) * $m * $m / s AS raw
        |  FROM est),
        |final AS (
        |  SELECT g,
@@ -133,7 +149,7 @@ object HllSql {
        |  FROM ulists),
        |uunrounded AS (
        |  SELECT g_a, g_b, zeros,
-       |    (0.7213 / (1.0 + 1.079 / $m.0)) * $m * $m / s AS raw
+       |    CAST(${alphaLit(p)} AS DOUBLE) * $m * $m / s AS raw
        |  FROM uest),
        |ufinal AS (
        |  SELECT g_a, g_b,

@@ -535,7 +535,10 @@ object Queries {
   /** Bloom-split anti join: customers with no urgent orders. No false negatives
     * means might-contain=false rows are DEFINITE anti-join results with
     * zero join work; only the might-contain sliver reaches the exact
-    * anti join. Oracle = the plain anti join. */
+    * anti join. Oracle = the plain anti join — including on NULL keys: a
+    * null key never matches under the anti join's null-unsafe equality,
+    * so null-key rows are definite keeps (`mightContain(null)` is null,
+    * which would otherwise drop the row from BOTH branches). */
   def qBloomAntijoin(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
@@ -545,7 +548,8 @@ object Queries {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val definiteNo = cust
-      .filter(!BF.mightContain(bloom, col("c_custkey").cast("string")))
+      .filter(col("c_custkey").isNull ||
+        !BF.mightContain(bloom, col("c_custkey").cast("string")))
     val maybe = cust
       .filter(BF.mightContain(bloom, col("c_custkey").cast("string")))
       .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")

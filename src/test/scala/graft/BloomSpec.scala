@@ -68,6 +68,27 @@ class BloomSpec extends SparkSpec {
     assert(definiteNo.count() > (corpus.size - seen.size) * 8 / 10)
   }
 
+  test("anti-join split keeps null-key rows (they are definite anti-join results)") {
+    // mightContain(null) is null: a naive split drops null keys from BOTH
+    // branches, while the plain anti join keeps them (null never matches
+    // under null-unsafe equality). The query routes nulls to definite-no.
+    val seen = Seq("k1", "k3")
+    val b = bloomOf(seen)
+    val corpusDf = Seq(Some("k1"), Some("k2"), None, Some("k4"))
+      .toDF("key").repartition(2)
+    val seenDf = seen.toDF("seen")
+    val definiteNo = corpusDf.filter(
+      col("key").isNull || !BF.mightContain(b, col("key")))
+    val maybe = corpusDf.filter(BF.mightContain(b, col("key")))
+      .join(seenDf, col("key") === col("seen"), "left_anti")
+    val split = definiteNo.unionByName(maybe)
+      .orderBy(col("key").asc_nulls_first).as[Option[String]].collect()
+    val plain = corpusDf.join(seenDf, col("key") === col("seen"), "left_anti")
+      .orderBy(col("key").asc_nulls_first).as[Option[String]].collect()
+    assert(split.sameElements(plain))
+    assert(split.contains(None))
+  }
+
   test("merge across sketch-sized partials is associative") {
     val a = bloomOf(Seq("x1", "x2"), mBits = 1 << 10)
     val b2 = bloomOf(Seq("y1"), mBits = 1 << 10)

@@ -94,6 +94,15 @@ class HllSpec extends SparkSpec {
     assert(math.abs(estCommon - 4000) < 1500, s"est overlap $estCommon vs 4000")
   }
 
+  test("oracle SQL mirrors the small-m alpha constants (p=4/5/6)") {
+    // Hll.estimate uses the empirical constants below the closed form's
+    // validity range; the generated oracle must inline the same ones.
+    assert(graft.queries.HllSql.distinctSketchSql(4).contains("0.673"))
+    assert(graft.queries.HllSql.distinctSketchSql(5).contains("0.697"))
+    assert(graft.queries.HllSql.sketchIntersectSql(6).contains("0.709"))
+    assert(!graft.queries.HllSql.distinctSketchSql(9).contains("0.673"))
+  }
+
   test("streaming: HLL sketch state carries across micro-batches (complete mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
