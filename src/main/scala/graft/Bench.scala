@@ -56,21 +56,29 @@ object Bench {
     "ann_brute" -> 0.25, "ann_srp" -> 0.35, "pipeline_clean" -> 0.9,
     "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
     "chunk_docs" -> 0.6, "gopher_filters" -> 0.6,
-    // round 10: the fused probe path (sign-once + cached meta + single
-    // verdict materialization) cut dedup_incremental 3.5 -> 1.9 and
-    // curate_pipeline 16.2 -> 9.9 solo; bands refreshed to the new level
-    "dedup_incremental" -> 2.2, "curate_pipeline" -> 11.0,
+    // round 14: stats-preserving lineage truncation in the probe chain
+    // (LogicalRDD.fromDataset keeps cache statistics, so the anti/semi
+    // joins stay broadcast) cut curate_pipeline to 8.1 s and
+    // curate_pipeline_full to 7.9 s solo (loadavg 1.3); bands = solo +
+    // ~10-25% headroom
+    "dedup_incremental" -> 2.2, "curate_pipeline" -> 9.0,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
-    "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 3.2,
+    "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 1.8,
     "dsir_sample" -> 0.5,
     // round 10 additions (solo sf0.1 measurements + ~20% headroom)
-    "train_shards" -> 1.7, "lm_score_5gram" -> 3.2, "chunk_docs_bpe" -> 0.9,
+    "train_shards" -> 1.7, "lm_score_5gram" -> 2.4, "chunk_docs_bpe" -> 0.9,
     // round 13 additions (solo sf0.1 measurements + headroom)
     "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
     "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8,
-    "curate_pipeline_full" -> 20.0,
+    "curate_pipeline_full" -> 10.0,
     // round 13 sketch/filter additions (solo sf0.1 ~0.5-0.65 s + headroom)
     "q_distinct_sketch" -> 0.8, "q_bloom_semijoin" -> 1.0)
+
+  /** Queries whose band is multiple seconds wide — their retry guard
+    * fires at 1.5x band (see the headline loop comment). */
+  private val CompositeRetry: Set[String] = Set(
+    "dedup_incremental", "curate_pipeline", "curate_pipeline_full",
+    "dup_clusters", "lm_score_5gram", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val loadAtStart = loadAvg
@@ -234,18 +242,25 @@ object Bench {
       materialize(fn(spark, sfDir)) // untimed warm-up pass
       // best-of-2, plus one band-guarded retry: the min of independent
       // passes strips co-tenant noise (which only ever ADDS time); a min
-      // still 3x above the historical band is either a real regression or
+      // still above the retry threshold is either a real regression or
       // sustained contention — flag it either way. The retry waits a beat
       // first: measured host-steal windows on this box last MINUTES, so
       // back-to-back passes all land inside one window (thread dumps show
       // runnable-but-starved executors; a later identical run is in-band).
+      //
+      // Multi-second COMPOSITE queries retry at 1.5x their band, not 3x:
+      // their bands are wide in absolute seconds, so a 3x guard let a 2x-
+      // polluted curate_pipeline (19.4 s vs ~10 s solo) into round 13's
+      // official artifact with `contended` empty. Short queries keep 3x —
+      // at sub-second bands, 1.5x would flag ordinary scheduler jitter.
+      val mult = if (CompositeRetry(name)) 1.5 else 3.0
       var best = math.min(
         time(materialize(fn(spark, sfDir))),
         time(materialize(fn(spark, sfDir))))
-      if (BAND.get(name).exists(b => best > 3 * b)) {
+      if (BAND.get(name).exists(b => best > mult * b)) {
         Thread.sleep(15000)
         best = math.min(best, time(materialize(fn(spark, sfDir))))
-        if (BAND.get(name).exists(b => best > 3 * b)) contended += name
+        if (BAND.get(name).exists(b => best > mult * b)) contended += name
       }
       results(name) = best
     }
@@ -275,12 +290,22 @@ object Bench {
       // the chain's real wall segments (it is one lazy plan; timing
       // sub-frames would force extra actions and change the thing
       // measured). Remainder vs the headline number = sink + harness.
-      val (_, stages) = graft.pipeline.StageTimers.capture {
-        materialize(Queries.curatePipeline(spark, sfDir))
+      // best-of-2 like every query: round 13's official artifact carried
+      // a steal-polluted lsh_append (14.96 s vs 0.95 s solo) from a
+      // single capture — take the capture with the smaller wall total
+      def capturedSplit(): (Double, Map[String, Double]) = {
+        var t = 0.0
+        val (_, st) = graft.pipeline.StageTimers.capture {
+          t = time(materialize(Queries.curatePipeline(spark, sfDir)))
+        }
+        (t, st)
       }
-      val actionSplit = Seq("lsh_sign_shards", "lsh_candgen", "lsh_cand_shards",
-          "lsh_verifygen", "lsh_verdict", "lsh_append", "lsh_survivors",
-          "sink_collect")
+      val (w1, s1) = capturedSplit()
+      val (w2, s2) = capturedSplit()
+      val stages = if (w1 <= w2) s1 else s2
+      val actionSplit = Seq("front_plan", "lsh_sign_shards", "lsh_candgen",
+          "lsh_cand_shards", "lsh_verifygen", "lsh_verdict", "lsh_selfgen",
+          "lsh_append", "lsh_survgen", "lsh_survivors", "sink_collect")
         .flatMap(k => stages.get(k).map(v => f""""$k":$v%.3f"""))
         .mkString(",")
       f""""curate_stages":{"front":$tFront%.3f,"probe":$tProbe%.3f""" +

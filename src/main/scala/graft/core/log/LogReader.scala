@@ -89,7 +89,11 @@ object LogReader {
   def scan(spark: SparkSession, wh: Warehouse, topic: String): DataFrame = {
     val files = IndexCache.entries(spark, wh, topic).filter(_.isData).map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
-    else spark.read.option("basePath", wh.logDir(topic)).parquet(files.toIndexedSeq: _*)
+    else spark.read.option("basePath", wh.logDir(topic))
+      // pinned like `poll`: the query layer calls scan constantly and a
+      // footer schema-inference pass per call is pure fixed overhead
+      .schema(graft.core.Schemas.record)
+      .parquet(files.toIndexedSeq: _*)
   }
 
   /** Incremental read: every record with `offset >= from(partition)` —
@@ -108,6 +112,7 @@ object LogReader {
         when(col("partition") === p, lit(o)).otherwise(acc)
       }
       spark.read.option("basePath", wh.logDir(topic))
+        .schema(graft.core.Schemas.record)
         .parquet(files.toIndexedSeq: _*)
         .filter(col("offset") >= lower)
     }

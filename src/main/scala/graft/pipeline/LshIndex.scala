@@ -263,23 +263,32 @@ object LshIndex {
       val batchKeys = cached(bandKeys(bsh, numHashes, bands))
       val cand = StageTimers.timed("lsh_candgen") {
         cached(candidatePairs(spark, path, batchKeys, numShards,
-          maxBucketSize))
+          maxBucketSize, truncate = true))
       }
+      // the sign-shards collect inside candidatePairs has materialized
+      // BOTH batch caches; re-root them as LogicalRDDs so the half-dozen
+      // downstream consumers (verify join, clean anti-joins, self-join,
+      // appends, survivor semi-join) analyze and stringify an O(1) leaf
+      // instead of re-walking the chunk→shingle→minhash DAG per use —
+      // the per-batch driver time candgen/verifygen used to burn
+      val bshT = PlanUtil.truncateLineage(bsh)
+      val keysT = PlanUtil.truncateLineage(batchKeys)
       val dupOfCorpus = StageTimers.timed("lsh_verifygen") {
         cached(
-          verifyCandidates(spark, path, numShards, cand, bsh, threshold)
+          verifyCandidates(spark, path, numShards, cand, bshT, threshold,
+            truncate = true)
             .select(col("batch_id").as("__dup")).distinct())
       }
       // within-batch near-dup over the SAME signatures: restrict the
       // signed frames to corpus-clean ids, self-join, drop the higher id
       // of each verified pair (minhashDedup's greedy keep-lowest-id rule)
       val cleanSh =
-        bsh.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
+        bshT.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
       val cleanKeys =
-        batchKeys.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
-      val losers = cached(
+        keysT.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
+      val losers = StageTimers.timed("lsh_selfgen") { cached(
         Dedup.minhashPairsSigned(cleanSh, cleanKeys, threshold, maxBucketSize)
-          .select(col("id_b").as("__loser")).distinct())
+          .select(col("id_b").as("__loser")).distinct()) }
       // ONE action materializes the whole verdict chain (probe verify +
       // within-batch self-join); both verdict sets are batch-bounded id
       // frames, persisted so the appends and the survivor projection below
@@ -300,10 +309,12 @@ object LshIndex {
       // lineage truncated: a composed pipeline stage downstream must not
       // embed (and re-walk, per AQE stage) this whole shared-DAG plan —
       // see PlanUtil.truncateLineage
-      val survivors = PlanUtil.truncateLineage(
-          batch.join(survSh.select(col("id").as("__keep")),
-            id.cast("long") === col("__keep"), "left_semi"))
-        .persist()
+      val survivors = StageTimers.timed("lsh_survgen") {
+        PlanUtil.truncateLineage(
+            batch.join(broadcast(survSh.select(col("id").as("__keep"))),
+              id.cast("long") === col("__keep"), "left_semi"))
+          .persist()
+      }
       ok = true
       (survivors, () => { toFree.foreach(_.unpersist()); () })
     } finally { if (!ok) toFree.foreach(_.unpersist()); () }
@@ -380,7 +391,8 @@ object LshIndex {
       path: String,
       batchKeys: DataFrame,
       numShards: Int,
-      maxBucketSize: Long): DataFrame = {
+      maxBucketSize: Long,
+      truncate: Boolean = false): DataFrame = {
     // the batch's bucket-shard hit set: bounded by numShards — a
     // metadata-scale driver round-trip that buys the directory prune on
     // the corpus bucket table (IvfIndex.topK's probed-cell shape)
@@ -389,6 +401,14 @@ object LshIndex {
         .select(pmod(col("bucket"), lit(numShards.toLong)).cast("int").as("shard"))
         .distinct().collect().map(_.getInt(0)).toSeq
     }
+    // first action on the batch keys — under ingestBatch they are now
+    // cached and materialized; re-root so the TWO broadcast subtrees
+    // below carry a leaf plan instead of the full signing DAG. The
+    // one-shot probe() path skips this (`truncate = false`) so its
+    // executed plan keeps the file scans visible for plan assertions
+    // and .explain — there the plan is built once, not per micro-batch.
+    val keysT =
+      if (truncate) PlanUtil.truncateLineage(batchKeys) else batchKeys
     val corpusKeys = prunedBuckets(spark, path, bucketShards)
     // guard sizes count DISTINCT CORPUS ids only: a singleton corpus
     // bucket is still a valid probe target (unlike the self-join case,
@@ -399,7 +419,7 @@ object LshIndex {
     // shard-pruned) bucket-table scan, so the size aggregation shuffles
     // batch-scale rows, not one row per distinct corpus bucket.
     val okBuckets = corpusKeys
-      .join(broadcast(batchKeys.select("band", "bucket").distinct()),
+      .join(broadcast(keysT.select("band", "bucket").distinct()),
         Seq("band", "bucket"))
       .groupBy("band", "bucket")
       .agg(countDistinct(col("id")).as("bsz"))
@@ -408,7 +428,7 @@ object LshIndex {
     corpusKeys
       .join(okBuckets, Seq("band", "bucket"))
       .select(col("band"), col("bucket"), col("id").as("corpus_id"))
-      .join(broadcast(batchKeys
+      .join(broadcast(keysT
           .select(col("band"), col("bucket"), col("id").as("batch_id"))),
         Seq("band", "bucket"))
       // a doc is never its own near-dup: id-equal pairs arise only when a
@@ -432,12 +452,18 @@ object LshIndex {
       numShards: Int,
       candidates: DataFrame,
       bsh: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      truncate: Boolean = false): DataFrame = {
     val idShards = StageTimers.timed("lsh_cand_shards") {
       candidates
         .select(pmod(col("corpus_id"), lit(numShards.toLong)).cast("int").as("shard"))
         .distinct().collect().map(_.getInt(0)).toSeq
     }
+    // that collect was the candidate frame's first action — when the
+    // caller persisted it, the cache is now full; re-root so the verify
+    // join embeds a leaf, not the whole candidate-generation plan
+    val candT =
+      if (truncate) PlanUtil.truncateLineage(candidates) else candidates
     // a replayed append duplicates (id, shingles) rows VERBATIM, so the
     // join may emit the same pair twice with identical payloads; the
     // pair-level dropDuplicates replaces the old pre-join group-by and
@@ -445,7 +471,7 @@ object LshIndex {
     // group-by's semi-join restriction evaluated it a second time)
     val corpusSh = prunedShingles(spark, path, idShards)
       .select(col("id").as("corpus_id"), col("shingles").as("__sh_c"))
-    candidates
+    candT
       .join(corpusSh, Seq("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
       .join(bsh.select(col("id").as("batch_id"), col("shingles").as("__sh_b")),

@@ -23,6 +23,5 @@ object PlanUtil {
     * eviction still works); callers persist + materialize the truncated
     * frame exactly as they would the original. */
   def truncateLineage(df: DataFrame): DataFrame =
-    GraftInternal.internalCreateDataFrame(
-      df.sparkSession, df.queryExecution.toRdd, df.schema)
+    GraftInternal.truncatedDataFrame(df)
 }

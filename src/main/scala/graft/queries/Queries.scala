@@ -593,20 +593,40 @@ object Queries {
   }
 
   /** Fuzzy entity-matching join: part-name pairs within Levenshtein
-    * distance 2. Candidates come from a character-3-gram bucket join —
-    * sound for d ≤ 2 at length ≥ 9 (each edit destroys ≤ 3 of the ≥ L−2
-    * grams, so ≤ 6 of ≥ 7 — at least one shared gram survives; the
-    * pigeonhole that makes the exact quadratic join unnecessary at
-    * scale) — then the codegen'd `levenshtein` verifies exactly. Oracle
-    * is the plain quadratic join. */
+    * distance 2. Candidates come from an Ed-Join-style PREFIX-FILTERED
+    * character-3-gram bucket join [Xiao, Wang & Lin, VLDB 2008]: each
+    * name is indexed only by its d·q+1 = 7 RAREST distinct grams under a
+    * global corpus-frequency order (count asc, gram asc). Sound for
+    * d ≤ 2: one edit changes ≤ q = 3 gram positions, so a match misses
+    * at most d·q = 6 of a name's distinct grams — among any 7 grams at
+    * least one survives, and the shared surviving gram is in BOTH
+    * prefixes under a common total order (the standard prefix-filter
+    * lemma). The codegen'd `levenshtein` then verifies exactly.
+    *
+    * The rarest-first prefix is the scale guard: an unfiltered bucket
+    * join explodes quadratically on stop-grams ("ROS", "LAV" — every
+    * color name) whose buckets grow linearly with the corpus; prefix
+    * buckets hold only names for which that gram is among their rarest
+    * 7, so bucket populations stay flat as the corpus grows (measured
+    * sub-quadratic at 32× in SCALE_STRESS.json). The gram-frequency
+    * table is bounded by the trigram alphabet — broadcast, never
+    * shuffled. Oracle is the plain quadratic join. */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val names = t(spark, dir, "part")
       .filter(col("p_size") <= 3 && length(col("p_name")) >= 9)
       .select(col("p_partkey").as("id"), col("p_name").as("name"))
-    def grams(side: String) = names
-      .select(col("id").as(s"id_$side"), col("name").as(s"name_$side"),
-        explode(array_distinct(T.charShingles(col("name"), 3))).as("g"))
-    grams("a").join(grams("b"), "g")
+    val grams = names.select(col("id"), col("name"),
+      explode(array_distinct(T.charShingles(col("name"), 3))).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gc"))
+    val prefix = grams
+      .join(broadcast(freq), "g")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gc"), col("g"))))
+      .filter(col("r") <= 7) // d·q + 1
+      .select(col("id"), col("name"), col("g"))
+    def side(s: String) = prefix.select(
+      col("id").as(s"id_$s"), col("name").as(s"name_$s"), col("g"))
+    side("a").join(side("b"), "g")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "name_a", "name_b").distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))

@@ -197,14 +197,18 @@ object Curation {
       // persisted for the duration of the ingest: the chunk frame is the
       // probe's signing input AND the survivor projection's base — caching
       // it pins the gopher+chunk pass over the raw batch to one evaluation
-      val chunks = Chunking.chunkTokens(spanned, col("id"), col("text"),
-          cfg.chunkSize, cfg.overlap)
-        .withColumn("chunk_uid", chunkUid(col("id"), col("chunk_id")))
-        .persist()
+      val chunks = graft.pipeline.StageTimers.timed("front_plan") {
+        Chunking.chunkTokens(spanned, col("id"), col("text"),
+            cfg.chunkSize, cfg.overlap)
+          .withColumn("chunk_uid", chunkUid(col("id"), col("chunk_id")))
+          .persist()
+      }
       toFree += chunks
-      LshIndex.curateInto(spark, indexPath, chunks,
-        col("chunk_uid"), col("chunk_text"),
-        cfg.threshold, cfg.maxBucketSize)(sink)
+      graft.pipeline.StageTimers.timed("lsh_ingest_total") {
+        LshIndex.curateInto(spark, indexPath, chunks,
+          col("chunk_uid"), col("chunk_text"),
+          cfg.threshold, cfg.maxBucketSize)(sink)
+      }
     } finally { toFree.foreach(_.unpersist()); () }
   }
 

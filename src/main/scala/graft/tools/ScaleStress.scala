@@ -89,8 +89,27 @@ object ScaleStress {
       .select(col("*"), ks)
       .withColumn("l_orderkey", col("l_orderkey") + col("k") * stride)
       .drop("k"), "lineitem")
+    write(spark.read.parquet(s"$srcDir/orders.parquet")
+      .select(col("*"), ks)
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * stride)
+      .drop("k"), "orders")
+    // part names get a per-replica 7-char tag whose pairwise Hamming
+    // distance is ≥ 3 (triple-repeated base-26 digits), so replicas of
+    // the same base name stay OUTSIDE the fuzzy join's d ≤ 2 band —
+    // the match count grows linearly with the corpus, and the measured
+    // growth isolates CANDIDATE-generation cost, not result size.
+    val repTags = (0 until factor).map { k =>
+      val c1 = ('a' + k % 26).toChar; val c2 = ('a' + k / 26).toChar
+      s"$c1$c1$c1$c2$c2$c2-"
+    }
+    write(spark.read.parquet(s"$srcDir/part.parquet")
+      .select(col("*"), ks)
+      .withColumn("p_partkey", col("p_partkey") + col("k") * stride)
+      .withColumn("p_name",
+        concat(element_at(typedLit(repTags), col("k") + 1), col("p_name")))
+      .drop("k"), "part")
     // remaining tables ride along unscaled so any query resolves
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    Seq("region", "nation", "customer", "supplier")
       .foreach { t =>
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$scaled/$t.parquet"),
@@ -132,7 +151,15 @@ object ScaleStress {
       // sketch/filter aggregations: scan grows, shuffle stays CONSTANT
       // (512-byte HLL registers / 32 KB bloom per group, never keys)
       "q_distinct_sketch" -> (Queries.qDistinctSketch _),
-      "q_bloom_semijoin" -> (Queries.qBloomSemijoin _))
+      "q_bloom_semijoin" -> (Queries.qBloomSemijoin _),
+      // CMS: scan grows, shuffle carries the fixed counter array only
+      "q_cms_freq" -> (Queries.qCmsFreq _),
+      // salted shuffle join over scaled lineitem ⋈ scaled orders: the
+      // salts split per-key row groups, growth should track the data
+      "q_salted_join" -> (Queries.qSaltedJoin _),
+      // prefix-filtered gram buckets: candidate pairs must grow
+      // SUB-quadratically (an unguarded bucket join would go ~N²)
+      "q_fuzzy_join" -> (Queries.qFuzzyJoin _))
     linear.foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))
@@ -220,6 +247,48 @@ object ScaleStress {
     }
     entries("curate_pipeline_fixed_batch") =
       (curateTime(srcDir, "1x"), curateTime(scaled, "Nx"))
+
+    // --- the FULL composed body (DSIR ∧ decontam ∧ trained filter ∧
+    // span cut ∧ LSH dedup) on the same fixed batch: every gate is
+    // row-local with fitted models as plan references, so the extra
+    // stages must NOT re-introduce corpus-size dependence — growth
+    // stays ≈ 1 like the base pipeline. Model fits and index builds
+    // happen outside the timer (they are per-corpus one-offs, not
+    // per-batch work). ---
+    def curateFullTime(dir: String, tag: String): Double = {
+      import graft.pipeline.{Contamination, Dsir, QualityClassifier => QC, SpanIndex}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val lshIdx = s"$work/fidx-$tag-lsh"
+      val spanIdx = s"$work/fidx-$tag-span"
+      LshIndex.build(curateChunksOf(docs),
+        col("chunk_uid"), col("chunk_text"), lshIdx,
+        shingleSize = 5, numHashes = 128, bands = 16)
+      SpanIndex.build(
+        docs.filter(graft.pipeline.Quality.gopherPasses(col("text"),
+          curateCfg.minTokens, curateCfg.maxTokens)),
+        col("doc_id"), col("text"), spanIdx, k = 5)
+      val dsirModel = Dsir.fit(docs, col("text"),
+        col("lang") === "en", nBuckets = 256)
+      val gate = Contamination.fitGate(
+        docs.filter(col("source") === "src0"), col("text"), n = 5)
+      val qf = QC.fit(docs, QC.features(col("text")),
+        when(substring(col("source"), 4, 8).cast("int") < 10, 1.0)
+          .otherwise(0.0), iters = 5, lr = 0.5)
+      val allGates =
+        (round(Dsir.logWeight(dsirModel, col("text")), 6) >= lit(0.0)) &&
+        (Contamination.overlapCount(col("text"), gate) === 0) &&
+        (QC.q(QC.score(QC.features(col("text")), qf), 6) >= lit(0.5))
+      val fullCfg = curateCfg.copy(extraFilter = Some(allGates),
+        spanIndexPath = Some(spanIdx))
+      bestOf2 {
+        graft.streaming.Curation.curateBatch(spark, lshIdx, batch,
+          col("doc_id"), col("text"), fullCfg) { survivors =>
+          survivors.write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+    entries("curate_pipeline_full_fixed_batch") =
+      (curateFullTime(srcDir, "1x"), curateFullTime(scaled, "Nx"))
 
     val qs = entries.map { case (k, (t1, tN)) =>
       f""""$k":{"t1":$t1%.3f,"tN":$tN%.3f,"growth":${tN / t1}%.2f}"""

@@ -25,6 +25,22 @@ object GraftInternal {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** [[internalCreateDataFrame]] that PRESERVES the origin frame's
+    * optimizer-facing metadata: `LogicalRDD.fromDataset` carries the
+    * origin's statistics, constraints, output partitioning and ordering
+    * into the re-rooted leaf. Without stats a LogicalRDD defaults to
+    * `spark.sql.defaultSizeInBytes` (= "huge"), so every join against a
+    * truncated frame plans sort-merge and shuffles both sides — the
+    * broadcast decisions the origin's cache statistics would have bought
+    * are lost. With them, lineage truncation is plan-size-only. */
+  def truncatedDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val logical = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ds.sparkSession, logical)
+  }
+
   /** Register a function builder on a LIVE session (the runtime counterpart
     * of `SparkSessionExtensions.injectFunction`, same registry). */
   def registerFunction(
