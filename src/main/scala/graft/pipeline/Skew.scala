@@ -47,6 +47,15 @@ object Skew {
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
+    // Force the SHUFFLE hash join the salt exists for: Catalyst's size
+    // estimate of the exploded right side is ~the un-replicated child,
+    // so the planner happily auto-broadcasts `salts`x the real bytes —
+    // and a broadcast join never exchanges on (key, salt), leaving the
+    // probe side on its incoming partitioning (often AQE-coalesced to a
+    // couple of tasks). If the right were genuinely broadcastable you
+    // would not salt at all; given the caller chose salting, the
+    // exchange on (key, salt) IS the skew fix.
+    saltedLeft.hint("shuffle_hash")
+      .join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

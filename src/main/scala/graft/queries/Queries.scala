@@ -607,15 +607,24 @@ object Queries {
     * join explodes quadratically on stop-grams ("ROS", "LAV" — every
     * color name) whose buckets grow linearly with the corpus; prefix
     * buckets hold only names for which that gram is among their rarest
-    * 7, so bucket populations stay flat as the corpus grows (measured
-    * sub-quadratic at 32× in SCALE_STRESS.json). The gram-frequency
-    * table is bounded by the trigram alphabet — broadcast, never
-    * shuffled. Oracle is the plain quadratic join. */
+    * 7. The gram-frequency table is bounded by the trigram alphabet —
+    * broadcast, never shuffled.
+    *
+    * Candidate ENUMERATION is a [[graft.pipeline.Skew.saltedJoin]]
+    * self-join on the prefix grams, ids only: a plain equi-join puts
+    * each gram's whole bucket in ONE task, so a single heavy gram
+    * (near-duplicate name families all sharing their rarest gram)
+    * serializes the pair enumeration and its partial-distinct — at 32×
+    * the corpus that was one 500-second task while 31 cores idled. The
+    * salt splits every bucket's pair space across `salts` tasks, the
+    * pair shuffle carries 16-byte id pairs (names re-attach AFTER the
+    * distinct), and the Levenshtein verify runs post-shuffle, fully
+    * parallel. Oracle is the plain quadratic join. */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val names = t(spark, dir, "part")
       .filter(col("p_size") <= 3 && length(col("p_name")) >= 9)
       .select(col("p_partkey").as("id"), col("p_name").as("name"))
-    val grams = names.select(col("id"), col("name"),
+    val grams = names.select(col("id"),
       explode(array_distinct(T.charShingles(col("name"), 3))).as("g"))
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gc"))
     val prefix = grams
@@ -623,12 +632,24 @@ object Queries {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("gc"), col("g"))))
       .filter(col("r") <= 7) // d·q + 1
-      .select(col("id"), col("name"), col("g"))
-    def side(s: String) = prefix.select(
-      col("id").as(s"id_$s"), col("name").as(s"name_$s"), col("g"))
-    side("a").join(side("b"), "g")
+      .select(col("id"), col("g"))
+    val cand = Skew.saltedJoin(
+        prefix.select(col("g"), col("id").as("id_a")),
+        prefix.select(col("g"), col("id").as("id_b")),
+        "g", salts = 32)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .select("id_a", "id_b").distinct()
+      // explicit spread before the verify: the Levenshtein stage is
+      // compute-dense (a ~1600-cell DP per 16-byte pair row), and AQE's
+      // BYTES-based partition coalescing would pack the compact id-pair
+      // shuffle into 1-2 tasks — measured 500 s on 2 cores at 32× while
+      // 30 idled. A fixed-width repartition is exempt from coalescing.
+      .repartition(spark.sparkContext.defaultParallelism)
+    cand
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")),
+        Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")),
+        Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 2)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))

@@ -51,6 +51,11 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(32)
     val srcDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 3rd arg: comma-separated entry filter for the focused dev
+    // loop (runs + reports only those entries; skips the JSON overwrite)
+    val only: Set[String] =
+      args.drop(2).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
+    def want(n: String): Boolean = only.isEmpty || only.contains(n)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -160,7 +165,7 @@ object ScaleStress {
       // prefix-filtered gram buckets: candidate pairs must grow
       // SUB-quadratically (an unguarded bucket join would go ~N²)
       "q_fuzzy_join" -> (Queries.qFuzzyJoin _))
-    linear.foreach { case (name, fn) =>
+    linear.filter(e => want(e._1)).foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))
       entries(name) = (t1, tN)
@@ -170,7 +175,7 @@ object ScaleStress {
     // per-cluster populations — and so the within-cluster pairwise join —
     // bounded). Fixed k would grow the pair count quadratically; this
     // entry measures the operator AS PRESCRIBED, k×N at N× data. ---
-    entries("dedup_semantic_scaledk") = {
+    if (want("dedup_semantic_scaledk")) entries("dedup_semantic_scaledk") = {
       import graft.pipeline.Dedup
       def run(dir: String, k: Int): Double = bestOf2(materialize(
         Dedup.semanticDedup(
@@ -191,7 +196,8 @@ object ScaleStress {
         time(LogWriter.append(spark, wh, topic, ev, "event_id")),
         time(LogWriter.append(spark, wh, s"$topic-b", ev, "event_id")))
     }
-    entries("ingest_append") = (ingest(srcDir, "ev1"), ingest(scaled, "evN"))
+    if (want("ingest_append"))
+      entries("ingest_append") = (ingest(srcDir, "ev1"), ingest(scaled, "evN"))
 
     // --- THE scale claim: fixed-batch probe against a 1× vs N× index.
     // Cost must track the batch (far sublinear in corpus) — the shard
@@ -211,7 +217,7 @@ object ScaleStress {
           threshold = 0.6).write.format("noop").mode("overwrite").save()
       }
     }
-    entries("lsh_probe_fixed_batch") =
+    if (want("lsh_probe_fixed_batch")) entries("lsh_probe_fixed_batch") =
       (probeTime(srcDir, "1x"), probeTime(scaled, "Nx"))
 
     // --- the COMPOSED steady state: one fixed crawl batch through the
@@ -245,7 +251,7 @@ object ScaleStress {
         }
       }
     }
-    entries("curate_pipeline_fixed_batch") =
+    if (want("curate_pipeline_fixed_batch")) entries("curate_pipeline_fixed_batch") =
       (curateTime(srcDir, "1x"), curateTime(scaled, "Nx"))
 
     // --- the FULL composed body (DSIR ∧ decontam ∧ trained filter ∧
@@ -287,8 +293,9 @@ object ScaleStress {
         }
       }
     }
-    entries("curate_pipeline_full_fixed_batch") =
-      (curateFullTime(srcDir, "1x"), curateFullTime(scaled, "Nx"))
+    if (want("curate_pipeline_full_fixed_batch"))
+      entries("curate_pipeline_full_fixed_batch") =
+        (curateFullTime(srcDir, "1x"), curateFullTime(scaled, "Nx"))
 
     val qs = entries.map { case (k, (t1, tN)) =>
       f""""$k":{"t1":$t1%.3f,"tN":$tN%.3f,"growth":${tN / t1}%.2f}"""
@@ -296,8 +303,9 @@ object ScaleStress {
     val json =
       f"""{"metric":"scale_stress","factor":$factor,"src":"$srcDir%s","entries":$qs%s}"""
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_STRESS.json"), json)
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE_STRESS.json"), json)
     spark.stop()
   }
 }
