@@ -309,10 +309,19 @@ object LshIndex {
       // lineage truncated: a composed pipeline stage downstream must not
       // embed (and re-walk, per AQE stage) this whole shared-DAG plan —
       // see PlanUtil.truncateLineage
+      // ids-only survivor set for the semi-join build side, derived from
+      // the ORIGINAL cached frames: InMemoryRelation scans prune to the
+      // id column (a LogicalRDD cannot — its RDD emits full rows), so
+      // the broadcast build never deserializes the shingle arrays. The
+      // survivor plan is compact now that every heavy subtree above it
+      // is cache-backed, so it needs no lineage truncation of its own —
+      // the sink's action materializes it directly.
+      val survIds = bsh.select(col("id"))
+        .join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
+        .join(losers, col("id") === col("__loser"), "left_anti")
       val survivors = StageTimers.timed("lsh_survgen") {
-        PlanUtil.truncateLineage(
-            batch.join(broadcast(survSh.select(col("id").as("__keep"))),
-              id.cast("long") === col("__keep"), "left_semi"))
+        batch.join(broadcast(survIds.select(col("id").as("__keep"))),
+            id.cast("long") === col("__keep"), "left_semi")
           .persist()
       }
       ok = true
