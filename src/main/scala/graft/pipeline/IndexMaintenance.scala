@@ -80,18 +80,54 @@ object IndexMaintenance {
   def appendDelta(df: DataFrame, table: String): Unit =
     df.coalesce(1).write.mode("append").parquet(s"${table}_delta")
 
-  /** Partition-pruned base ∪ delta tail, both filtered on `partCol`. */
+  /** Table schema per path, inferred once and pinned thereafter: an
+    * index table's schema is immutable after build, but a bare
+    * `spark.read.parquet(root)` pays footer inference + a FULL recursive
+    * directory listing on EVERY call — per probe per micro-batch, twice
+    * per index (candidate + verify side), growing with the index's file
+    * count. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def tableSchema(
+      spark: SparkSession, table: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(table, _ => spark.read.parquet(table).schema)
+
+  /** Partition-pruned base ∪ delta tail, both filtered on `partCol`.
+    *
+    * The prune happens at the LISTING level: one driver `listStatus` of
+    * the table root picks exactly the hit `partCol=v` directories, and
+    * the read opens only those (with the cached pinned schema) — the old
+    * read-root-then-filter shape re-listed every partition directory and
+    * re-inferred the schema per call, fixed per-batch overhead that grew
+    * with the index. */
   def readWithDelta(
       spark: SparkSession, table: String, partCol: String,
       values: Seq[Int]): DataFrame = {
-    val base = spark.read.parquet(table)
-      .filter(org.apache.spark.sql.functions.col(partCol).isInCollection(values))
+    import org.apache.spark.sql.functions.col
+    val schema = tableSchema(spark, table)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = values.map(v => s"$partCol=$v").toSet
+    val dirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && want.contains(st.getPath.getName))
+      .map(_.getPath.toString)
+    val base =
+      if (dirs.isEmpty)
+        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+      else
+        spark.read.option("basePath", table).schema(schema)
+          .parquet(dirs: _*)
     deltaFiles(spark, table) match {
       case Seq() => base
       case files =>
+        // tail schema stays INFERRED: the partition column rides as a
+        // data column there and may carry a wider type than the
+        // directory-inferred one (e.g. a long bucket vs int dir values);
+        // the union coerces as it always has, and the tail is 1-2
+        // batch-scale files — inference costs nothing
         base.unionByName(spark.read.parquet(files: _*)
-          .filter(org.apache.spark.sql.functions.col(partCol)
-            .isInCollection(values)))
+          .filter(col(partCol).isInCollection(values)))
     }
   }
 
