@@ -85,6 +85,23 @@ class PipelineSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("saltedJoin plans the shuffle join the salt exists for (no broadcast)") {
+    // Catalyst sizes the explode-replicated right side at ~the
+    // un-replicated child, so without the shuffle_hash hint the planner
+    // auto-broadcasts it — and a broadcast join never exchanges on
+    // (key, salt), leaving the probe side on its incoming partitioning
+    // (round 14: one 500-second task at 32x while 31 cores idled).
+    val left = (0 until 1000).map(i => (i % 7, s"l$i")).toDF("k", "lv")
+    val right = (0 until 7).map(i => (i, s"r$i")).toDF("k", "rv")
+    val joined = Skew.saltedJoin(left, right, "k", salts = 4)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must shuffle on (key, salt): $plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast defeats the salt: $plan")
+  }
+
   test("salting splits a hot key's rows across tasks (the 100TB skew case)") {
     // one hot key carrying 100k rows + 100 cold keys: hash-partitioning by
     // key funnels the hot key through ONE task regardless of parallelism
