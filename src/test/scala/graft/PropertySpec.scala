@@ -9,6 +9,69 @@ import org.scalatest.funsuite.AnyFunSuite
   * arbitrary member sets and partition counts. */
 class PropertySpec extends AnyFunSuite {
 
+  // ---- Ed-Join prefix-filter soundness (q_fuzzy_join's recall lemma) ----
+  //
+  // The fuzzy join indexes each name ONLY by its 7 rarest distinct
+  // 3-grams under a global total order. Soundness claim: for strings of
+  // length >= 9, any pair within Levenshtein distance 2 shares a gram
+  // that lies in BOTH prefixes, for ANY global total order (one edit
+  // changes <= 3 gram positions, so <= 3 distinct gram types can lose
+  // their last occurrence; 2 edits miss <= 6 of the other's types, and
+  // the standard prefix-filter argument pins an intersecting gram into
+  // both 7-element prefixes). The property exercises random orders via
+  // a seeded hash, so it checks the lemma itself, not one frequency
+  // ranking.
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = d(0); d(0) = i
+      for (j <- 1 to b.length) {
+        val cur = d(j)
+        d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(b.length)
+  }
+
+  private def prefix7(s: String, seed: Long): Set[String] =
+    s.sliding(3).toSet.toSeq
+      .sortBy((g: String) =>
+        (scala.util.hashing.MurmurHash3.stringHash(g, seed.toInt), g))
+      .take(7).toSet
+
+  test("Ed-Join prefix filter: every d<=2 pair shares a gram in both 7-rarest prefixes") {
+    val alpha = Gen.oneOf('a', 'b', 'c', 'd')
+    val genBase = for {
+      n <- Gen.choose(9, 24)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val genEdit: Gen[(Int, Int, Char)] = for {
+      op <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, 1000)
+      c <- alpha
+    } yield (op, pos, c)
+    val genEdits = Gen.choose(0, 2).flatMap(k => Gen.listOfN(k, genEdit))
+    def applyEdits(a: String, edits: List[(Int, Int, Char)]): String =
+      edits.foldLeft(a) { case (s, (op, rawPos, c)) =>
+        if (s.isEmpty) s
+        else op match {
+          case 0 => val p = rawPos % s.length; s.updated(p, c)
+          case 1 => val p = rawPos % (s.length + 1); s.substring(0, p) + c + s.substring(p)
+          case _ => val p = rawPos % s.length; s.substring(0, p) + s.substring(p + 1)
+        }
+      }
+    check(Prop.forAll(genBase, genEdits, Gen.choose(Long.MinValue, Long.MaxValue)) {
+      (a, edits, seed) =>
+        val b = applyEdits(a, edits)
+        if (a.length < 9 || b.length < 9 || lev(a, b) > 2) Prop.passed
+        else Prop(prefix7(a, seed).intersect(prefix7(b, seed)).nonEmpty)
+    })
+  }
+
+
   private def check(prop: Prop): Unit = {
     val result = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
