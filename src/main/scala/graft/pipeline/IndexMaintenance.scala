@@ -93,6 +93,14 @@ object IndexMaintenance {
       spark: SparkSession, table: String): org.apache.spark.sql.types.StructType =
     schemaCache.computeIfAbsent(table, _ => spark.read.parquet(table).schema)
 
+  /** Drop pinned schemas for every table under `prefix`. Index `build`s
+    * overwrite their sub-tables in place; without this, a rebuild with a
+    * changed schema in the same JVM would keep serving the stale pinned
+    * schema (pinned parquet reads silently null or drop changed columns).
+    * Mirrors `LshIndex.metaCache`'s refresh-on-build. */
+  def invalidateSchema(prefix: String): Unit =
+    schemaCache.keySet.removeIf(_.startsWith(prefix))
+
   /** Partition-pruned base ∪ delta tail, both filtered on `partCol`.
     *
     * The prune happens at the LISTING level: one driver `listStatus` of
@@ -109,15 +117,34 @@ object IndexMaintenance {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = values.map(v => s"$partCol=$v").toSet
-    val dirs = fs.listStatus(root).toSeq
+    val listing = fs.listStatus(root).toSeq
+    val partitioned = listing.exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+    val dirs = listing
       .filter(st => st.isDirectory && want.contains(st.getPath.getName))
       .map(_.getPath.toString)
     val base =
-      if (dirs.isEmpty)
-        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
-      else
+      if (dirs.nonEmpty)
         spark.read.option("basePath", table).schema(schema)
           .parquet(dirs: _*)
+      else if (partitioned)
+        // real partCol= layout, just no hit directories — genuinely empty
+        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+      else {
+        // no partCol= directories at all: either an empty table (fine) or
+        // an UNPARTITIONED layout, where the listing-level prune would
+        // silently return an empty base. Fall back to the root read +
+        // filter shape so a layout mismatch stays correct, never silent.
+        import org.apache.spark.sql.functions.col
+        val hasData = listing.exists(st => !st.isDirectory && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        if (!hasData)
+          spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+        else
+          spark.read.parquet(table).filter(col(partCol).isInCollection(values))
+      }
     deltaFiles(spark, table) match {
       case Seq() => base
       case files =>

@@ -64,6 +64,7 @@ object IvfPqIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     modelCache.put(path, model) // a re-build must not serve the old model
+    IndexMaintenance.invalidateSchema(path)
   }
 
   /** The stored model, reconstructed from the two centroid tables —

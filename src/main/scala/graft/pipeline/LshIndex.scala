@@ -143,6 +143,7 @@ object LshIndex {
       .toDF("shingle_size", "num_hashes", "bands", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     metaCache.put(path, (shingleSize, numHashes, bands, numShards))
+    IndexMaintenance.invalidateSchema(path)
     val sh = shingleSets(corpus, id, text, shingleSize)
     writeSignatures(sh, bandKeys(sh, numHashes, bands), numShards, path,
       "overwrite")

@@ -54,8 +54,15 @@ object Skew {
     // probe side on its incoming partitioning (often AQE-coalesced to a
     // couple of tasks). If the right were genuinely broadcastable you
     // would not salt at all; given the caller chose salting, the
-    // exchange on (key, salt) IS the skew fix.
-    saltedLeft.hint("shuffle_hash")
-      .join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
+    // exchange on (key, salt) IS the skew fix. The hint goes on the
+    // RIGHT (replicated-small) side: BuildRight keeps the per-task hash
+    // map on the small side and is legal for inner/left_outer/left_semi/
+    // left_anti — a left-side hint would build the map from the large
+    // skewed frame (OOM risk) and is unplannable for the outer/semi/anti
+    // types, silently falling back to the auto-broadcast this exists to
+    // prevent.
+    saltedLeft
+      .join(saltedRight.hint("shuffle_hash"), Seq(key, "__salt"), joinType)
+      .drop("__salt")
   }
 }

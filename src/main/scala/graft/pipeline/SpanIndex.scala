@@ -104,6 +104,7 @@ object SpanIndex {
     import spark.implicits._
     Seq((k, numShards)).toDF("k", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IndexMaintenance.invalidateSchema(path)
     writeGrams(occurrences(corpus, id, text, k), numShards, path, "overwrite")
   }
 

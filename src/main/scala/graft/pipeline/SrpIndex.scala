@@ -85,6 +85,7 @@ object SrpIndex {
     import spark.implicits._
     Seq((nBits, numShards)).toDF("n_bits", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IndexMaintenance.invalidateSchema(path)
     writeSignatures(signatures(corpus, id, vec, nBits), numShards, path,
       "overwrite")
   }

@@ -42,6 +42,44 @@ class CodegenOnlySpec extends SparkSpec {
     "BucketLogSumExpression", "BpeSegmentExpression", "BpeChunksExpression",
     "ByteSumExpression", "BloomMightContain")
 
+  /** The inventory derived MECHANICALLY from the compiled classpath:
+    * every concrete `Expression` subclass in `graft.functions` that is
+    * neither an aggregate (TypedImperativeAggregates never codegen a
+    * projection) nor a deliberate `CodegenFallback` (one-row sketch
+    * finalizers — cold paths by design). The hand list above must match
+    * this scan exactly, so a newly added expression that nobody registers
+    * here fails the suite instead of silently escaping the gate. */
+  private def scannedInventory: Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    val classesRoot = new java.io.File(classOf[Murmur2Expression]
+      .getProtectionDomain.getCodeSource.getLocation.toURI)
+    val dir = new java.io.File(classesRoot, "graft/functions")
+    assert(dir.isDirectory, s"expected compiled class directory at $dir")
+    dir.listFiles().toSeq
+      .map(_.getName)
+      .filter(n => n.endsWith(".class") && !n.contains("$"))
+      .map(n => Class.forName("graft.functions." + n.stripSuffix(".class")))
+      .filter(classOf[Expression].isAssignableFrom)
+      .filterNot(c => java.lang.reflect.Modifier.isAbstract(c.getModifiers))
+      .filterNot(classOf[AggregateFunction].isAssignableFrom)
+      .filterNot(classOf[CodegenFallback].isAssignableFrom)
+      .map(_.getSimpleName).toSet
+  }
+
+  test("the hand-maintained inventory matches the classpath scan") {
+    val scanned = scannedInventory
+    val unlisted = scanned -- Expected
+    val stale = Expected -- scanned
+    assert(unlisted.isEmpty,
+      s"new codegen expressions outside the loud-fallback gate — add them " +
+        s"to Expected AND exercise them: ${unlisted.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"Expected lists classes the classpath no longer has: " +
+        stale.toSeq.sorted.mkString(", "))
+  }
+
   private def graftExprClasses(df: DataFrame): Set[String] = {
     import org.apache.spark.sql.catalyst.expressions.Expression
     val out = scala.collection.mutable.Set[String]()

@@ -121,4 +121,49 @@ class CompactionSpec extends SparkSpec {
     assert(run() === expected,
       "topK after compact must equal the single-copy index")
   }
+
+  test("readWithDelta: unpartitioned layout falls back to a filtered root read") {
+    // the listing-level prune expects partCol=v directories; a table
+    // written UNPARTITIONED (data files at the root) has none, and the
+    // prune would silently return an empty base — the fallback must keep
+    // the old root-read + filter shape correct instead
+    val table = s"${tmpDir("graft-rwd-flat")}/grams"
+    (0 until 100).map(i => (i.toLong, i % 8)).toDF("id", "shard")
+      .coalesce(1).write.parquet(table)
+    val got = graft.pipeline.IndexMaintenance
+      .readWithDelta(spark, table, "shard", Seq(2, 5))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0 until 100).filter(i => i % 8 == 2 || i % 8 == 5)
+      .map(_.toLong))
+  }
+
+  test("readWithDelta: partitioned layout with no hit dirs is genuinely empty") {
+    val table = s"${tmpDir("graft-rwd-miss")}/grams"
+    (0 until 20).map(i => (i.toLong, i % 2)).toDF("id", "shard")
+      .write.partitionBy("shard").parquet(table)
+    val got = graft.pipeline.IndexMaintenance
+      .readWithDelta(spark, table, "shard", Seq(7, 9))
+    assert(got.count() === 0L)
+  }
+
+  test("invalidateSchema: a same-path rebuild with a changed schema is served fresh") {
+    val root = tmpDir("graft-rwd-rebuild")
+    val table = s"$root/grams"
+    (0 until 10).map(i => (i.toLong, i % 2)).toDF("id", "shard")
+      .write.partitionBy("shard").parquet(table)
+    // pin the v1 schema in the cache
+    val v1 = graft.pipeline.IndexMaintenance
+      .readWithDelta(spark, table, "shard", Seq(0, 1))
+    assert(v1.columns.toSet === Set("id", "shard"))
+    // overwrite in place with a WIDER schema (what a rebuild does), then
+    // invalidate — the next read must see the new column, not nulls
+    (0 until 10).map(i => (i.toLong, s"x$i", i % 2)).toDF("id", "extra", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(table)
+    graft.pipeline.IndexMaintenance.invalidateSchema(root)
+    val v2 = graft.pipeline.IndexMaintenance
+      .readWithDelta(spark, table, "shard", Seq(0, 1))
+    assert(v2.columns.toSet === Set("id", "extra", "shard"))
+    assert(v2.filter($"extra".isNull).count() === 0L,
+      "a stale pinned schema would silently null the new column")
+  }
 }

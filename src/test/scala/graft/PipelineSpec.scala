@@ -100,6 +100,33 @@ class PipelineSpec extends SparkSpec {
       s"salted join must shuffle on (key, salt): $plan")
     assert(!plan.contains("BroadcastHashJoin"),
       s"broadcast defeats the salt: $plan")
+    // The hash map must build from the replicated-SMALL side: BuildLeft
+    // would materialize the large skewed frame per task (the OOM the
+    // utility exists to avoid) and is unplannable for outer/semi/anti.
+    assert(plan.contains("BuildRight") && !plan.contains("BuildLeft"),
+      s"expected BuildRight in the ShuffledHashJoin: $plan")
+  }
+
+  test("saltedJoin non-inner types still plan the salted shuffle join") {
+    // canBuildShuffledHashJoinLeft is false for left_outer/semi/anti, so a
+    // LEFT-side hint would be silently unhonorable and fall back to the
+    // size-underestimated auto-broadcast. The right-side hint must hold.
+    val left = (0 until 1000).map(i => (i % 7, s"l$i")).toDF("k", "lv")
+    val right = (0 until 5).map(i => (i, s"r$i")).toDF("k", "rv")
+    for (jt <- Seq("left_outer", "left_semi", "left_anti")) {
+      val joined = Skew.saltedJoin(left, right, "k", salts = 4, joinType = jt)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"$jt: expected ShuffledHashJoin: $plan")
+      assert(plan.contains("BuildRight") && !plan.contains("BuildLeft"),
+        s"$jt: expected BuildRight: $plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$jt: broadcast defeats the salt: $plan")
+    }
+    // and semantics survive: left_anti against a key subset
+    val anti = Skew.saltedJoin(left, right, "k", salts = 4, joinType = "left_anti")
+      .select("k").distinct().collect().map(_.getInt(0)).sorted
+    assert(anti.toSeq === Seq(5, 6))
   }
 
   test("salting splits a hot key's rows across tasks (the 100TB skew case)") {
