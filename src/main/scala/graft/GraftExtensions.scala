@@ -54,6 +54,7 @@ object GraftExtensions {
     "srp_bucket" -> { args =>
       SrpBucketExpression(args.head, intArg(args(1), "nBits")) },
     "sorted_jaccard" -> { args => SortedJaccardExpression(args.head, args(1)) },
+    "sorted_absent" -> { args => SortedAbsentExpression(args.head, args(1)) },
     "zvalue" -> { args =>
       ZValueExpression(args.head, args(1), intArg(args(2), "zvalue bits")) },
     // deterministic sketch suite — the aggregates return the raw sketch

@@ -200,6 +200,40 @@ object TextFunctions {
     else inter.toDouble / (va + vb - inter)
   }
 
+  /** Count of elements of sorted distinct string array `a` ABSENT from
+    * sorted distinct string array `b` — the q-gram count filter's
+    * left-hand side [Gravano et al., VLDB 2001]: `d` edits destroy at
+    * most `d·q` of a string's distinct q-grams, so
+    * `absentCount(G(a), G(b)) > d·q  ⇒  editDistance(a, b) > d`.
+    * An O(|a|+|b|) merge walk (same discipline as [[jaccardSorted]]) —
+    * the pre-verify reject that spares a candidate pair the full
+    * Levenshtein DP. */
+  def absentCount(a: Column, b: Column): Column =
+    GraftInternal.column(SortedAbsentExpression(
+      GraftInternal.expression(a), GraftInternal.expression(b)))
+
+  /** Merge-walk |a \ b| over two sorted distinct UTF8 arrays (binary
+    * order, as `sort_array` emits). Null elements never count. */
+  def sortedAbsentCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var absent = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { i += 1; j += 1 }
+        else if (c < 0) { absent += 1; i += 1 }
+        else j += 1
+      }
+    }
+    while (i < na) { if (!a.isNullAt(i)) absent += 1; i += 1 }
+    absent
+  }
+
   /** 64-bit rolling polynomial fingerprint of a string (FNV-1a). */
   def fingerprint64(c: Column): Column =
     GraftInternal.column(Fingerprint64Expression(GraftInternal.expression(c)))
@@ -476,6 +510,25 @@ case class SortedJaccardExpression(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.TextFunctions.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd merge-walk |a \ b| over two sorted distinct string arrays —
+  * the q-gram count filter ([[TextFunctions.absentCount]]). */
+case class SortedAbsentExpression(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_absent"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextFunctions.sortedAbsentCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextFunctions.sortedAbsentCount($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

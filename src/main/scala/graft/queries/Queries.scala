@@ -619,13 +619,25 @@ object Queries {
     * salt splits every bucket's pair space across `salts` tasks, the
     * pair shuffle carries 16-byte id pairs (names re-attach AFTER the
     * distinct), and the Levenshtein verify runs post-shuffle, fully
-    * parallel. Oracle is the plain quadratic join. */
+    * parallel.
+    *
+    * VERIFY volume is then cut by two sound edit-distance LOWER BOUNDS
+    * before the ~1600-cell DP pays for a pair: (1) `d` edits change the
+    * length by at most `d`, so `|len_a − len_b| > 2 ⇒ dist > 2`; (2) the
+    * q-gram COUNT filter [Gravano et al., VLDB 2001] — `d` edits destroy
+    * at most `d·q = 6` of a name's distinct 3-grams, so more than 6
+    * grams of A absent from B means dist > 2 (the same lemma the
+    * 7-rarest prefix uses, now applied as a merge walk over each name's
+    * once-computed sorted gram array — O(|grams|) vs the DP's
+    * O(len²)). Both property-checked in `PropertySpec`. Oracle is the
+    * plain quadratic join. */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val names = t(spark, dir, "part")
       .filter(col("p_size") <= 3 && length(col("p_name")) >= 9)
-      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        sort_array(T.charShingles(col("name"), 3)).as("gr"))
     val grams = names.select(col("id"),
-      explode(array_distinct(T.charShingles(col("name"), 3))).as("g"))
+      explode(col("gr")).as("g"))
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gc"))
     val prefix = grams
       .join(broadcast(freq), "g")
@@ -639,17 +651,27 @@ object Queries {
         "g", salts = 32)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      // explicit spread before the verify: the Levenshtein stage is
-      // compute-dense (a ~1600-cell DP per 16-byte pair row), and AQE's
-      // BYTES-based partition coalescing would pack the compact id-pair
-      // shuffle into 1-2 tasks — measured 500 s on 2 cores at 32× while
-      // 30 idled. A fixed-width repartition is exempt from coalescing.
-      .repartition(spark.sparkContext.defaultParallelism)
+      // No explicit re-spread before the verify (r14 carried a
+      // `repartition(defaultParallelism)` here — a SECOND full shuffle of
+      // the pair set, −29% of the whole query at 32× once removed): the
+      // count filter now rejects ~80% of pairs before the DP, so the DP
+      // work per shuffled byte is bounded (~16 B buys ≤ a few hundred DP
+      // cells) and AQE's 64 MB-advisory coalescing of the distinct's own
+      // exchange can no longer starve the compute-dense stage the way the
+      // unfiltered DP did (one 500 s task at 32× while 31 cores idled).
     cand
-      .join(names.select(col("id").as("id_a"), col("name").as("name_a")),
-        Seq("id_a"))
-      .join(names.select(col("id").as("id_b"), col("name").as("name_b")),
-        Seq("id_b"))
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("gr").as("gr_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("gr").as("gr_b")), Seq("id_b"))
+      // cheap rejects first: length bound, then the gram-count merge walk
+      // (ONE walk bounds both directions: |G(b)\G(a)| = absent + |G(b)| −
+      // |G(a)| because absent = |G(a)| − |G(a)∩G(b)|)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .withColumn("__absent", T.absentCount(col("gr_a"), col("gr_b")))
+      .filter(col("__absent") <= 6 &&
+        col("__absent") + size(col("gr_b")) - size(col("gr_a")) <= 6)
+      .drop("__absent")
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 2)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
@@ -821,6 +843,7 @@ object Queries {
         .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
           col("n_tokens"), col("chunk_text"))
         .orderBy("chunk_uid")
+      graft.pipeline.StageTimers.timed("sink_surv") { survivors.count() }
       val rows = graft.pipeline.StageTimers.timed("sink_collect") { out.collect() }
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), out.schema)

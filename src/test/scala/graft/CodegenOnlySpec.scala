@@ -29,7 +29,8 @@ class CodegenOnlySpec extends SparkSpec {
   private val Expected: Set[String] = Set(
     "Murmur2Expression", "PhraseHitsExpression", "SpanRemoveExpression",
     "ContamOverlapExpression", "Fingerprint64Expression",
-    "SortedJaccardExpression", "LangIdExpression", "SimHash64Expression",
+    "SortedJaccardExpression", "SortedAbsentExpression",
+    "LangIdExpression", "SimHash64Expression",
     "CharShinglesExpression", "WordShinglesExpression", "NfcExpression",
     "WordNgramsExpression", "MinHashBandsExpression", "MinHashExpression",
     "PqAdcExpression", "IvfPqLutExpression", "PqAdcPairExpression",
@@ -138,6 +139,8 @@ class CodegenOnlySpec extends SparkSpec {
         TextFunctions.fingerprint64(col("text")).as("fp"),
         TextFunctions.jaccardSorted(array_sort(col("tokens")),
           array_sort(col("tokens"))).as("jac"),
+        TextFunctions.absentCount(array_sort(col("tokens")),
+          array_sort(col("tokens"))).as("absent"),
         TextFunctions.langId(col("text")).as("lid"),
         TextFunctions.simhash64(col("tokens")).as("sh"),
         TextFunctions.charShingles(col("text"), 3).as("cs"),

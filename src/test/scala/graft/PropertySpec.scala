@@ -71,6 +71,59 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("q-gram count filter: d<=2 pairs lose at most d*q=6 distinct 3-grams (and <=2 length)") {
+    // soundness of qFuzzyJoin's pre-Levenshtein rejects: each edit
+    // affects <= q = 3 gram windows, so at most d*q distinct grams of A
+    // can lose their every occurrence; and each edit changes the length
+    // by <= 1. Rejecting absent > 6 or |len delta| > 2 can therefore
+    // never drop a true d <= 2 pair.
+    val alpha = Gen.oneOf('a', 'b', 'c', 'd')
+    val genBase = for {
+      n <- Gen.choose(9, 24)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val genEdit: Gen[(Int, Int, Char)] = for {
+      op <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, 1000)
+      c <- alpha
+    } yield (op, pos, c)
+    val genEdits = Gen.choose(0, 2).flatMap(k => Gen.listOfN(k, genEdit))
+    def applyEdits(a: String, edits: List[(Int, Int, Char)]): String =
+      edits.foldLeft(a) { case (s, (op, rawPos, c)) =>
+        if (s.isEmpty) s
+        else op match {
+          case 0 => val p = rawPos % s.length; s.updated(p, c)
+          case 1 => val p = rawPos % (s.length + 1); s.substring(0, p) + c + s.substring(p)
+          case _ => val p = rawPos % s.length; s.substring(0, p) + s.substring(p + 1)
+        }
+      }
+    check(Prop.forAll(genBase, genEdits) { (a, edits) =>
+      val b = applyEdits(a, edits)
+      val d = lev(a, b)
+      if (a.length < 9 || b.length < 9 || d > 2) Prop.passed
+      else {
+        val absentAB = (a.sliding(3).toSet -- b.sliding(3).toSet).size
+        val absentBA = (b.sliding(3).toSet -- a.sliding(3).toSet).size
+        Prop(absentAB <= 3 * d && absentBA <= 3 * d &&
+          math.abs(a.length - b.length) <= d)
+      }
+    })
+  }
+
+  test("sortedAbsentCount agrees with the set-difference size") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val genArr = Gen.listOf(Gen.oneOf("aa", "ab", "ba", "bb", "ca", "cb"))
+    check(Prop.forAll(genArr, genArr) { (xs, ys) =>
+      val sa = xs.distinct.sorted
+      val sb = ys.distinct.sorted
+      def ad(s: Seq[String]) =
+        new GenericArrayData(s.map(UTF8String.fromString).toArray[Any])
+      Prop(graft.functions.TextFunctions.sortedAbsentCount(ad(sa), ad(sb)) ==
+        (sa.toSet -- sb.toSet).size)
+    })
+  }
+
 
   private def check(prop: Prop): Unit = {
     val result = org.scalacheck.Test.check(
