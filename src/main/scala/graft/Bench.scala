@@ -56,12 +56,13 @@ object Bench {
     "ann_brute" -> 0.25, "ann_srp" -> 0.35, "pipeline_clean" -> 0.9,
     "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
     "chunk_docs" -> 0.6, "gopher_filters" -> 0.6,
-    // round 14: stats-preserving lineage truncation in the probe chain
-    // (LogicalRDD.fromDataset keeps cache statistics, so the anti/semi
-    // joins stay broadcast) cut curate_pipeline to 8.1 s and
-    // curate_pipeline_full to 7.9 s solo (loadavg 1.3); bands = solo +
-    // ~10-25% headroom
-    "dedup_incremental" -> 2.2, "curate_pipeline" -> 9.0,
+    // round 15: the probe chain's verdict id sets now re-enter as codegen
+    // reference objects (SetFunctions.inLongSet) instead of broadcast
+    // anti-joins — per-batch driver jobs dropped ~98 → ~40 and
+    // curate_pipeline measures 4.5-5.2 s solo, curate_pipeline_full
+    // 6.0-6.8 s, dedup_incremental 1.9-2.2 s (loadavg < 1); bands =
+    // solo + ~20-30% headroom
+    "dedup_incremental" -> 2.6, "curate_pipeline" -> 6.0,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
     "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 1.8,
     "dsir_sample" -> 0.5,
@@ -70,7 +71,7 @@ object Bench {
     // round 13 additions (solo sf0.1 measurements + headroom)
     "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
     "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8,
-    "curate_pipeline_full" -> 10.0,
+    "curate_pipeline_full" -> 8.0,
     // round 13 sketch/filter additions (solo sf0.1 ~0.5-0.65 s + headroom)
     "q_distinct_sketch" -> 0.8, "q_bloom_semijoin" -> 1.0)
 
@@ -95,6 +96,7 @@ object Bench {
     import org.apache.spark.sql.functions._
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val queryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var ingestRecords = 0L
     var ingestRate = 0.0
     var pollRate = 0.0
@@ -248,12 +250,15 @@ object Bench {
       // back-to-back passes all land inside one window (thread dumps show
       // runnable-but-starved executors; a later identical run is in-band).
       //
-      // Multi-second COMPOSITE queries retry at 1.5x their band, not 3x:
-      // their bands are wide in absolute seconds, so a 3x guard let a 2x-
+      // Queries with a band wider than 0.3 s retry at 1.5x, not 3x: wide
+      // bands are wide in absolute seconds, so a 3x guard let a 2x-
       // polluted curate_pipeline (19.4 s vs ~10 s solo) into round 13's
-      // official artifact with `contended` empty. Short queries keep 3x —
-      // at sub-second bands, 1.5x would flag ordinary scheduler jitter.
-      val mult = if (CompositeRetry(name)) 1.5 else 3.0
+      // official artifact with `contended` empty, and 15-30% drift on
+      // 0.3-2 s queries sailed under it in round 14. Sub-0.3 s queries
+      // keep 3x — there, 1.5x would flag ordinary scheduler jitter.
+      val mult =
+        if (CompositeRetry(name) || BAND.get(name).exists(_ > 0.3)) 1.5
+        else 3.0
       var best = math.min(
         time(materialize(fn(spark, sfDir))),
         time(materialize(fn(spark, sfDir))))
@@ -263,6 +268,10 @@ object Bench {
         if (BAND.get(name).exists(b => best > mult * b)) contended += name
       }
       results(name) = best
+      // per-query loadavg stamp: a polluted measurement is diagnosable
+      // after the fact (round 14's official artifact drifted 15% above
+      // solo with contended=[] and nothing recorded to show why)
+      queryLoad(name) = loadAvg
     }
 
     // curate_pipeline per-stage breakdown (NOT in the headline total —
@@ -304,8 +313,9 @@ object Bench {
       val (w2, s2) = capturedSplit()
       val stages = if (w1 <= w2) s1 else s2
       val actionSplit = Seq("front_plan", "lsh_sign_shards", "lsh_candgen",
-          "lsh_cand_shards", "lsh_verifygen", "lsh_verdict", "lsh_selfgen",
-          "lsh_append", "lsh_survgen", "lsh_survivors", "sink_collect")
+          "lsh_cand_shards", "lsh_verdict", "lsh_selfgen",
+          "lsh_append", "lsh_survgen", "lsh_survivors", "sink_surv",
+          "sink_collect")
         .flatMap(k => stages.get(k).map(v => f""""$k":$v%.3f"""))
         .mkString(",")
       f""""curate_stages":{"front":$tFront%.3f,"probe":$tProbe%.3f""" +
@@ -314,10 +324,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val loads = queryLoad.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"max_heap_mb":$maxHeapMb,$curateStagesJson%s"""
+    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,$curateStagesJson%s"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
     println(json)

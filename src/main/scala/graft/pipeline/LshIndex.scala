@@ -267,38 +267,44 @@ object LshIndex {
           maxBucketSize, truncate = true))
       }
       // the sign-shards collect inside candidatePairs has materialized
-      // BOTH batch caches; re-root them as LogicalRDDs so the half-dozen
-      // downstream consumers (verify join, clean anti-joins, self-join,
-      // appends, survivor semi-join) analyze and stringify an O(1) leaf
-      // instead of re-walking the chunk→shingle→minhash DAG per use —
-      // the per-batch driver time candgen/verifygen used to burn
+      // BOTH batch caches; re-root them as LogicalRDDs so the downstream
+      // consumers (verify join, self-join, appends) analyze and stringify
+      // an O(1) leaf instead of re-walking the chunk→shingle→minhash DAG
+      // per use — the per-batch driver time candgen/verifygen used to burn
       val bshT = PlanUtil.truncateLineage(bsh)
       val keysT = PlanUtil.truncateLineage(batchKeys)
-      val dupOfCorpus = StageTimers.timed("lsh_verifygen") {
-        cached(
-          verifyCandidates(spark, path, numShards, cand, bshT, threshold,
+      // Verdict sets come back to the DRIVER as sorted id arrays
+      // (batch-bounded — the near-dup fraction of one micro-batch) and
+      // re-enter every consumer as codegen REFERENCE OBJECTS
+      // ([[graft.functions.SetFunctions.inLongSet]]): the old shape kept
+      // them as persisted frames and subtracted them with broadcast
+      // anti-joins, which cost a broadcast build + AQE stage per consumer
+      // per micro-batch — measured ~2 s of driver-job fixed overhead at a
+      // trigger, in a chain whose task work is milliseconds. Row-local
+      // O(log n) filters have NO per-consumer jobs at all.
+      val dupIds = StageTimers.timed("lsh_verdict") {
+        verifyCandidates(spark, path, numShards, cand, bshT, threshold,
             truncate = true)
-            .select(col("batch_id").as("__dup")).distinct())
+          .select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0))
       }
+      java.util.Arrays.sort(dupIds)
+      def without(df: DataFrame, c: Column, ids: Array[Long]): DataFrame =
+        if (ids.isEmpty) df
+        else df.filter(!graft.functions.SetFunctions.inLongSet(c, ids))
       // within-batch near-dup over the SAME signatures: restrict the
       // signed frames to corpus-clean ids, self-join, drop the higher id
       // of each verified pair (minhashDedup's greedy keep-lowest-id rule)
-      val cleanSh =
-        bshT.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
-      val cleanKeys =
-        keysT.join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
-      val losers = StageTimers.timed("lsh_selfgen") { cached(
+      val cleanSh = without(bshT, col("id"), dupIds)
+      val cleanKeys = without(keysT, col("id"), dupIds)
+      val loserIds = StageTimers.timed("lsh_selfgen") {
         Dedup.minhashPairsSigned(cleanSh, cleanKeys, threshold, maxBucketSize)
-          .select(col("id_b").as("__loser")).distinct()) }
-      // ONE action materializes the whole verdict chain (probe verify +
-      // within-batch self-join); both verdict sets are batch-bounded id
-      // frames, persisted so the appends and the survivor projection below
-      // read cached ids instead of re-running LSH subtrees per consumer
-      StageTimers.timed("lsh_verdict") { losers.count() }
-      val survSh = cached(
-        cleanSh.join(losers, col("id") === col("__loser"), "left_anti"))
-      val survKeys =
-        cleanKeys.join(losers, col("id") === col("__loser"), "left_anti")
+          .select(col("id_b")).distinct()
+          .collect().map(_.getLong(0))
+      }
+      java.util.Arrays.sort(loserIds)
+      val survSh = without(cleanSh, col("id"), loserIds)
+      val survKeys = without(cleanKeys, col("id"), loserIds)
       // append from the already-computed signatures — no re-shingle, no
       // second minhash pass over the batch text. The two tables are
       // independent sinks of cached frames: write them CONCURRENTLY so one
@@ -307,23 +313,12 @@ object LshIndex {
         writeSignatures(survSh, survKeys, numShards, path, "append",
           singleTask = true)
       }
-      // lineage truncated: a composed pipeline stage downstream must not
-      // embed (and re-walk, per AQE stage) this whole shared-DAG plan —
-      // see PlanUtil.truncateLineage
-      // ids-only survivor set for the semi-join build side, derived from
-      // the ORIGINAL cached frames: InMemoryRelation scans prune to the
-      // id column (a LogicalRDD cannot — its RDD emits full rows), so
-      // the broadcast build never deserializes the shingle arrays. The
-      // survivor plan is compact now that every heavy subtree above it
-      // is cache-backed, so it needs no lineage truncation of its own —
-      // the sink's action materializes it directly.
-      val survIds = bsh.select(col("id"))
-        .join(dupOfCorpus, col("id") === col("__dup"), "left_anti")
-        .join(losers, col("id") === col("__loser"), "left_anti")
+      // survivors = batch rows not in either dropped set: ONE flat
+      // cache-scan + filter — no broadcast, no semi-join, no extra jobs
+      val droppedIds = (dupIds ++ loserIds)
+      java.util.Arrays.sort(droppedIds)
       val survivors = StageTimers.timed("lsh_survgen") {
-        batch.join(broadcast(survIds.select(col("id").as("__keep"))),
-            id.cast("long") === col("__keep"), "left_semi")
-          .persist()
+        without(batch, id.cast("long"), droppedIds).persist()
       }
       ok = true
       (survivors, () => { toFree.foreach(_.unpersist()); () })

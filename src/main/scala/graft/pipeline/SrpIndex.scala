@@ -126,16 +126,24 @@ object SrpIndex {
       threshold: Double = 0.95,
       maxBucketSize: Long = 2000): DataFrame = {
     val (nBits, _) = readMeta(spark, path)
-    val dupOfCorpus = probe(spark, path, batch, id, vec,
-        threshold, maxBucketSize)
-      .select(col("batch_id").as("__dup")).distinct()
-    val clean = batch.join(dupOfCorpus, id.cast("long") === col("__dup"),
-      "left_anti")
-    val losers = Dedup.embeddingNearDupPairs(clean, id, vec, threshold, nBits)
-      .select(col("id_b").as("__loser")).distinct()
+    // verdict id sets come back to the driver (batch-bounded) and re-enter
+    // as codegen reference objects — flat row-local filters instead of a
+    // broadcast anti-join per consumer (see LshIndex.ingestCore)
+    val dupIds = probe(spark, path, batch, id, vec, threshold, maxBucketSize)
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(dupIds)
+    def without(df: DataFrame, ids: Array[Long]): DataFrame =
+      if (ids.isEmpty) df
+      else df.filter(!graft.functions.SetFunctions.inLongSet(
+        id.cast("long"), ids))
+    val clean = without(batch, dupIds)
+    val loserIds = Dedup.embeddingNearDupPairs(clean, id, vec, threshold, nBits)
+      .select(col("id_b")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(loserIds)
     // lineage truncated at the stage boundary — see PlanUtil.truncateLineage
-    val survivors = PlanUtil.truncateLineage(
-        clean.join(losers, id.cast("long") === col("__loser"), "left_anti"))
+    val survivors = PlanUtil.truncateLineage(without(clean, loserIds))
       .persist()
     append(survivors, id, vec, path)
     survivors

@@ -20,12 +20,22 @@ object StageTimers {
   private val times =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
+  /** Innermost phase currently executing on the driver (diagnostics:
+    * lets a SparkListener attribute jobs to phases). Best-effort — single
+    * solo batch only, like the timers themselves. */
+  @volatile var currentPhase: String = ""
+
   def timed[T](name: String)(body: => T): T =
     if (!enabled) body
     else {
+      val prev = currentPhase
+      currentPhase = name
       val t0 = System.nanoTime()
       try body
-      finally { times.put(name, (System.nanoTime() - t0) / 1e9); () }
+      finally {
+        times.put(name, (System.nanoTime() - t0) / 1e9)
+        currentPhase = prev
+      }
     }
 
   /** Enable, run `body`, return (result, recorded phases), disable. */

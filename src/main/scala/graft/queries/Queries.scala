@@ -714,7 +714,9 @@ object Queries {
     Dedup.semanticDedup(t(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), k = 10, iters = 2, tau = 0.35)
 
-  /** MinHash-LSH near-dup pairs (approximate; no SQL oracle). */
+  /** MinHash-LSH near-dup pairs. Oracle-exact since round 7: the DuckDB
+    * side replays the full minhash chain (FNV shingle fingerprints in
+    * HUGEINT, band mins, bucket join, exact-Jaccard verify) in SQL. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(spark, dir, "documents"),
       col("doc_id"), col("text"), shingleSize = 5,

@@ -18,6 +18,33 @@ object CurateProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .getOrCreate()
+    // job-level trace (GRAFT_JOBTRACE=1): which driver jobs run, when,
+    // and the scheduling gaps between them — the per-batch fixed
+    // overhead is job COUNT, so this is the grind's instrument
+    val trace = sys.env.get("GRAFT_JOBTRACE").contains("1")
+    if (trace) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          val phase = graft.pipeline.StageTimers.currentPhase
+          val stages = js.stageInfos.map(_.name.takeWhile(_ != '\n'))
+            .mkString(" | ")
+          starts.put(js.jobId, (js.time, s"[$phase] $desc :: $stages"))
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+            println(f"  [job ${je.jobId}%3d] ${(je.time - t0) / 1e3}%7.3f s  $desc")
+          }
+        }
+      })
     def once(): Unit = {
       val t0 = System.nanoTime()
       val (_, stages) = graft.pipeline.StageTimers.capture {

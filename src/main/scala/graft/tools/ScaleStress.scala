@@ -164,7 +164,17 @@ object ScaleStress {
       "q_salted_join" -> (Queries.qSaltedJoin _),
       // prefix-filtered gram buckets: candidate pairs must grow
       // SUB-quadratically (an unguarded bucket join would go ~N²)
-      "q_fuzzy_join" -> (Queries.qFuzzyJoin _))
+      "q_fuzzy_join" -> (Queries.qFuzzyJoin _),
+      // event-analytics window cascades: all keyed on user_id, ONE
+      // exchange each — growth should track the event scan
+      "q_funnel" -> (Queries.qFunnel _),
+      "q_retention" -> (Queries.qRetention _),
+      // grouping-set rollup: one scan, grouping expansion is bounded
+      "q_cube" -> (Queries.qCube _),
+      // two-phase salted aggregation over the scaled hot keys
+      "q_salted_agg" -> (Queries.qSaltedAgg _),
+      // HLL union/intersection algebra: shuffle carries registers only
+      "q_sketch_intersect" -> (Queries.qSketchIntersect _))
     linear.filter(e => want(e._1)).foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))
@@ -219,6 +229,29 @@ object ScaleStress {
     }
     if (want("lsh_probe_fixed_batch")) entries("lsh_probe_fixed_batch") =
       (probeTime(srcDir, "1x"), probeTime(scaled, "Nx"))
+
+    // --- the steady-state INGEST step (probe + within-batch dedup +
+    // owner-guarded append) on the same fixed batch: this is what a
+    // streaming curation pipeline pays per micro-batch against a growing
+    // index, so its growth is the 100-TB ingest claim. Reuses the probe
+    // entry's indexes (appends after the probe timing, so the probe
+    // numbers stay clean); builds them if the probe entry was filtered
+    // out. Replayed passes re-derive identical survivors by the id-equal
+    // guard — the bestOf2 convention every fixed-batch entry uses. ---
+    def ingestTime(dir: String, tag: String): Double = {
+      val idx = s"$work/idx-$tag"
+      if (!new java.io.File(idx).isDirectory)
+        LshIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), col("text"), idx,
+          shingleSize = 5, numHashes = 128, bands = 16)
+      bestOf2 {
+        LshIndex.ingestBatch(spark, idx, batch, col("doc_id"), col("text"))
+          .unpersist()
+        ()
+      }
+    }
+    if (want("lsh_ingest_fixed_batch")) entries("lsh_ingest_fixed_batch") =
+      (ingestTime(srcDir, "1x"), ingestTime(scaled, "Nx"))
 
     // --- the COMPOSED steady state: one fixed crawl batch through the
     // whole curation body (gopher → chunk → probe-vs-index → within-batch
@@ -297,11 +330,53 @@ object ScaleStress {
       entries("curate_pipeline_full_fixed_batch") =
         (curateFullTime(srcDir, "1x"), curateFullTime(scaled, "Nx"))
 
+    // --- ANN quality under scale: ivf-pq recall@5 against exact L2 on
+    // the N× corpus (time growth is measured above; this checks the
+    // ANSWERS don't degrade as cells fill up). The replicated corpus
+    // duplicates every vector N×, so ties at the kth distance are
+    // inherent — recall counts retrieved ids whose EXACT distance is
+    // within the brute-force kth distance, the tie-robust form. Bound =
+    // the in-memory tier's spec floor (IvfPqSpec: 0.2 on this
+    // near-isotropic worst-case corpus). ---
+    val recallJson = if (!want("ann_ivfpq_recall")) "" else {
+      import graft.pipeline.IvfPq
+      import graft.queries.IvfPqSql
+      val emb = spark.read.parquet(s"$scaled/embeddings.parquet")
+      val model = IvfPq.fit(emb, col("vec_id"), col("embedding"),
+        dim = IvfPqSql.Dim, nCells = IvfPqSql.NCells, m = IvfPqSql.M,
+        ksub = IvfPqSql.Ksub, iters = 2)
+      val codes = IvfPq.encode(emb, col("vec_id"), col("embedding"), model)
+      val k = IvfPqSql.TopK
+      val approx = IvfPq.adcTopK(
+          emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+          codes, model, nProbe = IvfPqSql.NProbe, k = k)
+        .select("qid", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def d2(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+        }
+        s
+      }
+      val recall = vecs.filter(_._1 < 5).map { case (qid, qv) =>
+        val dists = vecs.filter(_._1 != qid).map { case (id, v) => (id, d2(qv, v)) }
+        val dk = dists.map(_._2).sorted.apply(k - 1) + 1e-9
+        val within = dists.filter(_._2 <= dk).map(_._1).toSet
+        approx.getOrElse(qid, Set.empty).count(within).toDouble / k
+      }
+      val mean = recall.sum / recall.size
+      println(f"== ann_ivfpq_recall@$k (${factor}x): $mean%.3f (bound 0.2)")
+      f""","ann_ivfpq_recall":{"k":$k,"nprobe":${IvfPqSql.NProbe},"recall":$mean%.3f,"bound":0.2}"""
+    }
+
     val qs = entries.map { case (k, (t1, tN)) =>
       f""""$k":{"t1":$t1%.3f,"tN":$tN%.3f,"growth":${tN / t1}%.2f}"""
     }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"scale_stress","factor":$factor,"src":"$srcDir%s","entries":$qs%s}"""
+      f"""{"metric":"scale_stress","factor":$factor,"src":"$srcDir%s","entries":$qs%s$recallJson%s}"""
     println(json)
     if (only.isEmpty)
       java.nio.file.Files.writeString(

@@ -41,7 +41,7 @@ class CodegenOnlySpec extends SparkSpec {
     "CentroidArgminExpression", "SrpBucketExpression",
     "RoundVec6Expression", "DsirBucketsExpression",
     "BucketLogSumExpression", "BpeSegmentExpression", "BpeChunksExpression",
-    "ByteSumExpression", "BloomMightContain")
+    "ByteSumExpression", "BloomMightContain", "LongSetContainsExpression")
 
   /** The inventory derived MECHANICALLY from the compiled classpath:
     * every concrete `Expression` subclass in `graft.functions` that is
@@ -158,7 +158,8 @@ class CodegenOnlySpec extends SparkSpec {
         BpeFunctions.chunks(col("text"), merges, "␟", 4).as("chunks"),
         BinaryFunctions.byteSum(col("bin")).as("bs"),
         BloomFunctions.mightContain(new Array[Byte](64), col("text"), 3)
-          .as("bloom"))
+          .as("bloom"),
+        SetFunctions.inLongSet(col("id"), Array(1L, 3L, 7L)).as("inset"))
 
       val vecDf = base.select(
         VectorFunctions.dot(col("vecf"), col("vecf")).as("dot"),

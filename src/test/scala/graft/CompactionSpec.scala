@@ -122,6 +122,40 @@ class CompactionSpec extends SparkSpec {
       "topK after compact must equal the single-copy index")
   }
 
+  test("delta-tail lifecycle: file counts stay bounded across many batches") {
+    // the IndexSoak claim, pinned at spec scale: N ingestBatches with the
+    // runBatch compaction policy (compact every `every`) must never
+    // accumulate more than one file per shard dir + `every` tail files
+    // per table — unbounded growth here is the 500 ms-trigger failure
+    // mode the LSM tail exists to prevent
+    val path = tmpDir("graft-lsh-lifecycle")
+    val corpus = docs.select($"doc_id", $"text")
+    LshIndex.build(corpus.limit(1), $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    val every = 4
+    def tail = graft.pipeline.IndexMaintenance
+      .deltaFiles(spark, s"$path/buckets").size +
+      graft.pipeline.IndexMaintenance.deltaFiles(spark, s"$path/shingles").size
+    var maxTail = 0
+    for (b <- 0 until 12) {
+      val batch = corpus.filter($"doc_id" % 16 === b.toLong)
+        .select(($"doc_id" + b.toLong * 1000000L).as("doc_id"),
+          concat($"text", lit(s" lc$b")).as("text"))
+      LshIndex.ingestBatch(spark, path, batch, $"doc_id", $"text").unpersist()
+      if (b > 0 && b % every == 0) LshIndex.compact(spark, path)
+      maxTail = math.max(maxTail, tail)
+    }
+    assert(maxTail <= 2 * (every + 1),
+      s"tail files must stay bounded by the compaction cadence, saw $maxTail")
+    LshIndex.compact(spark, path)
+    assert(tail === 0, "compact must fold the whole tail")
+    assert(filesPerDir(s"$path/buckets").values.forall(_ == 1),
+      "every shard dir back to one file after compact")
+    val sh = spark.read.parquet(s"$path/shingles")
+    assert(sh.count() === sh.select("id").distinct().count(),
+      "exactly one signature row per id after compact")
+  }
+
   test("readWithDelta: unpartitioned layout falls back to a filtered root read") {
     // the listing-level prune expects partCol=v directories; a table
     // written UNPARTITIONED (data files at the root) has none, and the

@@ -1,25 +1,64 @@
 #!/usr/bin/env python3
-"""Gate on a self-defending bench run: exit 1 if BENCH.json flags contention.
+"""Gate on a self-defending bench run.
 
-Usage: python3 tools/benchcheck.py [BENCH.json]
+Usage: python3 tools/benchcheck.py [BENCH.json] [README.md]
 
-The bench already records per-query best-of-2 (plus a band-guarded retry);
-a query lands in "contended" only if its min stayed >3x its historical band
-after three timed passes. That means either sustained co-tenant load or a
-real plan regression -- both are reasons to look before trusting the total.
+Exits 1 when:
+  - BENCH.json flags contention ("contended" non-empty): a query's min
+    stayed above its retry threshold after three timed passes — sustained
+    co-tenant load or a real plan regression, look before trusting; or
+  - the artifact's total disagrees with the README's recorded official
+    bench level by more than 25% (round 14 shipped README 45.1 s next to
+    BENCH_r14 51.9 s with nothing flagging the gap) — either re-stamp the
+    README to the new artifact or explain the drift.
+
+Also prints the per-query loadavg stamps (round 15) for the slowest
+queries, so sub-band drift is diagnosable after the fact.
 """
 import json
+import re
 import sys
 
 path = sys.argv[1] if len(sys.argv) > 1 else "BENCH.json"
+readme = sys.argv[2] if len(sys.argv) > 2 else "README.md"
 with open(path) as f:
     b = json.load(f)
 
 contended = b.get("contended", [])
-print(f"total={b.get('value')}s  loadavg_start={b.get('loadavg_start')}  "
+total = b.get("value")
+print(f"total={total}s  loadavg_start={b.get('loadavg_start')}  "
       f"loadavg_end={b.get('loadavg_end')}  contended={contended or 'none'}")
+
+loads = b.get("query_loadavg", {})
+if loads:
+    slow = sorted(b.get("queries", {}).items(), key=lambda kv: -kv[1])[:6]
+    stamps = "  ".join(
+        f"{q}={t:.2f}s@load{loads.get(q, float('nan')):.1f}" for q, t in slow)
+    print(f"slowest (with loadavg stamp): {stamps}")
+
+bad = False
 if contended:
     print("bench POLLUTED or regressed: re-run the flagged queries solo "
           "(sbt 'runMain graft.tools.TimeQuery <sfDir> " +
           " ".join(contended) + "')")
-    sys.exit(1)
+    bad = True
+
+# README consistency: the round-highlights prose records the official
+# level as e.g. "bench total 45.1 s"; the freshest (first) match governs.
+try:
+    with open(readme) as f:
+        text = f.read()
+    m = re.search(r"bench total[^\d]*([\d.]+)\s*s", text)
+    if m and total:
+        official = float(m.group(1))
+        drift = abs(total - official) / official
+        print(f"README official bench level: {official}s  "
+              f"artifact: {total}s  drift: {drift:.0%}")
+        if drift > 0.25:
+            print("artifact disagrees with the README's official number "
+                  "by >25%: re-stamp the README or explain the drift")
+            bad = True
+except FileNotFoundError:
+    pass
+
+sys.exit(1 if bad else 0)
