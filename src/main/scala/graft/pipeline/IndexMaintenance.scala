@@ -170,13 +170,24 @@ object IndexMaintenance {
 
   /** Fold the delta tail into the partitioned base (append partitioned by
     * `partCol`), then delete exactly the folded files. Replay-safe: see
-    * the tail contract above. */
+    * the tail contract above.
+    *
+    * The fold runs a FULL-ROW dedupe over the tail first: replayed
+    * appends write verbatim duplicate rows, and when the fold CREATES a
+    * partition directory (one coalesced file per dir), `compactTable`'s
+    * ≥ minFiles guard skips it — without this, the duplicates bake into
+    * a single-file directory that no later compaction rewrites (caught
+    * by the IndexSoak crash leg: 7 replayed ids stayed duplicated
+    * through every subsequent compact). Duplicates split across base
+    * and tail still converge via compactTable: the fold adds a file to
+    * the dir, pushing it over the rewrite threshold. */
   def foldDelta(
       spark: SparkSession, table: String, partCol: String): CompactStats = {
     val files = deltaFiles(spark, table)
     if (files.isEmpty) CompactStats(0, 0)
     else {
       spark.read.parquet(files: _*)
+        .dropDuplicates()
         .repartition(org.apache.spark.sql.functions.col(partCol))
         .write.mode("append").partitionBy(partCol).parquet(table)
       val fs = new Path(s"${table}_delta")

@@ -156,6 +156,30 @@ class CompactionSpec extends SparkSpec {
       "exactly one signature row per id after compact")
   }
 
+  test("replayed append into FRESH shard dirs converges to one copy (IndexSoak bug)") {
+    // the fold coalesces each directory's rows to one file; when the fold
+    // CREATES the directory, compactTable's >= minFiles guard skips it —
+    // so a replayed append whose ids land in previously-empty shards used
+    // to bake its duplicates into a single-file dir no later compaction
+    // rewrote. foldDelta's full-row dedupe closes it; this pins the case.
+    val path = tmpDir("graft-lsh-freshdir-replay")
+    // single-doc build: almost every shard directory starts EMPTY
+    LshIndex.build(docs.limit(1), $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    val batch = docs.filter($"doc_id" % 16 === 3).limit(30)
+      .select(($"doc_id" + 7000000L).as("doc_id"),
+        concat($"text", lit(" fresh")).as("text"))
+    LshIndex.append(batch, $"doc_id", $"text", path)
+    LshIndex.append(batch, $"doc_id", $"text", path) // crash replay
+    LshIndex.compact(spark, path)
+    val sh = spark.read.parquet(s"$path/shingles")
+    assert(sh.count() === sh.select("id").distinct().count(),
+      "replayed rows must converge to one copy per id after compact")
+    val bk = spark.read.parquet(s"$path/buckets")
+    assert(bk.count() === bk.distinct().count(),
+      "replayed bucket rows must converge after compact")
+  }
+
   test("readWithDelta: unpartitioned layout falls back to a filtered root read") {
     // the listing-level prune expects partCol=v directories; a table
     // written UNPARTITIONED (data files at the root) has none, and the
