@@ -659,11 +659,16 @@ object Queries {
       // cells) and AQE's 64 MB-advisory coalescing of the distinct's own
       // exchange can no longer starve the compute-dense stage the way the
       // unfiltered DP did (one 500 s task at 32× while 31 cores idled).
+    // names re-attach by BROADCAST, pinned: the frame is dimension-scale
+    // (filtered part names + their gram arrays) but its size estimate
+    // sits near the 10 MB auto-broadcast threshold at 32×, and when the
+    // planner flipped to sort-merge it shuffled the 128M-row pair frame
+    // TWICE (measured bimodal 35 s vs 58 s on identical runs)
     cand
-      .join(names.select(col("id").as("id_a"), col("name").as("name_a"),
-        col("gr").as("gr_a")), Seq("id_a"))
-      .join(names.select(col("id").as("id_b"), col("name").as("name_b"),
-        col("gr").as("gr_b")), Seq("id_b"))
+      .join(broadcast(names.select(col("id").as("id_a"),
+        col("name").as("name_a"), col("gr").as("gr_a"))), Seq("id_a"))
+      .join(broadcast(names.select(col("id").as("id_b"),
+        col("name").as("name_b"), col("gr").as("gr_b"))), Seq("id_b"))
       // cheap rejects first: length bound, then the gram-count merge walk
       // (ONE walk bounds both directions: |G(b)\G(a)| = absent + |G(b)| −
       // |G(a)| because absent = |G(a)| − |G(a)∩G(b)|)

@@ -375,8 +375,9 @@ object ScaleStress {
     val qs = entries.map { case (k, (t1, tN)) =>
       f""""$k":{"t1":$t1%.3f,"tN":$tN%.3f,"growth":${tN / t1}%.2f}"""
     }.mkString("{", ",", "}")
+    val heapGb = Runtime.getRuntime.maxMemory() / (1024L * 1024 * 1024)
     val json =
-      f"""{"metric":"scale_stress","factor":$factor,"src":"$srcDir%s","entries":$qs%s$recallJson%s}"""
+      f"""{"metric":"scale_stress","factor":$factor,"src":"$srcDir%s","heap_gb":$heapGb,"entries":$qs%s$recallJson%s}"""
     println(json)
     if (only.isEmpty)
       java.nio.file.Files.writeString(
