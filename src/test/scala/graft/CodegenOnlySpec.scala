@@ -30,6 +30,7 @@ class CodegenOnlySpec extends SparkSpec {
     "Murmur2Expression", "PhraseHitsExpression", "SpanRemoveExpression",
     "ContamOverlapExpression", "Fingerprint64Expression",
     "SortedJaccardExpression", "SortedAbsentExpression",
+    "EdJoinPrefixExpression",
     "LangIdExpression", "SimHash64Expression",
     "CharShinglesExpression", "WordShinglesExpression", "NfcExpression",
     "WordNgramsExpression", "MinHashBandsExpression", "MinHashExpression",
@@ -159,7 +160,10 @@ class CodegenOnlySpec extends SparkSpec {
         BinaryFunctions.byteSum(col("bin")).as("bs"),
         BloomFunctions.mightContain(new Array[Byte](64), col("text"), 3)
           .as("bloom"),
-        SetFunctions.inLongSet(col("id"), Array(1L, 3L, 7L)).as("inset"))
+        SetFunctions.inLongSet(col("id"), Array(1L, 3L, 7L)).as("inset"),
+        TextFunctions.edjoinPrefix(col("text"), {
+          val m = new java.util.HashMap[String, Long](); m.put("the", 9L); m
+        }, 3, 2).as("edp"))
 
       val vecDf = base.select(
         VectorFunctions.dot(col("vecf"), col("vecf")).as("dot"),

@@ -71,6 +71,54 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Ed-Join LOCATION-BASED prefix: every d<=2 pair shares a gram type in both minimal prefixes") {
+    // the round-15 prefix (TextFunctions.edjoinPrefixEval): shortest
+    // rarity-ordered positional-gram prefix whose greedy interval
+    // piercing exceeds d. The lemma must hold for ANY global total order
+    // (frequencies are just one) — exercised via seeded random orders,
+    // against the EXACT production helper.
+    val alpha = Gen.oneOf('a', 'b', 'c', 'd')
+    val genBase = for {
+      n <- Gen.choose(9, 24)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val genEdit: Gen[(Int, Int, Char)] = for {
+      op <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, 1000)
+      c <- alpha
+    } yield (op, pos, c)
+    val genEdits = Gen.choose(0, 2).flatMap(k => Gen.listOfN(k, genEdit))
+    def applyEdits(a: String, edits: List[(Int, Int, Char)]): String =
+      edits.foldLeft(a) { case (s, (op, rawPos, c)) =>
+        if (s.isEmpty) s
+        else op match {
+          case 0 => val p = rawPos % s.length; s.updated(p, c)
+          case 1 => val p = rawPos % (s.length + 1); s.substring(0, p) + c + s.substring(p)
+          case _ => val p = rawPos % s.length; s.substring(0, p) + s.substring(p + 1)
+        }
+      }
+    check(Prop.forAll(genBase, genEdits, Gen.choose(Long.MinValue, Long.MaxValue)) {
+      (a, edits, seed) =>
+        val b = applyEdits(a, edits)
+        if (a.length < 9 || b.length < 9 || lev(a, b) > 2) Prop.passed
+        else {
+          // ONE shared frequency map covering both strings' grams (the
+          // production shape: one corpus-wide table)
+          val freq = new java.util.HashMap[String, Long]()
+          (a.sliding(3) ++ b.sliding(3)).foreach(g => freq.put(g,
+            (scala.util.hashing.MurmurHash3.stringHash(g, seed.toInt).toLong
+              & 0xffffffffL)))
+          def pf(s: String): Set[String] = {
+            val arr = graft.functions.TextFunctions.edjoinPrefixEval(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s), freq, 3, 2)
+            (0 until arr.numElements())
+              .map(i => arr.getUTF8String(i).toString).toSet
+          }
+          Prop(pf(a).intersect(pf(b)).nonEmpty)
+        }
+    })
+  }
+
   test("q-gram count filter: d<=2 pairs lose at most d*q=6 distinct 3-grams (and <=2 length)") {
     // soundness of qFuzzyJoin's pre-Levenshtein rejects: each edit
     // affects <= q = 3 gram windows, so at most d*q distinct grams of A
