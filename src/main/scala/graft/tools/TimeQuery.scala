@@ -23,14 +23,32 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // driver-job + task counters: wall-clock on this box swings 2x with
+    // host scheduling weather (see JobLatency), but the JOB COUNT of a
+    // fixed query is deterministic — the honest metric when grinding
+    // driver round-trips out of a composed chain
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val tasks = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          tasks.addAndGet(js.stageInfos.map(_.numTasks).sum)
+          ()
+        }
+      })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+      jobs.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus is async; let job-start events drain
+      val (nj, nt) = (jobs.get(), tasks.get())
       val rows = fn(spark, dir).count()
-      println(f"== $name%-24s $sec%8.3f sec  $rows%d rows")
+      println(f"== $name%-24s $sec%8.3f sec  $rows%d rows  $nj%d jobs  $nt%d tasks")
     }
     spark.stop()
   }
