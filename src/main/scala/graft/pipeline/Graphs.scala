@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, GraftInternal}
+import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
 import org.apache.spark.sql.functions._
@@ -53,8 +53,27 @@ object Graphs {
     * any graph up to diameter 2^32. Convergence is detected by the fused
     * changed-label accumulator (task retries can only inflate the count,
     * never fake a zero, so a spurious extra round is the worst case).
-    */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+    *
+    * '''Measured-size gate''' (`localEdgeCutoff`, same shape as the
+    * broadcast-iff-measured-small gates elsewhere in the pipeline): the
+    * edge list's size is COUNTED first, and at or under the cutoff the
+    * components resolve driver-side by union-find over the collected
+    * pairs — ONE job against the already-cached edges instead of
+    * O(log d) rounds of two shuffles each. Near-dup pair lists are tiny
+    * compared to their corpora (a corpus with pairs ≈ corpus has bigger
+    * problems than clustering), so at moderate scale the iterative
+    * rounds are pure fixed driver/job overhead; at 100 TB a
+    * billion-pair list blows the cutoff and takes the distributed loop.
+    * The driver path returns a LocalRelation, so downstream joins
+    * against it (the keep-one-per-cluster anti-join) plan broadcast with
+    * no extra exchange. Both paths compute the identical min-label
+    * fixpoint — property-checked against each other and a reference
+    * union-find over random graphs. Set `localEdgeCutoff = 0` to force
+    * the distributed loop. */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxRounds: Int = 32,
+      localEdgeCutoff: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
 
@@ -71,6 +90,15 @@ object Graphs {
     val (edgesRdd, edges) = pin(pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .union(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b"))))
+
+    // the gate count doubles as the cache-filling action: either path
+    // reads the pinned blocks after this, never the pair-gen lineage again
+    val symEdgeCount = edges.count()
+    if (symEdgeCount <= 2L * localEdgeCutoff) {
+      val rows = edges.collect() // from cache — symmetric, duplicates harmless
+      edgesRdd.unpersist(blocking = false)
+      return localComponents(spark, rows)
+    }
 
     var (labelsRdd, labels) = pin(
       edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
@@ -123,5 +151,38 @@ object Graphs {
     }
     edgesRdd.unpersist(blocking = false)
     labels
+  }
+
+  /** Driver-side min-label components over a collected edge list:
+    * union-find with iterative path compression (no recursion — a cutoff-
+    * sized chain must not blow the stack) and union-by-min, so each final
+    * root is the smallest id in its component — the same fixpoint the
+    * distributed loop converges to. Output is a LocalRelation (id, lbl),
+    * one row per node that appears in any edge, broadcast-sized by the
+    * cutoff that routed here. */
+  private def localComponents(
+      spark: SparkSession, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+      // path compression: re-walk, pointing every hop at the root
+      var y = x0
+      while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+      x
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    val it = parent.keySet.iterator
+    var i = 0
+    while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
+    out.toSeq.toDF("id", "lbl")
   }
 }

@@ -39,13 +39,20 @@ class GraphPropertySpec extends SparkSpec {
       } yield (a, b))
     } yield edges
 
-  test("connected components match union-find on random graphs") {
-    // few Spark rounds per case — 30 random graphs, each vs local truth
+  test("connected components match union-find on random graphs (both paths)") {
+    // few Spark rounds per case — 30 random graphs, each vs local truth;
+    // cutoff 0 forces the distributed loop, the default takes the
+    // driver-side union-find gate — BOTH must equal the reference
     check(Prop.forAll(genEdges) { edges =>
+      val df = edges.toDF("id_a", "id_b")
+      val truth = unionFind(edges)
       val dist = graft.pipeline.Graphs
-        .connectedComponents(edges.toDF("id_a", "id_b"))
+        .connectedComponents(df, localEdgeCutoff = 0)
         .as[(Long, Long)].collect().toMap
-      dist == unionFind(edges)
+      val local = graft.pipeline.Graphs
+        .connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      dist == truth && local == truth
     }, minTests = 30)
   }
 

@@ -21,10 +21,26 @@ class SamplingGraphsSpec extends SparkSpec {
     // a path needs O(diameter) rounds under plain neighbor-min propagation —
     // 99 rounds here, far over maxRounds = 32. Converging to the true
     // component proves the pointer-jumping step delivers the log-round bound.
+    // localEdgeCutoff = 0 forces the DISTRIBUTED loop — that is the path
+    // under test (the default gate would resolve 99 edges driver-side).
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Graphs.connectedComponents(pairs).as[(Long, Long)].collect()
+    val cc = Graphs.connectedComponents(pairs, localEdgeCutoff = 0)
+      .as[(Long, Long)].collect()
     assert(cc.length == 100)
     assert(cc.forall(_._2 == 0L))
+  }
+
+  test("connected components: small-graph gate returns a broadcast-sized local relation") {
+    val pairs = Seq((5L, 2L), (2L, 8L), (30L, 31L)).toDF("id_a", "id_b")
+    val cc = Graphs.connectedComponents(pairs)
+    // under the cutoff the result is a LocalRelation — downstream
+    // keep-one-per-cluster anti-joins broadcast it with no exchange
+    val leaves = cc.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.forall(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      leaves.map(_.getClass.getSimpleName).mkString(","))
+    val got = cc.as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 5L -> 2L, 8L -> 2L, 30L -> 30L, 31L -> 30L))
   }
 
   test("connected components: edges arriving reversed still label by min") {
