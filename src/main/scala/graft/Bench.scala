@@ -21,8 +21,27 @@ import graft.queries.Queries
   * `"contended"` list in the output JSON. The JSON also stamps the 1-minute
   * `loadavg` at start/end and the JVM max heap, so a polluted run is
   * self-identifying instead of masquerading as a regression.
+  *
+  * Round 15 adds the SCHEDULER-LATENCY defense: this box's trivial-job
+  * p50 moved 12 → 50 ms across a reboot with zero code change, lifting
+  * every driver-job-bound composite by ~jobs × Δp50. The run stamps its
+  * own floor (`job_p50_ms`), each query's steady-pass driver-job count
+  * (`query_jobs` — plan-determined, boot-stable), and their sum
+  * (`timed_jobs`); the contended threshold gains a per-query allowance
+  * of jobs × (p50 − 15 ms), and `tools/benchcheck.py` uses the same
+  * model to separate environment drift from plan regressions when
+  * diffing an artifact against the README's official level.
   */
 object Bench {
+
+  /** Every driver job this JVM starts (listener-bus fed; readers sleep a
+    * beat before snapshotting — the bus is async). Per-query deltas give
+    * each query's fixed round-trip count, which is plan-determined and
+    * stable across boots — the denominator of the scheduler-latency
+    * drift model (see `jobP50Ms`). */
+  private val allJobs = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def jobsSnapshot(): Int = { Thread.sleep(150); allJobs.get() }
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -93,10 +112,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          allJobs.incrementAndGet()
+          ()
+        }
+      })
     import org.apache.spark.sql.functions._
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val queryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val queryJobs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var ingestRecords = 0L
     var ingestRate = 0.0
     var pollRate = 0.0
@@ -116,6 +144,23 @@ object Bench {
     TopicCatalog.createTopic(spark, wh, "warmup", 2)
     LogWriter.append(spark, wh, "warmup", events.limit(20000), "event_id")
     (0 until 2).foreach(p => LogReader.poll(spark, wh, "warmup", p, 0, 50000).count())
+    // Scheduler-latency floor of THIS boot: p50 wall of a trivial 1-task
+    // job. The composed pipelines are driver-job-BOUND at sf0.1 (~15-45
+    // jobs each), so when this floor moves between boots — measured
+    // 12 → 50 ms p50 across two boots of this box with zero code change —
+    // their wall-times move with it. Stamping the floor (and the run's
+    // timed-job count below) makes that drift mechanically explainable
+    // instead of masquerading as a plan regression; benchcheck.py uses
+    // both to separate environment from regression.
+    val jobP50Ms = {
+      (1 to 5).foreach(_ => spark.range(0, 1, 1, 1).count()) // warm path
+      val ts = (1 to 21).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 1, 1, 1).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ts(ts.size / 2)
+    }
     // Ingest paths are append-only, so best-of-2 runs each append twice
     // into sibling topics and keeps the faster — same co-tenant defense as
     // the query passes (contention only ever ADDS time, so min is the
@@ -259,13 +304,26 @@ object Bench {
       val mult =
         if (CompositeRetry(name) || BAND.get(name).exists(_ > 0.3)) 1.5
         else 3.0
-      var best = math.min(
-        time(materialize(fn(spark, sfDir))),
-        time(materialize(fn(spark, sfDir))))
-      if (BAND.get(name).exists(b => best > mult * b)) {
+      val t1 = time(materialize(fn(spark, sfDir)))
+      val jobsBefore = jobsSnapshot()
+      val t2 = time(materialize(fn(spark, sfDir)))
+      // driver jobs of one steady-state pass: the query's fixed
+      // round-trip count (plan-determined, stable across boots)
+      val nJobs = jobsSnapshot() - jobsBefore
+      queryJobs(name) = nJobs
+      var best = math.min(t1, t2)
+      // Scheduler-latency allowance: bands were stamped on a ~12-15 ms
+      // trivial-job-p50 boot; on a slower boot a JOB-BOUND query rises by
+      // ~jobs × Δp50 with no code or co-tenant involvement (measured:
+      // this box's floor moved 12 → 50 ms across one reboot). Flag only
+      // what the latency model cannot explain.
+      val latencyAllowanceSec = nJobs * math.max(0.0, jobP50Ms - 15.0) / 1e3
+      def outOfBand(v: Double): Boolean =
+        BAND.get(name).exists(b => v > mult * b + latencyAllowanceSec)
+      if (outOfBand(best)) {
         Thread.sleep(15000)
         best = math.min(best, time(materialize(fn(spark, sfDir))))
-        if (BAND.get(name).exists(b => best > mult * b)) contended += name
+        if (outOfBand(best)) contended += name
       }
       results(name) = best
       // per-query loadavg stamp: a polluted measurement is diagnosable
@@ -326,10 +384,12 @@ object Bench {
       .mkString("{", ",", "}")
     val loads = queryLoad.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    val jobsJson = queryJobs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.sum
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,$curateStagesJson%s"""
+    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"query_jobs":$jobsJson%s,$curateStagesJson%s"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
     println(json)

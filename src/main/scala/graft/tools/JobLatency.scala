@@ -40,6 +40,22 @@ object JobLatency {
       f"min=${times.head}%.1f ms  p50=${pct(0.5)}%.1f ms  " +
       f"p90=${pct(0.9)}%.1f ms  max=${times.last}%.1f ms")
 
+    // the same job WITHOUT Catalyst: a bare RDD count separates scheduler
+    // dispatch (shared) from SQL planning/analysis (driver-CPU-bound) —
+    // which side of the fixed cost moved decides which lever helps
+    val sc = spark.sparkContext
+    val rdd = sc.parallelize(0 until nTasks, nTasks)
+    (1 to 5).foreach(_ => rdd.count())
+    val rtimes = (1 to nJobs).map { _ =>
+      val t0 = System.nanoTime()
+      rdd.count()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    def rpct(p: Double) = rtimes(((rtimes.size - 1) * p).toInt)
+    println(f"== rdd  jobs=$nJobs tasks/job=$nTasks  " +
+      f"min=${rtimes.head}%.1f ms  p50=${rpct(0.5)}%.1f ms  " +
+      f"p90=${rpct(0.9)}%.1f ms  max=${rtimes.last}%.1f ms")
+
     // fsync'd small-file write+rename — the per-commit I/O floor for the
     // log/index append paths (parquet footer + _SUCCESS + lock files)
     val dir = java.nio.file.Files.createTempDirectory("graft-joblat")

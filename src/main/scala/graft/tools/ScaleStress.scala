@@ -174,7 +174,13 @@ object ScaleStress {
       // two-phase salted aggregation over the scaled hot keys
       "q_salted_agg" -> (Queries.qSaltedAgg _),
       // HLL union/intersection algebra: shuffle carries registers only
-      "q_sketch_intersect" -> (Queries.qSketchIntersect _))
+      "q_sketch_intersect" -> (Queries.qSketchIntersect _),
+      // near-dup pair gen + connected components: the replicated corpus
+      // multiplies the pair list ~N× but it stays under the measured
+      // edge-count gate, so clustering resolves driver-side and growth
+      // tracks the prefix-filtered pair generation; a 100 TB pair list
+      // blows the cutoff and takes the distributed log-round loop
+      "dup_clusters" -> (Queries.dupClusters _))
     linear.filter(e => want(e._1)).foreach { case (name, fn) =>
       val t1 = bestOf2(materialize(fn(spark, srcDir)))
       val tN = bestOf2(materialize(fn(spark, scaled)))

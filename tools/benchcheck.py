@@ -45,6 +45,15 @@ if contended:
 
 # README consistency: the round-highlights prose records the official
 # level as e.g. "bench total 45.1 s"; the freshest (first) match governs.
+# Scheduler-latency normalization (round 15): the composed pipelines are
+# driver-job-bound, and the trivial-job p50 of this box moved 12 -> 50 ms
+# between two boots with zero code change. The artifact stamps its own
+# floor ("job_p50_ms") and the driver-job count of one steady pass over
+# every headline query ("timed_jobs", plan-determined so boot-stable);
+# the README official line records the floor of the official run
+# ("job p50 ~ X ms"). Expected environmental drift = timed_jobs *
+# delta_p50 — drift inside that model (+25% slack) is the box, not the
+# code, and is reported as explained.
 try:
     with open(readme) as f:
         text = f.read()
@@ -55,9 +64,25 @@ try:
         print(f"README official bench level: {official}s  "
               f"artifact: {total}s  drift: {drift:.0%}")
         if drift > 0.25:
-            print("artifact disagrees with the README's official number "
-                  "by >25%: re-stamp the README or explain the drift")
-            bad = True
+            p50_art = b.get("job_p50_ms")
+            jobs = b.get("timed_jobs")
+            m50 = re.search(r"job p50[^\d]*([\d.]+)\s*ms", text)
+            explained = False
+            if p50_art is not None and jobs and m50:
+                p50_off = float(m50.group(1))
+                expected = official + jobs * (p50_art - p50_off) / 1e3
+                if abs(total - expected) <= 0.25 * official:
+                    print(
+                        f"drift EXPLAINED by scheduler-latency shift: "
+                        f"job p50 {p50_off:.0f} -> {p50_art:.0f} ms over "
+                        f"{jobs} steady-pass driver jobs predicts "
+                        f"{expected:.1f}s (artifact {total}s)")
+                    explained = True
+            if not explained:
+                print("artifact disagrees with the README's official number "
+                      "by >25% beyond the scheduler-latency model: re-stamp "
+                      "the README or explain the drift")
+                bad = True
 except FileNotFoundError:
     pass
 
