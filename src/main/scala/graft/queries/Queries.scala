@@ -74,7 +74,8 @@ object Queries {
       .agg(min(col("offset")).as("first_offset"))
   }
 
-  /** P1/P2: murmur2 key routing (Kafka-parity hash; no SQL oracle). */
+  /** P1/P2: murmur2 key routing (Kafka-parity hash, replayed bit-exactly
+    * by the DuckDB oracle's UDF-free integer chain). */
   def routeMurmur2(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(col("event_id"),
@@ -1125,12 +1126,14 @@ object Queries {
     }
   }
 
-  /** SimHash near-dup pairs (approximate; no SQL oracle). */
+  /** SimHash near-dup pairs — oracle-exact: the 64-bit sketch and the
+    * Hamming band replay in SQL (CORRECTNESS `dedup_simhash`). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(spark, dir, "documents"),
       col("doc_id"), col("text"), maxHamming = 3)
 
-  /** Embedding near-dup pairs via SRP-LSH + exact cosine (no SQL oracle). */
+  /** Embedding near-dup pairs via SRP-LSH + exact cosine — oracle-exact:
+    * planes, buckets, and cosine replay in SQL (`dedup_embedding`). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.35, nBits = 4)
@@ -1296,7 +1299,8 @@ object Queries {
           "\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>"),
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("redacted"))
 
-  /** 64-bit content fingerprints (no SQL oracle — engine-specific hash). */
+  /** 64-bit content fingerprints — oracle-exact: the XXH64 chain replays
+    * in HUGEINT SQL (`fingerprints`). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       col("doc_id"), T.fingerprint64(col("text")).as("fp"))
@@ -1456,7 +1460,8 @@ object Queries {
       .select(col("qid"), col("neg_id"), col("rank"))
   }
 
-  /** SRP-LSH approximate ANN (no SQL oracle; recall tested in specs). */
+  /** SRP-LSH approximate ANN — oracle-exact (the SQL replays the same
+    * plane signs and bucket walk); recall additionally spec-bounded. */
   def annSrp(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
@@ -1465,7 +1470,8 @@ object Queries {
     Similarity.srpTopK(queries, corpus, 5, nBits = 6, probe = 2)
   }
 
-  /** IVF approximate ANN (no SQL oracle; recall tested in specs). */
+  /** IVF approximate ANN — oracle-exact (the SQL replays the Lloyd fit
+    * and probed-cell scan); recall additionally spec-bounded. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)

@@ -45,16 +45,19 @@ object CurateProbe {
           }
         }
       })
+    // third arg: which composed query to probe (default curate_pipeline)
+    val query = args.drop(2).headOption.getOrElse("curate_pipeline")
+    val fn = graft.SparkEntry.queries(query)
     def once(): Unit = {
       val t0 = System.nanoTime()
       val (_, stages) = graft.pipeline.StageTimers.capture {
-        Queries.curatePipeline(spark, sfDir).count()
+        fn(spark, sfDir).count()
       }
       val total = (System.nanoTime() - t0) / 1e9
       val split = stages.toSeq.sortBy(-_._2)
         .map { case (k, v) => f"$k=$v%.3f" }.mkString(" ")
       val rest = total - stages.values.sum
-      println(f"== curate total=$total%.3f rest=$rest%.3f $split")
+      println(f"== $query%s total=$total%.3f rest=$rest%.3f $split")
     }
     once() // warm
     (1 to n).foreach(_ => once())

@@ -385,9 +385,42 @@ object ScaleStress {
     val json =
       f"""{"metric":"scale_stress","factor":$factor,"src":"$srcDir%s","heap_gb":$heapGb,"entries":$qs%s$recallJson%s}"""
     println(json)
+    val artifact = java.nio.file.Paths.get("SCALE_STRESS.json")
     if (only.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALE_STRESS.json"), json)
+      java.nio.file.Files.writeString(artifact, json)
+    else if (java.nio.file.Files.exists(artifact)) {
+      // focused loop: MERGE the measured entries into the existing
+      // artifact instead of discarding them — but only when factor and
+      // heap match the artifact's stamps (a 32 g focused probe must not
+      // silently refresh entries measured at 64 g; see the heap_gb note
+      // in the verify skill)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readString(artifact))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (root.path("factor").asInt() == factor &&
+          root.path("heap_gb").asLong() == heapGb) {
+        val e = root.get("entries")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        entries.foreach { case (k, (t1, tN)) =>
+          val n = om.createObjectNode()
+          n.put("t1", math.rint(t1 * 1000) / 1000)
+          n.put("tN", math.rint(tN * 1000) / 1000)
+          n.put("growth", math.rint(tN / t1 * 100) / 100)
+          e.set[com.fasterxml.jackson.databind.JsonNode](k, n)
+          ()
+        }
+        if (recallJson.nonEmpty) {
+          val frag = om.readTree("{" + recallJson.drop(1) + "}")
+          root.set[com.fasterxml.jackson.databind.JsonNode](
+            "ann_ivfpq_recall", frag.get("ann_ivfpq_recall"))
+          ()
+        }
+        java.nio.file.Files.writeString(artifact, om.writeValueAsString(root))
+        println(s"== merged ${entries.size} focused entries into $artifact")
+      } else
+        println(s"== focused run factor/heap (${factor}/${heapGb}g) does not " +
+          "match the artifact's stamps; measurements NOT merged")
+    }
     spark.stop()
   }
 }
