@@ -247,6 +247,21 @@ object LshIndex {
       id: Column,
       text: Column,
       threshold: Double,
+      maxBucketSize: Long): (DataFrame, () => Unit) =
+    // batch-local planning: the whole chain's shuffles are batch-scale,
+    // so AQE's per-exchange stage jobs are pure driver overhead here —
+    // see PlanUtil.withBatchLocalPlanning (corpus-scale probes keep AQE)
+    PlanUtil.withBatchLocalPlanning(spark) {
+      ingestCoreImpl(spark, path, batch, id, text, threshold, maxBucketSize)
+    }
+
+  private def ingestCoreImpl(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double,
       maxBucketSize: Long): (DataFrame, () => Unit) = {
     val (shingleSize, numHashes, bands, numShards) = readMeta(spark, path)
     val toFree = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -198,7 +198,19 @@ object SpanIndex {
       batch: DataFrame,
       id: Column,
       text: Column,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L): DataFrame =
+    // batch-local planning — see PlanUtil.withBatchLocalPlanning
+    PlanUtil.withBatchLocalPlanning(spark) {
+      ingestBatchImpl(spark, path, batch, id, text, minCount)
+    }
+
+  private def ingestBatchImpl(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      minCount: Long): DataFrame = {
     val (k, numShards) = readMeta(spark, path)
     // sign once: tokenization + gram fingerprints are shared by the probe
     // and the append; the cleaned rows come back persisted AND

@@ -124,7 +124,20 @@ object SrpIndex {
       id: Column,
       vec: Column,
       threshold: Double = 0.95,
-      maxBucketSize: Long = 2000): DataFrame = {
+      maxBucketSize: Long = 2000): DataFrame =
+    // batch-local planning — see PlanUtil.withBatchLocalPlanning
+    PlanUtil.withBatchLocalPlanning(spark) {
+      ingestBatchImpl(spark, path, batch, id, vec, threshold, maxBucketSize)
+    }
+
+  private def ingestBatchImpl(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      maxBucketSize: Long): DataFrame = {
     val (nBits, _) = readMeta(spark, path)
     // verdict id sets come back to the driver (batch-bounded) and re-enter
     // as codegen reference objects — flat row-local filters instead of a

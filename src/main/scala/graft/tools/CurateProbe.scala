@@ -13,7 +13,8 @@ object CurateProbe {
     val n = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder()
       .appName("graft-curate-probe").master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE", "32"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
