@@ -118,4 +118,29 @@ class LshIngestSpec extends SparkSpec {
         s"survivor materialization must not pay joins/broadcasts:\n$p")
     } finally out.unpersist()
   }
+
+  test("batch-local planning scope restores session conf, even on failure") {
+    val path = tmpDir("graft-lsh-conf")
+    LshIndex.build(df(1L -> base), $"doc_id", $"text", path,
+      shingleSize = 5, numHashes = 128, bands = 16)
+    // sentinel values the scope must put back exactly
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val out = LshIndex.ingestBatch(spark, path,
+      df(2L -> "some novel batch content entirely unlike the corpus"),
+      $"doc_id", $"text")
+    out.unpersist()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    // failure path: a body that throws must still restore
+    intercept[RuntimeException] {
+      graft.pipeline.PlanUtil.withBatchLocalPlanning(spark) {
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+  }
 }
