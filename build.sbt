@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Machine-readable mains (Bench, ScaleStress, soaks) emit ONE JSON line
+// that downstream tooling parses from stdout: pass forked run output
+// through verbatim (no [info] prefix) and drop sbt's [success] epilogue,
+// so that JSON line is the LAST thing on stdout (rounds 13-15 shipped
+// bench artifacts whose stdout parse failed on the epilogue).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — lint
+// cannot see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

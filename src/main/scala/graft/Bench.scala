@@ -34,14 +34,19 @@ import graft.queries.Queries
   */
 object Bench {
 
-  /** Every driver job this JVM starts (listener-bus fed; readers sleep a
-    * beat before snapshotting — the bus is async). Per-query deltas give
-    * each query's fixed round-trip count, which is plan-determined and
-    * stable across boots — the denominator of the scheduler-latency
-    * drift model (see `jobP50Ms`). */
+  /** Every driver job this JVM starts (listener-bus fed; readers DRAIN
+    * the async bus before snapshotting — a fixed sleep can lose events
+    * under load, and a miscount here silently widens or narrows the
+    * contended-gate allowance AND benchcheck's drift model). Per-query
+    * deltas give each query's fixed round-trip count, which is
+    * plan-determined and stable across boots — the denominator of the
+    * scheduler-latency drift model (see `jobP50Ms`). */
   private val allJobs = new java.util.concurrent.atomic.AtomicInteger()
 
-  private def jobsSnapshot(): Int = { Thread.sleep(150); allJobs.get() }
+  private def jobsSnapshot(sc: org.apache.spark.SparkContext): Int = {
+    org.apache.spark.GraftScheduler.drainListeners(sc)
+    allJobs.get()
+  }
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -164,11 +169,23 @@ object Bench {
     // Ingest paths are append-only, so best-of-2 runs each append twice
     // into sibling topics and keeps the faster — same co-tenant defense as
     // the query passes (contention only ever ADDS time, so min is the
-    // honest estimator of the engine's own cost).
+    // honest estimator of the engine's own cost). The second pass's
+    // driver-job delta is recorded like every query's, so the throughput
+    // lines get the same boot-stable comparison basis.
+    val sc = spark.sparkContext
+    def minOf2Jobs(name: String)(pass1: => Unit)(pass2: => Unit): Double = {
+      val t1 = time(pass1)
+      val jobsBefore = jobsSnapshot(sc)
+      val t2 = time(pass2)
+      queryJobs(name) = jobsSnapshot(sc) - jobsBefore
+      math.min(t1, t2)
+    }
     TopicCatalog.createTopic(spark, wh, "events2", 8)
-    results("ingest_append") = math.min(
-      time(LogWriter.append(spark, wh, "events", events, "event_id")),
-      time(LogWriter.append(spark, wh, "events2", events, "event_id")))
+    results("ingest_append") = minOf2Jobs("ingest_append") {
+      LogWriter.append(spark, wh, "events", events, "event_id")
+    } {
+      LogWriter.append(spark, wh, "events2", events, "event_id")
+    }
     ingestRate = ingestRecords / results("ingest_append")
 
     // --- bulk ingest: 6x the row count, where fixed job overhead amortizes ---
@@ -182,9 +199,11 @@ object Bench {
         concat_ws("|", col("l_partkey"), col("l_suppkey"), col("l_quantity"),
           col("l_extendedprice")).as("value"))
     val bulkRecords = bulk.count()
-    results("ingest_bulk") = math.min(
-      time(LogWriter.append(spark, wh, "bulk", bulk, "id")),
-      time(LogWriter.append(spark, wh, "bulk2", bulk, "id")))
+    results("ingest_bulk") = minOf2Jobs("ingest_bulk") {
+      LogWriter.append(spark, wh, "bulk", bulk, "id")
+    } {
+      LogWriter.append(spark, wh, "bulk2", bulk, "id")
+    }
     val bulkRate = bulkRecords / results("ingest_bulk")
 
     // --- concurrent disjoint-partition appends (cross-job per-partition
@@ -206,8 +225,14 @@ object Bench {
           }), 10.minutes)
       }
     }
-    results("ingest_parallel") =
-      math.min(parallelAppend("par"), parallelAppend("par2"))
+    // parallelAppend times its own append window (topic creation + frame
+    // prep excluded), so capture the job delta around the second call
+    // rather than re-timing through minOf2Jobs
+    val tPar1 = parallelAppend("par")
+    val jobsBeforePar = jobsSnapshot(sc)
+    val tPar2 = parallelAppend("par2")
+    queryJobs("ingest_parallel") = jobsSnapshot(sc) - jobsBeforePar
+    results("ingest_parallel") = math.min(tPar1, tPar2)
     val parRate = ingestRecords / results("ingest_parallel")
 
     // --- log engine: consume path (read-only: re-poll the same topic) ---
@@ -223,7 +248,9 @@ object Bench {
         p += 1
       }
     }
-    results("poll_scan") = math.min(pollPass(), pollPass())
+    results("poll_scan") = minOf2Jobs("poll_scan") { pollPass(); () } {
+      pollPass(); ()
+    }
     pollRate = ingestRecords / results("poll_scan")
 
     // --- query layer + pipeline headliners ---
@@ -305,11 +332,11 @@ object Bench {
         if (CompositeRetry(name) || BAND.get(name).exists(_ > 0.3)) 1.5
         else 3.0
       val t1 = time(materialize(fn(spark, sfDir)))
-      val jobsBefore = jobsSnapshot()
+      val jobsBefore = jobsSnapshot(sc)
       val t2 = time(materialize(fn(spark, sfDir)))
       // driver jobs of one steady-state pass: the query's fixed
       // round-trip count (plan-determined, stable across boots)
-      val nJobs = jobsSnapshot() - jobsBefore
+      val nJobs = jobsSnapshot(sc) - jobsBefore
       queryJobs(name) = nJobs
       var best = math.min(t1, t2)
       // Scheduler-latency allowance: bands were stamped on a ~12-15 ms
@@ -392,10 +419,14 @@ object Bench {
     val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"query_jobs":$jobsJson%s,$curateStagesJson%s"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
-    println(json)
-    // sbt buries stdout under [info] prefixes; the file copy is the
-    // machine-readable channel (driver falls back to parsing stdout).
+    // file copy first (the always-machine-readable channel), then stop
+    // Spark (its shutdown chatter goes to stderr), then print the JSON as
+    // the LAST stdout line — build.sbt passes forked output through
+    // verbatim and suppresses sbt's [success] epilogue, so a stdout
+    // parser's "last line" IS this line (rounds 13-15 recorded
+    // parsed:null because the epilogue followed the JSON).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
+    println(json)
   }
 }

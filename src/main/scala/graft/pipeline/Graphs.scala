@@ -68,14 +68,39 @@ object Graphs {
     * against it (the keep-one-per-cluster anti-join) plan broadcast with
     * no extra exchange. Both paths compute the identical min-label
     * fixpoint — property-checked against each other and a reference
-    * union-find over random graphs. Set `localEdgeCutoff = 0` to force
-    * the distributed loop. */
+    * union-find over random graphs. Set `localEdgeCutoff <= 0` to force
+    * the distributed tier unconditionally (the strict override the scale
+    * harness uses — a driver gate of `0 <= 0` would silently route a
+    * near-empty forced run back through the driver path).
+    *
+    * '''Two-phase contraction''' (the distributed tier's first move):
+    * before any label round, ONE closed-neighborhood-min pass assigns
+    * every node the smallest id it can see (`lbl = min(id, neighbors)`),
+    * and the edge list is REWRITTEN into label space —
+    * `(lbl(a), lbl(b))`, self-loops dropped, parallel edges deduped.
+    * Near-dup graphs are clique-shaped (a template cluster's members are
+    * all pairwise similar), and a clique contracts to ZERO edges in this
+    * one pass: every member sees the cluster minimum directly, so every
+    * rewritten edge is a self-loop. What survives are the rare
+    * chain/bridge edges — typically a vanishing fraction of the pair
+    * list — so the gate RE-CHECK after contraction usually lands
+    * driver-side and the label loop never runs at all; when it does run,
+    * each of its per-round shuffled joins pays for the contracted list,
+    * not the raw pairs. Correctness: label-space edges preserve
+    * connectivity exactly (a node and its label are adjacent-or-equal in
+    * the original graph), a component's minimum labels itself (its
+    * neighbors are all larger), and the final expansion
+    * `component(x) = component(lbl(x))` re-attaches the dropped members
+    * — the identical min-label fixpoint, property-checked. A
+    * partition-local union-find pre-pass was measured INSTEAD and
+    * rejected: on hash-scattered clique edges each task sees most nodes
+    * with few within-partition connections, so its star-edge output was
+    * ≥ the input (195 s at 32×, no shrink). */
   def connectedComponents(
       pairs: DataFrame,
       maxRounds: Int = 32,
       localEdgeCutoff: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
 
     // Persist a frame's unsafe rows and wrap them back as a
     // lineage-truncated DataFrame (LogicalRDD). Lazy: the blocks fill the
@@ -87,19 +112,64 @@ object Graphs {
       (rdd, GraftInternal.internalCreateDataFrame(spark, rdd, df.schema))
     }
 
-    val (edgesRdd, edges) = pin(pairs
+    val (rawRdd, raw) = pin(pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .union(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b"))))
 
     // the gate count doubles as the cache-filling action: either path
     // reads the pinned blocks after this, never the pair-gen lineage again
-    val symEdgeCount = edges.count()
-    if (symEdgeCount <= 2L * localEdgeCutoff) {
-      val rows = edges.collect() // from cache — symmetric, duplicates harmless
-      edgesRdd.unpersist(blocking = false)
+    val symEdgeCount = raw.count()
+    if (localEdgeCutoff > 0 && symEdgeCount <= 2L * localEdgeCutoff) {
+      val rows = raw.collect() // from cache — symmetric, duplicates harmless
+      rawRdd.unpersist(blocking = false)
       return localComponents(spark, rows)
     }
 
+    // Phase 1: one closed-neighborhood-min pass + edge rewrite into label
+    // space (see the contraction doc above). The count materializes the
+    // contracted blocks and re-checks the gate — clique-shaped near-dup
+    // graphs contract to (nearly) nothing, so the loop usually never runs.
+    val (l0Rdd, l0) = pin(raw
+      .groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("__mb"))
+      .select(col("id"), least(col("id"), col("__mb")).as("lbl")))
+    val (edgesRdd, edges) = pin(raw
+      .join(l0.select(col("id").as("a"), col("lbl").as("__la")), Seq("a"))
+      .join(l0.select(col("id").as("b"), col("lbl").as("__lb")), Seq("b"))
+      .filter(col("__la") =!= col("__lb"))
+      .select(col("__la").as("a"), col("__lb").as("b"))
+      .distinct())
+    val contractedCount = edges.count()
+    rawRdd.unpersist(blocking = false)
+
+    // Phase 2: solve label-space components — driver union-find when the
+    // contraction landed at or under the cutoff, the label loop otherwise.
+    val comp: DataFrame =
+      if (localEdgeCutoff > 0 && contractedCount <= 2L * localEdgeCutoff) {
+        val rows = edges.collect()
+        edgesRdd.unpersist(blocking = false)
+        localComponents(spark, rows)
+      } else loopComponents(spark, edges, edgesRdd, maxRounds, pin)
+
+    // Phase 3: expansion — component(x) = component(lbl(x)); a label with
+    // no surviving edge IS its component's minimum already. The driver
+    // path's comp is a LocalRelation, so this join plans broadcast.
+    l0.join(
+        comp.select(col("id").as("__cid"), col("lbl").as("__clbl")),
+        col("lbl") === col("__cid"), "left")
+      .select(col("id"), coalesce(col("__clbl"), col("lbl")).as("lbl"))
+  }
+
+  /** The log-round min-label + pointer-jump loop over a pinned symmetric
+    * edge list — the distributed overflow tier (see the class doc for the
+    * per-round shape and the fused changed-label accumulator). */
+  private def loopComponents(
+      spark: SparkSession,
+      edges: DataFrame,
+      edgesRdd: RDD[InternalRow],
+      maxRounds: Int,
+      pin: DataFrame => (RDD[InternalRow], DataFrame)): DataFrame = {
+    val sc = spark.sparkContext
     var (labelsRdd, labels) = pin(
       edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
 

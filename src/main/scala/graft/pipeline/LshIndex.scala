@@ -247,13 +247,16 @@ object LshIndex {
       id: Column,
       text: Column,
       threshold: Double,
-      maxBucketSize: Long): (DataFrame, () => Unit) =
+      maxBucketSize: Long): (DataFrame, () => Unit) = {
     // batch-local planning: the whole chain's shuffles are batch-scale,
     // so AQE's per-exchange stage jobs are pure driver overhead here —
-    // see PlanUtil.withBatchLocalPlanning (corpus-scale probes keep AQE)
-    PlanUtil.withBatchLocalPlanning(spark) {
-      ingestCoreImpl(spark, path, batch, id, text, threshold, maxBucketSize)
-    }
+    // the chain plans on the conf-isolated clone (corpus-scale probes
+    // and anything the caller plans concurrently keep AQE); see
+    // PlanUtil.batchLocalSession
+    val planner = PlanUtil.batchLocalSession(spark)
+    ingestCoreImpl(planner, path, PlanUtil.onSession(batch, planner),
+      id, text, threshold, maxBucketSize)
+  }
 
   private def ingestCoreImpl(
       spark: SparkSession,
@@ -401,6 +404,53 @@ object LshIndex {
       candidatePairs(spark, path, bandKeys(bsh, numHashes, bands),
         numShards, maxBucketSize)
     verifyCandidates(spark, path, numShards, candidates, bsh, threshold)
+  }
+
+  /** [[probe]] with the fused per-call action discipline the ingest chain
+    * uses: the batch is signed EXACTLY ONCE (persisted; the shard-list
+    * collects double as the cache-filling actions), candidate generation
+    * and verification each run once over truncated-lineage caches, and
+    * every intermediate is unpersisted before return. The verified pairs
+    * come back as a LOCAL relation — they are batch-bounded (the near-dup
+    * pairs of ONE crawl batch, the same boundedness as the ingest chain's
+    * verdict id sets), so downstream consumers plan broadcast against
+    * them with no extra exchange and no re-execution of the probe.
+    *
+    * [[probe]] stays the fully-lazy form (plan-assertable file scans, no
+    * caching side effects); this is the steady-state REPORTING shape — a
+    * per-crawl-batch dedup report re-runs the same chain every batch,
+    * where the lazy form pays each embedded shard-list action by
+    * recomputing the signing chain it shares. Like the ingest chain, the
+    * whole chain plans on the batch-local session (its shuffles are
+    * batch-scale; the ingest path runs this same candidate/verify code
+    * AQE-off with measured fixed-batch growth ≈ 1.3); the result frame
+    * belongs to the CALLER's session. */
+  def probeFused(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double = 0.6,
+      maxBucketSize: Long = 2000): DataFrame = {
+    val planner = PlanUtil.batchLocalSession(spark)
+    val (shingleSize, numHashes, bands, numShards) = readMeta(planner, path)
+    val toFree = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = { toFree += df; df.persist() }
+    try {
+      val bsh = cached(shingleSets(
+        PlanUtil.onSession(batch, planner), id, text, shingleSize))
+      // candidatePairs' shard-set collect is the first action: it fills
+      // BOTH caches (the band keys derive from the persisted bsh)
+      val batchKeys = cached(bandKeys(bsh, numHashes, bands))
+      val cand = cached(candidatePairs(planner, path, batchKeys, numShards,
+        maxBucketSize, truncate = true))
+      val verified = verifyCandidates(planner, path, numShards, cand,
+        PlanUtil.truncateLineage(bsh), threshold, truncate = true)
+      val rows = verified.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), verified.schema)
+    } finally toFree.foreach(_.unpersist())
   }
 
   /** Candidate (batch_id, corpus_id) pairs from pre-signed batch band

@@ -25,9 +25,12 @@ object PlanUtil {
   def truncateLineage(df: DataFrame): DataFrame =
     GraftInternal.truncatedDataFrame(df)
 
-  /** Run `body` with BATCH-LOCAL planning settings: adaptive execution
-    * OFF and `defaultParallelism / 4` (min 8) shuffle partitions,
-    * restored afterwards.
+  /** The BATCH-LOCAL planning session for `spark`: a clone (shared
+    * SparkContext, catalog and block-manager cache; ISOLATED SQL conf —
+    * the same primitive Structured Streaming uses to plan micro-batches)
+    * with adaptive execution OFF and `defaultParallelism / 4` (min 8)
+    * shuffle partitions. One clone per parent session, created lazily
+    * and memoized.
     *
     * The incremental index chains execute ~6-10 actions per micro-batch
     * whose shuffles are BATCH-scale (band keys, candidate ids, verdict
@@ -38,27 +41,38 @@ object PlanUtil {
     * scheduling; AQE-off with cores/4 partitions ran the same batch
     * 15-25% faster across interleaved A/B passes. Corpus-scale work is
     * UNAFFECTED: one-shot probes/builds and every non-index query keep
-    * AQE (skew splitting, coalescing) — this scope covers only the
+    * AQE (skew splitting, coalescing) — this session plans only the
     * per-batch ingest chain, whose volumes are bounded by the crawl
     * batch, not the corpus, at any corpus size.
     *
-    * Contract: session-conf toggle — the caller must be the only thread
-    * PLANNING queries on this session for the duration (true inside
-    * `foreachBatch` bodies, which serialize; the chains' internal write
-    * futures plan cached single-task appends where these knobs are
-    * irrelevant). */
-  def withBatchLocalPlanning[T](
-      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val conf = spark.conf
-    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    val sp = conf.get("spark.sql.shuffle.partitions", "200")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions",
-      math.max(8, spark.sparkContext.defaultParallelism / 4))
-    try body
-    finally {
-      conf.set("spark.sql.adaptive.enabled", aqe)
-      conf.set("spark.sql.shuffle.partitions", sp)
-    }
-  }
+    * Why a clone and not a conf toggle (the round-15 shape): a toggle on
+    * the SHARED session changes how every concurrently-planned query
+    * plans — a user running ad-hoc queries against the session while a
+    * stream ingests would silently get AQE-off, 8-partition plans. Conf
+    * is per-session, so the clone isolates the knobs with zero contract
+    * on the caller; cache lookups are plan-keyed in the SHARED
+    * CacheManager, so frames persisted on either session still hit. */
+  def batchLocalSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    planners.computeIfAbsent(spark, parent => {
+      val s = GraftInternal.cloneSession(parent)
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(8, parent.sparkContext.defaultParallelism / 4).toString)
+      s
+    })
+
+  /** Re-root `df`'s analyzed plan onto `session` (no-op when already
+    * there), so the ingest chains can carry their caller's batch frame
+    * into the [[batchLocalSession]] — a Dataset always plans on the
+    * session it was created with, never the one executing the action. */
+  def onSession(
+      df: DataFrame, session: org.apache.spark.sql.SparkSession): DataFrame =
+    if (df.sparkSession eq session) df else GraftInternal.ofRows(session, df)
+
+  // weak-keyed so a test-suite session (and its clone) can be collected
+  // when the suite drops it; values are tiny next to their SparkContext
+  private val planners = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]())
 }

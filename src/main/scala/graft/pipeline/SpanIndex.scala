@@ -198,11 +198,13 @@ object SpanIndex {
       batch: DataFrame,
       id: Column,
       text: Column,
-      minCount: Long = 2L): DataFrame =
-    // batch-local planning — see PlanUtil.withBatchLocalPlanning
-    PlanUtil.withBatchLocalPlanning(spark) {
-      ingestBatchImpl(spark, path, batch, id, text, minCount)
-    }
+      minCount: Long = 2L): DataFrame = {
+    // batch-local planning on the conf-isolated clone — see
+    // PlanUtil.batchLocalSession
+    val planner = PlanUtil.batchLocalSession(spark)
+    ingestBatchImpl(planner, path, PlanUtil.onSession(batch, planner),
+      id, text, minCount)
+  }
 
   private def ingestBatchImpl(
       spark: SparkSession,

@@ -124,11 +124,13 @@ object SrpIndex {
       id: Column,
       vec: Column,
       threshold: Double = 0.95,
-      maxBucketSize: Long = 2000): DataFrame =
-    // batch-local planning — see PlanUtil.withBatchLocalPlanning
-    PlanUtil.withBatchLocalPlanning(spark) {
-      ingestBatchImpl(spark, path, batch, id, vec, threshold, maxBucketSize)
-    }
+      maxBucketSize: Long = 2000): DataFrame = {
+    // batch-local planning on the conf-isolated clone — see
+    // PlanUtil.batchLocalSession
+    val planner = PlanUtil.batchLocalSession(spark)
+    ingestBatchImpl(planner, path, PlanUtil.onSession(batch, planner),
+      id, vec, threshold, maxBucketSize)
+  }
 
   private def ingestBatchImpl(
       spark: SparkSession,

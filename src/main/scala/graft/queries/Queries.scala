@@ -760,7 +760,10 @@ object Queries {
         root.toString, shingleSize = 5, numHashes = 128, bands = 16)
       root.toString
     })
-    LshIndex.probe(spark, path, docs.filter(col("doc_id") % 4 === 0),
+    // the fused probe: one signing pass, intermediates cached within the
+    // call and freed before return, result re-entering as a batch-bounded
+    // local relation — 3 actions instead of 3 recomputing action chains
+    LshIndex.probeFused(spark, path, docs.filter(col("doc_id") % 4 === 0),
         col("doc_id"), col("text"), threshold = 0.6)
       .orderBy(col("batch_id"), col("corpus_id"))
   }

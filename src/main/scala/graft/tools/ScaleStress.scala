@@ -187,6 +187,38 @@ object ScaleStress {
       entries(name) = (t1, tN)
     }
 
+    // --- the distributed CC tier, forced (localEdgeCutoff = 0 overrides
+    // the driver gate unconditionally): partition-local union-find
+    // contraction + the log-round label loop, against the same near-dup
+    // pair lists as dup_clusters. The gated query above measures what a
+    // user gets; THIS entry pins the overflow path a 100 TB pair list
+    // takes when no gate can save it. ---
+    if (want("dup_clusters_dist")) entries("dup_clusters_dist") = {
+      def run(dir: String): Double = bestOf2(materialize {
+        val pairs = graft.pipeline.Dedup.ngramJaccardPairs(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8,
+          shingler = graft.functions.TextFunctions.wordShingles)
+        graft.pipeline.Graphs.connectedComponents(pairs, localEdgeCutoff = 0)
+      })
+      (run(srcDir), run(scaled))
+    }
+
+    // the CC entries' growth DENOMINATOR, stamped into the artifact: a
+    // replicated corpus multiplies true near-dup pairs ~quadratically
+    // (replicas are near-dups of each other), so the dup_clusters wall
+    // is output-volume-bound — read its growth against this one. Values
+    // are pair COUNTS, not seconds; "growth" is the pair-volume factor.
+    if (want("dup_clusters") || want("dup_clusters_dist")) {
+      def pairCount(dir: String): Long =
+        graft.pipeline.Dedup.ngramJaccardPairs(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), col("text"), shingleSize = 3, threshold = 0.8,
+          shingler = graft.functions.TextFunctions.wordShingles).count()
+      entries("dup_clusters_pairs") =
+        (pairCount(srcDir).toDouble, pairCount(scaled).toDouble)
+    }
+
     // --- SemDeDup discipline: k must scale with the corpus (k ∝ n keeps
     // per-cluster populations — and so the within-cluster pairwise join —
     // bounded). Fixed k would grow the pair count quadratically; this

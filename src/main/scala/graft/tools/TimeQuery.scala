@@ -34,18 +34,28 @@ object TimeQuery {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet()
-          tasks.addAndGet(js.stageInfos.map(_.numTasks).sum)
+          ()
+        }
+        // EXECUTED tasks: a job-start's stageInfos include stages later
+        // skipped via cached/exchange reuse, so summing numTasks there
+        // overstates work and isn't comparable to what actually ran
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
           ()
         }
       })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+      org.apache.spark.GraftScheduler.drainListeners(spark.sparkContext)
       jobs.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener bus is async; let job-start events drain
+      // deterministic listener drain (a fixed sleep can lose events under
+      // load and misattribute them to the next query)
+      org.apache.spark.GraftScheduler.drainListeners(spark.sparkContext)
       val (nj, nt) = (jobs.get(), tasks.get())
       val rows = fn(spark, dir).count()
       println(f"== $name%-24s $sec%8.3f sec  $rows%d rows  $nj%d jobs  $nt%d tasks")

@@ -41,6 +41,25 @@ object GraftInternal {
       ds.sparkSession, logical)
   }
 
+  /** A full state clone of `spark` — shared SparkContext, SharedState
+    * (catalog, CacheManager, block manager) and a COPY of the session
+    * state (conf, registered functions, temp views), so conf set on the
+    * clone never leaks to the parent. `SparkSession.cloneSession()` is
+    * `private[sql]`; it is the primitive Structured Streaming itself uses
+    * to give each streaming query an isolated planning conf. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Re-root a frame's analyzed plan onto another session
+    * (`Dataset.ofRows` is `private[sql]`) — analysis re-runs there, which
+    * is a fixpoint no-op on an already-analyzed plan, and plan-keyed
+    * cache lookups still hit because the CacheManager lives in the
+    * SHARED state. */
+  def ofRows(spark: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan)
+
   /** Register a function builder on a LIVE session (the runtime counterpart
     * of `SparkSessionExtensions.injectFunction`, same registry). */
   def registerFunction(

@@ -39,10 +39,13 @@ class GraphPropertySpec extends SparkSpec {
       } yield (a, b))
     } yield edges
 
-  test("connected components match union-find on random graphs (both paths)") {
+  test("connected components match union-find on random graphs (all tiers)") {
     // few Spark rounds per case — 30 random graphs, each vs local truth;
-    // cutoff 0 forces the distributed loop, the default takes the
-    // driver-side union-find gate — BOTH must equal the reference
+    // cutoff 0 forces the full distributed tier (contraction + label
+    // loop), the default takes the driver-side union-find gate, and a
+    // cutoff the RAW list blows exercises the middle tier: contract,
+    // re-check the gate, and finish driver-side or loop depending on how
+    // far the stars shrank — ALL must equal the reference
     check(Prop.forAll(genEdges) { edges =>
       val df = edges.toDF("id_a", "id_b")
       val truth = unionFind(edges)
@@ -52,7 +55,10 @@ class GraphPropertySpec extends SparkSpec {
       val local = graft.pipeline.Graphs
         .connectedComponents(df)
         .as[(Long, Long)].collect().toMap
-      dist == truth && local == truth
+      val mid = graft.pipeline.Graphs
+        .connectedComponents(df, localEdgeCutoff = 10)
+        .as[(Long, Long)].collect().toMap
+      dist == truth && local == truth && mid == truth
     }, minTests = 30)
   }
 

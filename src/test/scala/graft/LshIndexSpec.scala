@@ -32,6 +32,17 @@ class LshIndexSpec extends SparkSpec {
       }.toSet
     assert(probed.nonEmpty, "testdata must contain cross-split near-dups")
     assert(probed === full)
+    // the fused (cache-within-call, local-relation result) probe is the
+    // same computation — identical pair set, and no persisted intermediate
+    // left behind for downstream actions to hold
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val fused = LshIndex.probeFused(spark, path, batch, $"doc_id", $"text",
+        threshold = 0.6)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fused === full)
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "probeFused must unpersist every intermediate before returning")
   }
 
   test("append extends the index: probe equals a fresh full build") {

@@ -119,28 +119,54 @@ class LshIngestSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
-  test("batch-local planning scope restores session conf, even on failure") {
+  test("batch-local planning is session-isolated: parent conf never touched") {
+    import graft.pipeline.PlanUtil
     val path = tmpDir("graft-lsh-conf")
     LshIndex.build(df(1L -> base), $"doc_id", $"text", path,
       shingleSize = 5, numHashes = 128, bands = 16)
-    // sentinel values the scope must put back exactly
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "7")
-    val out = LshIndex.ingestBatch(spark, path,
-      df(2L -> "some novel batch content entirely unlike the corpus"),
-      $"doc_id", $"text")
-    out.unpersist()
-    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
-    // failure path: a body that throws must still restore
-    intercept[RuntimeException] {
-      graft.pipeline.PlanUtil.withBatchLocalPlanning(spark) {
-        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
-        assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
-        throw new RuntimeException("boom")
+    val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // sentinel values a toggle implementation would clobber mid-batch
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      // the chain plans on a memoized conf-isolated CLONE of the session
+      val clone = PlanUtil.batchLocalSession(spark)
+      assert(clone ne spark)
+      assert(clone.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(clone.conf.get("spark.sql.shuffle.partitions") == "8")
+      assert(PlanUtil.batchLocalSession(spark) eq clone)
+      // an ad-hoc parquet-backed aggregation, as a user would plan it on
+      // the PARENT session while a stream ingests (round-15's shared-conf
+      // toggle silently gave exactly this interleaving AQE-off 8-partition
+      // plans)
+      val adhocPath = s"${tmpDir("graft-lsh-conf-adhoc")}/t"
+      df(90L -> "adhoc one", 91L -> "adhoc two").write.parquet(adhocPath)
+      def adhocPlan(): String = spark.read.parquet(adhocPath)
+        .groupBy($"text").count().queryExecution.executedPlan.toString
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      @volatile var sawToggle = false
+      val ingest = Future {
+        LshIndex.ingestBatch(spark, path,
+          df(2L -> "some novel batch content entirely unlike the corpus"),
+          $"doc_id", $"text").unpersist()
       }
-    }
-    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      var checked = 0
+      while (!ingest.isCompleted || checked == 0) {
+        if (spark.conf.get("spark.sql.adaptive.enabled") != "true" ||
+            spark.conf.get("spark.sql.shuffle.partitions") != "7")
+          sawToggle = true
+        val p = adhocPlan()
+        assert(p.contains("AdaptiveSparkPlan"),
+          s"concurrent parent-session query lost AQE:\n$p")
+        checked += 1
+      }
+      Await.result(ingest, 2.minutes)
+      assert(!sawToggle,
+        "parent session conf flipped during an ingest batch")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sp0)
   }
 }

@@ -67,15 +67,26 @@ try:
             p50_art = b.get("job_p50_ms")
             jobs = b.get("timed_jobs")
             m50 = re.search(r"job p50[^\d]*([\d.]+)\s*ms", text)
+            mjobs = re.search(r"timed jobs[^\d]*(\d+)", text)
             explained = False
             if p50_art is not None and jobs and m50:
                 p50_off = float(m50.group(1))
-                expected = official + jobs * (p50_art - p50_off) / 1e3
+                # multiply Δp50 by the OFFICIAL run's job count when the
+                # README stamps one — using the artifact's own count would
+                # let a plan regression that ADDS jobs on a slow boot
+                # enlarge its own allowance and absorb itself
+                jobs_model = int(mjobs.group(1)) if mjobs else jobs
+                if mjobs and jobs > 1.15 * jobs_model:
+                    print(f"note: artifact timed_jobs {jobs} exceeds the "
+                          f"official's {jobs_model} by >15% — a plan change "
+                          f"added driver jobs; that is NOT absorbed into "
+                          f"the latency allowance")
+                expected = official + jobs_model * (p50_art - p50_off) / 1e3
                 if abs(total - expected) <= 0.25 * official:
                     print(
                         f"drift EXPLAINED by scheduler-latency shift: "
                         f"job p50 {p50_off:.0f} -> {p50_art:.0f} ms over "
-                        f"{jobs} steady-pass driver jobs predicts "
+                        f"{jobs_model} official-run driver jobs predicts "
                         f"{expected:.1f}s (artifact {total}s)")
                     explained = True
             if not explained:
@@ -85,5 +96,21 @@ try:
                 bad = True
 except FileNotFoundError:
     pass
+
+# Best-run-stamping tripwire: when quietbench's clean-run artifacts are
+# still around, an official BELOW their min means a favorable tail was
+# stamped, not a central tendency (warning only — /tmp is ephemeral).
+import glob
+cleans = []
+for p in glob.glob("/tmp/quietbench_clean_*.json"):
+    try:
+        with open(p) as f:
+            cleans.append(json.load(f)["value"])
+    except Exception:
+        pass
+if cleans and total and total < min(cleans) - 1e-9:
+    print(f"warning: official {total}s is below the min of {len(cleans)} "
+          f"recorded clean runs ({min(cleans)}s) — best-run stamping, "
+          f"not a median")
 
 sys.exit(1 if bad else 0)
