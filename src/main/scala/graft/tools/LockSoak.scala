@@ -63,7 +63,7 @@ object LockSoak {
         // locks are taken, so the four workers append concurrently
         LogWriter.append(spark, wh, Topic,
           df.withColumn("explicit_partition",
-            (lit(2 * wid) + pmod(col("id"), lit(2L))).cast("int")),
+            (lit(2 * wid) + pmod(col("ord"), lit(2L))).cast("int")),
           "ord", partitions = Some(Seq(2 * wid, 2 * wid + 1)))
       else
         // overlapping leg: free hash routing — every partition locked,
