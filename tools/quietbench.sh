@@ -29,8 +29,15 @@ for a in $(seq 1 "$ATTEMPTS"); do
     cont=$(grep -o '"contended":\[[^]]*\]' BENCH.json | tail -1)
     total=$(grep -o '"metric":"total","value":[0-9.]*' BENCH.json |
       tail -1 | cut -d: -f3)
-    echo "bench rc=$rc total=${total:-?}s $cont"
-    if [ "$rc" = 0 ] && [ "$cont" = '"contended":[]' ]; then
+    p50run=$(grep -o '"job_p50_ms":[0-9.]*' BENCH.json | cut -d: -f2)
+    echo "bench rc=$rc total=${total:-?}s run_p50=${p50run:-?}ms $cont"
+    # clean = contended empty AND the run's OWN stamped floor stayed near
+    # the probe ceiling: the contended allowance scales with the stamped
+    # p50, so a floor that collapses mid-run (measured 65 -> 412 ms)
+    # self-certifies as "clean" while every number in it is garbage
+    if [ "$rc" = 0 ] && [ "$cont" = '"contended":[]' ] &&
+       python3 -c "exit(0 if float('${p50run:-999}') < $CEILING * 1.5 else 1)"
+    then
       n=$((n+1))
       cp BENCH.json "/tmp/quietbench_clean_$n.json"
     fi
