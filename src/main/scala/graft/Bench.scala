@@ -419,14 +419,21 @@ object Bench {
     val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"query_jobs":$jobsJson%s,$curateStagesJson%s"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
-    // file copy first (the always-machine-readable channel), then stop
-    // Spark (its shutdown chatter goes to stderr), then print the JSON as
-    // the LAST stdout line — build.sbt passes forked output through
-    // verbatim and suppresses sbt's [success] epilogue, so a stdout
-    // parser's "last line" IS this line (rounds 13-15 recorded
-    // parsed:null because the epilogue followed the JSON).
+    // Full detail goes to BENCH.json (the always-machine-readable
+    // channel); the LAST stdout line is a COMPACT (<1 KB) summary —
+    // same contract fields (metric/value/unit/queries/sf) plus the
+    // floor stamps, with per-query times at 2 decimals and the verbose
+    // maps (loadavg, jobs, stage splits) left to the file. Rounds 13-16
+    // all recorded parsed:null downstream: 13-15 because sbt's epilogue
+    // followed the JSON (fixed in build.sbt), 16 because the full ~4 KB
+    // line overflowed the consumer's 2,000-char stdout tail window.
+    // Spark stops BEFORE the print (its shutdown chatter goes to stderr).
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact%s,"sf":"$sfDir%s","job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"contended":$contendedJson%s}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
     try spark.stop() catch { case _: Throwable => () }
-    println(json)
+    println(compact)
   }
 }

@@ -37,9 +37,12 @@ import org.apache.spark.storage.StorageLevel
   * always optimizes a constant-depth plan (an iterative plan that only
   * caches GROWS its logical tree every round and re-analysis dominates
   * wall-clock long before the data does). The previous round's blocks are
-  * unpersisted as soon as the new round lands, and the edge list's on
-  * return, so block-manager footprint is O(nodes + edges), not
-  * O(rounds × nodes).
+  * unpersisted as soon as the new round lands, the edge list's when the
+  * loop exits, and the label-map/final-labels pins as soon as the
+  * returned expansion has materialized over them — so block-manager
+  * footprint is O(nodes + edges) DURING a call and exactly the result's
+  * O(nodes) after it (those last blocks are freed by Spark's
+  * ContextCleaner when the caller drops the returned frame).
   */
 object Graphs {
 
@@ -99,7 +102,8 @@ object Graphs {
   def connectedComponents(
       pairs: DataFrame,
       maxRounds: Int = 32,
-      localEdgeCutoff: Long = 1000000L): DataFrame = {
+      localEdgeCutoff: Long = 1000000L,
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val spark = pairs.sparkSession
 
     // Persist a frame's unsafe rows and wrap them back as a
@@ -138,43 +142,72 @@ object Graphs {
       .groupBy(col("a").as("id"))
       .agg(min(col("b")).as("__mb"))
       .select(col("id"), least(col("id"), col("__mb")).as("lbl")))
-    // measured-size broadcast gate for the rewrite joins: a pinned frame
-    // carries no stats, so without the hint both joins sort-merge and
-    // SHUFFLE THE FULL EDGE LIST twice (measured ~2× the contraction's
-    // cost at 32×). The node map is 16 bytes/node — broadcastable far
-    // past this cutoff — while a 100 TB graph's billions of nodes take
-    // the shuffle path. The count is one job against blocks the gate
-    // count was filling anyway.
+    // The count is one job against blocks the gate count was filling
+    // anyway; it feeds the rewrite joins' BYTE-measured broadcast gate.
     val l0Count = l0.count()
-    def lblSide(as: String, renamed: String): DataFrame = {
-      val side = l0.select(col("id").as(as), col("lbl").as(renamed))
-      if (l0Count <= 4000000L) broadcast(side) else side
-    }
-    val (edgesRdd, edges) = pin(raw
-      .join(lblSide("a", "__la"), Seq("a"))
-      .join(lblSide("b", "__lb"), Seq("b"))
-      .filter(col("__la") =!= col("__lb"))
-      .select(col("__la").as("a"), col("__lb").as("b"))
-      .distinct())
+    val (edgesRdd, edges) =
+      pin(rewriteToLabelSpace(raw, l0, l0Count, maxBroadcastBytes))
     val contractedCount = edges.count()
     pairsRdd.unpersist(blocking = false)
 
     // Phase 2: solve label-space components — driver union-find when the
     // contraction landed at or under the cutoff, the label loop otherwise.
-    val comp: DataFrame =
+    val (comp, compRdd): (DataFrame, Option[RDD[InternalRow]]) =
       if (localEdgeCutoff > 0 && contractedCount <= 2L * localEdgeCutoff) {
         val rows = edges.collect()
         edgesRdd.unpersist(blocking = false)
-        localComponents(spark, rows)
+        (localComponents(spark, rows), None)
       } else loopComponents(spark, edges, edgesRdd, maxRounds, pin)
 
     // Phase 3: expansion — component(x) = component(lbl(x)); a label with
     // no surviving edge IS its component's minimum already. The driver
-    // path's comp is a LocalRelation, so this join plans broadcast.
-    l0.join(
+    // path's comp is a LocalRelation, so this join plans broadcast. The
+    // expansion is pinned and MATERIALIZED here (one O(nodes) job) so
+    // every upstream pin — the l0 map and the loop tier's final labels —
+    // can be RELEASED before returning; without this the result plan
+    // keeps l0Rdd reachable and repeated calls (the scale harness makes
+    // 2-3 per run) stack O(nodes) block sets until a GC happens to run.
+    // The result's own blocks are the one surviving set: Spark's
+    // ContextCleaner frees them once the caller drops the frame.
+    val (resRdd, res) = pin(l0
+      .join(
         comp.select(col("id").as("__cid"), col("lbl").as("__clbl")),
         col("lbl") === col("__cid"), "left")
-      .select(col("id"), coalesce(col("__clbl"), col("lbl")).as("lbl"))
+      .select(col("id"), coalesce(col("__clbl"), col("lbl")).as("lbl")))
+    resRdd.count()
+    l0Rdd.unpersist(blocking = false)
+    compRdd.foreach(_.unpersist(blocking = false))
+    res
+  }
+
+  /** Rewrite the symmetric edge list into label space — `(lbl(a),
+    * lbl(b))`, self-loops dropped, parallel edges deduped (Phase 1's
+    * second half; see the contraction doc on [[connectedComponents]]).
+    *
+    * '''Byte-measured broadcast gate''' (same discipline as the LM
+    * scorer's table gate): a pinned frame carries no stats, so without a
+    * hint both joins sort-merge and SHUFFLE THE FULL EDGE LIST twice
+    * (measured ~2× the contraction's cost at 32×) — but an unconditional
+    * hint would OOM the driver on a 100 TB graph's billions of nodes.
+    * The node map's payload is 16 bytes/row (two longs), so the map
+    * broadcasts iff `16 × l0Count ≤ maxBroadcastBytes` — the default
+    * 64 MB cutoff admits ~4M nodes, the level the previous node-count
+    * gate hardcoded; past it the joins degrade to shuffles correctly. */
+  private[graft] def rewriteToLabelSpace(
+      raw: DataFrame,
+      l0: DataFrame,
+      l0Count: Long,
+      maxBroadcastBytes: Long): DataFrame = {
+    def lblSide(as: String, renamed: String): DataFrame = {
+      val side = l0.select(col("id").as(as), col("lbl").as(renamed))
+      if (16L * l0Count <= maxBroadcastBytes) broadcast(side) else side
+    }
+    raw
+      .join(lblSide("a", "__la"), Seq("a"))
+      .join(lblSide("b", "__lb"), Seq("b"))
+      .filter(col("__la") =!= col("__lb"))
+      .select(col("__la").as("a"), col("__lb").as("b"))
+      .distinct()
   }
 
   /** The log-round min-label + pointer-jump loop over a pinned symmetric
@@ -185,7 +218,8 @@ object Graphs {
       edges: DataFrame,
       edgesRdd: RDD[InternalRow],
       maxRounds: Int,
-      pin: DataFrame => (RDD[InternalRow], DataFrame)): DataFrame = {
+      pin: DataFrame => (RDD[InternalRow], DataFrame))
+      : (DataFrame, Option[RDD[InternalRow]]) = {
     val sc = spark.sparkContext
     var (labelsRdd, labels) = pin(
       edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
@@ -237,7 +271,9 @@ object Graphs {
       round += 1
     }
     edgesRdd.unpersist(blocking = false)
-    labels
+    // the final labels RDD goes back to the caller for release once the
+    // Phase-3 expansion has materialized over it
+    (labels, Some(labelsRdd))
   }
 
   /** Driver-side min-label components over a collected edge list:

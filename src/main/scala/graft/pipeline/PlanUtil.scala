@@ -29,8 +29,12 @@ object PlanUtil {
     * SparkContext, catalog and block-manager cache; ISOLATED SQL conf —
     * the same primitive Structured Streaming uses to plan micro-batches)
     * with adaptive execution OFF and `defaultParallelism / 4` (min 8)
-    * shuffle partitions. One clone per parent session, created lazily
-    * and memoized.
+    * shuffle partitions. One clone per parent session, created lazily,
+    * memoized WEAKLY (rebuilt transparently if the GC claims it between
+    * calls), and re-synced from the parent's explicitly-set SQL conf on
+    * every call — a parent-side `session.timeZone`/ANSI change reaches
+    * the very next batch plan; only the two planner overrides stay
+    * pinned.
     *
     * The incremental index chains execute ~6-10 actions per micro-batch
     * whose shuffles are BATCH-scale (band keys, candidate ids, verdict
@@ -54,13 +58,39 @@ object PlanUtil {
     * CacheManager, so frames persisted on either session still hit. */
   def batchLocalSession(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
-    planners.computeIfAbsent(spark, parent => {
-      val s = GraftInternal.cloneSession(parent)
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(8, parent.sparkContext.defaultParallelism / 4).toString)
-      s
-    })
+    planners.synchronized {
+      val ref = planners.get(spark)
+      val cached = if (ref == null) null else ref.get()
+      val clone = if (cached != null) cached else {
+        val s = GraftInternal.cloneSession(spark)
+        planners.put(
+          spark, new java.lang.ref.WeakReference(s))
+        s
+      }
+      // Re-sync the clone's SQL conf from the parent on EVERY call: the
+      // clone snapshots conf at clone time, so a parent-side change made
+      // later (session time zone, ANSI mode, a pushdown toggle) would
+      // otherwise silently never reach batch planning — a divergence the
+      // old shared-session toggle never had. Diffing explicitly-set
+      // entries is O(set conf keys) per ingest batch, noise next to the
+      // batch's jobs. The two planner overrides stay pinned.
+      val pc = spark.conf.getAll
+      val cc = clone.conf.getAll
+      pc.foreach { case (k, v) =>
+        if (!plannerOverrides(k) && !cc.get(k).contains(v))
+          clone.conf.set(k, v)
+      }
+      (cc.keySet -- pc.keySet).foreach { k =>
+        if (!plannerOverrides(k)) clone.conf.unset(k)
+      }
+      clone.conf.set("spark.sql.adaptive.enabled", "false")
+      clone.conf.set("spark.sql.shuffle.partitions",
+        math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
+      clone
+    }
+
+  private val plannerOverrides =
+    Set("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
 
   /** Re-root `df`'s analyzed plan onto `session` (no-op when already
     * there), so the ingest chains can carry their caller's batch frame
@@ -70,9 +100,15 @@ object PlanUtil {
       df: DataFrame, session: org.apache.spark.sql.SparkSession): DataFrame =
     if (df.sparkSession eq session) df else GraftInternal.ofRows(session, df)
 
-  // weak-keyed so a test-suite session (and its clone) can be collected
-  // when the suite drops it; values are tiny next to their SparkContext
-  private val planners = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[
-      org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]())
+  // Weak-keyed AND weak-valued: a WeakHashMap whose value holds the key
+  // strongly never frees entries, and the clone references its parent
+  // through its parent-session-state chain — so the value must be a
+  // WeakReference too. A cleared clone is just rebuilt on the next call
+  // (cloneSession is a SessionState copy, cheap next to any batch);
+  // between calls nothing else holds it, which is exactly when
+  // collecting it is harmless. Guarded by synchronized (compute-style
+  // atomicity is not available once values are references).
+  private val planners = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession]]()
 }

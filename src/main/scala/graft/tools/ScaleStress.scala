@@ -188,11 +188,13 @@ object ScaleStress {
     }
 
     // --- the distributed CC tier, forced (localEdgeCutoff = 0 overrides
-    // the driver gate unconditionally): partition-local union-find
-    // contraction + the log-round label loop, against the same near-dup
-    // pair lists as dup_clusters. The gated query above measures what a
-    // user gets; THIS entry pins the overflow path a 100 TB pair list
-    // takes when no gate can save it. ---
+    // the driver gate unconditionally): the closed-neighborhood-min
+    // contraction (one pass that rewrites edges into label space; a
+    // partition-local union-find pre-pass was measured and REJECTED —
+    // see Graphs.scala) + the log-round label loop, against the same
+    // near-dup pair lists as dup_clusters. The gated query above
+    // measures what a user gets; THIS entry pins the overflow path a
+    // 100 TB pair list takes when no gate can save it. ---
     if (want("dup_clusters_dist")) entries("dup_clusters_dist") = {
       def run(dir: String): Double = bestOf2(materialize {
         val pairs = graft.pipeline.Dedup.ngramJaccardPairs(

@@ -62,6 +62,56 @@ class GraphPropertySpec extends SparkSpec {
     }, minTests = 30)
   }
 
+  test("contraction rewrite joins: broadcast at/below the byte gate, shuffle above") {
+    import org.apache.spark.sql.functions._
+    // pin the decision to the GATE: no stats-driven auto-broadcast, no
+    // AQE runtime conversion — production feeds pinned (statless) frames
+    // where only the hint decides
+    val s = org.apache.spark.sql.GraftInternal.cloneSession(spark)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val raw = s.range(0, 1000)
+      .select(col("id").as("a"), ((col("id") + 1) % 1000).as("b"))
+    val l0 = s.range(0, 1000)
+      .select(col("id"), (col("id") % 10).as("lbl"))
+    def plan(maxBytes: Long): String = graft.pipeline.Graphs
+      .rewriteToLabelSpace(raw, l0, 1000L, maxBytes)
+      .queryExecution.executedPlan.toString
+    val below = plan(16L * 1000) // payload == cutoff -> broadcast
+    assert(below.contains("BroadcastHashJoin"),
+      s"16B/node map at the byte cutoff must broadcast:\n$below")
+    val above = plan(16L * 1000 - 1) // one byte over -> shuffled join
+    assert(!above.contains("BroadcastHashJoin") &&
+      (above.contains("SortMergeJoin") || above.contains("ShuffledHashJoin")),
+      s"over-cutoff map must degrade to a shuffled join, not broadcast:\n$above")
+  }
+
+  test("distributed tiers release every pin except the returned result") {
+    val sc = spark.sparkContext
+    def newPins(body: => org.apache.spark.sql.DataFrame): Set[Int] = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val res = body
+      res.count() // caller materializes; pins were already released inside
+      sc.getPersistentRDDs.keySet.toSet -- before
+    }
+    // forced loop tier: a 300-cycle survives contraction, so l0, edges
+    // and the loop's final labels all pin along the way
+    val cycle = (0L until 300L).map(i => (i, (i + 1) % 300)).toDF("id_a", "id_b")
+    val loopPins = newPins(
+      graft.pipeline.Graphs.connectedComponents(cycle, localEdgeCutoff = 0))
+    assert(loopPins.size == 1,
+      s"loop tier must leave exactly the result's blocks pinned: $loopPins")
+    // mid tier: a clique blows a tiny cutoff raw but contracts to zero
+    // edges, finishing driver-side — only l0 and the result pin
+    val clique = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+    } yield (a, b)).toDF("id_a", "id_b")
+    val midPins = newPins(
+      graft.pipeline.Graphs.connectedComponents(clique, localEdgeCutoff = 10))
+    assert(midPins.size == 1,
+      s"mid tier must leave exactly the result's blocks pinned: $midPins")
+  }
+
   test("sorted-merge jaccard equals hash-set jaccard on random string sets") {
     val genSet: Gen[Seq[String]] =
       Gen.chooseNum(0, 30).flatMap(n =>

@@ -6,6 +6,12 @@
 # per-query mix — so "official" is the central tendency of the clean
 # process, not its favorable tail (round 15 stamped the best clean run,
 # which biases officials low and guarantees artifact-vs-official gaps).
+# The stamp REQUIRES >= 3 clean runs: "median of 2" is arithmetically
+# the MIN of 2 — the exact best-run bias the median policy exists to
+# kill (round 16 stamped 44.4s of a 44.4-57.8 spread that way). With
+# fewer than 3 cleans the script keeps attempting and, if attempts run
+# out, FAILS rather than settles; on even n >= 4 it takes the
+# UPPER-middle artifact (never the min-leaning lower-middle).
 # Host-steal windows on this box last minutes and move the trivial-job
 # p50 12 -> 130 ms with no in-guest signal except /proc/stat steal — see
 # JobLatency and the README's latency model.
@@ -13,7 +19,9 @@
 set -u
 cd "$(dirname "$0")/.."
 WANT=${1:-3}
-ATTEMPTS=${2:-10}
+ATTEMPTS=${2:-16}
+MIN_CLEAN=3
+[ "$WANT" -lt "$MIN_CLEAN" ] && WANT=$MIN_CLEAN
 CEILING=${3:-70}
 rm -f /tmp/quietbench_clean_*.json
 n=0
@@ -44,8 +52,10 @@ for a in $(seq 1 "$ATTEMPTS"); do
   fi
   [ "$n" -ge "$WANT" ] || sleep 240
 done
-if [ "$n" -lt 1 ]; then
-  echo "no clean run in $ATTEMPTS attempts — inspect /tmp/quietbench_run.log"
+if [ "$n" -lt "$MIN_CLEAN" ]; then
+  echo "REFUSING to stamp: only $n clean run(s) in $ATTEMPTS attempts" \
+    "(need >= $MIN_CLEAN — a 'median' of fewer is the min in disguise)." \
+    "Re-run with more attempts; inspect /tmp/quietbench_run.log"
   exit 1
 fi
 python3 - "$n" <<'EOF'
@@ -58,7 +68,10 @@ for i in range(1, n + 1):
         runs.append((json.load(f)["value"], p))
 runs.sort()
 lo, hi = runs[0][0], runs[-1][0]
-med_total, med_path = runs[(len(runs) - 1) // 2]
+# n//2 is the true middle for odd n and the UPPER-middle for even n;
+# the old (n-1)//2 picked the lower-middle, which for n=2 is literally
+# the min (the round-16 stamp bug)
+med_total, med_path = runs[len(runs) // 2]
 shutil.copy(med_path, "BENCH.json")
 with open(med_path) as f:
     med = json.load(f)
