@@ -8,7 +8,10 @@ import graft.pipeline.{Dedup, Graphs}
 
 /** Dev probe: decompose dup_clusters' wall into PAIR GENERATION vs the
   * connected-components tiers, against any documents dir (point it at a
-  * ScaleStress scaled corpus to attribute the 32× growth).
+  * ScaleStress scaled corpus to attribute the 32× growth), and stamp the
+  * decomposition as CC_PROBE.json — the machine-checkable artifact behind
+  * the "dup_clusters is pair-generation-bound" claim (round 16 carried
+  * the numbers in README prose only).
   *
   * {{{ runMain graft.tools.CcProbe <docsDir> [passes] }}} */
 object CcProbe {
@@ -28,18 +31,37 @@ object CcProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     def pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       shingleSize = 3, threshold = 0.8, shingler = T.wordShingles)
-    println(f"== docs=${docs.count()}%d pairs=${pairs.count()}%d")
+    val nDocs = docs.count()
+    val nPairs = pairs.count()
+    println(f"== docs=$nDocs%d pairs=$nPairs%d")
+    val walls = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def run(tag: String)(body: => Unit): Unit = {
       body // warm
       val ts = (1 to passes).map(_ => time(body))
+      walls(tag) = ts
       println(f"== $tag%-18s ${ts.map(t => f"$t%.1f").mkString(" ")} sec")
     }
     run("pairs_only") { noop(pairs) }
     run("cc_gated") { noop(Graphs.connectedComponents(pairs)) }
     run("cc_distributed") { noop(Graphs.connectedComponents(pairs, localEdgeCutoff = 0)) }
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val entries = walls.map { case (tag, ts) =>
+      f""""$tag":{"min_sec":${ts.min}%.1f,"passes":[${ts.map(t => f"$t%.1f").mkString(",")}]}"""
+    }.mkString(",")
+    val json =
+      f"""{"metric":"cc_probe","docs":$nDocs,"pairs":$nPairs,"dir":"$dir",""" +
+        f""""passes":$passes,$entries,"max_heap_mb":$maxHeapMb,""" +
+        f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("CC_PROBE.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }

@@ -58,6 +58,55 @@ class DedupSpec extends SparkSpec {
     assert(exact.exists(_._3 === 1.0))
   }
 
+  test("ngram jaccard pairs equal brute force on random corpora (prefix/length/positional filters are recall-exact)") {
+    // random short docs over a tiny vocab → dense similarity structure
+    // that exercises every filter edge (n ties, jaccard exactly at t,
+    // single-gram docs); the brute force mirrors wordShingles exactly
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val rnd = new scala.util.Random(20260816L)
+    def shingles(text: String, k: Int): Set[String] =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+    def brute(cs: Seq[(Long, String)], k: Int, t: Double): Set[(Long, Long, Double)] =
+      (for {
+        Seq((ia, ta), (ib, tb)) <- cs.combinations(2)
+        sa = shingles(ta, k); sb = shingles(tb, k)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+        (lo, hi) = if (ia < ib) (ia, ib) else (ib, ia)
+      } yield (lo, hi, BigDecimal(j).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    for (trial <- 1 to 8; t <- Seq(0.3, 0.5, 0.8)) {
+      val corpus = (0L until (10 + rnd.nextInt(20)).toLong).map { i =>
+        i -> Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"),
+          $"doc_id", $"text", shingleSize = 2, threshold = t,
+          shingler = T.wordShingles)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val want = brute(corpus, 2, t)
+      assert(got == want,
+        s"trial $trial t=$t: missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)} corpus=$corpus")
+    }
+  }
+
+  test("ngram jaccard maxDocFreq valve stays sound (output is a subset of truth)") {
+    val docsDf = docs
+    val full = Dedup.ngramJaccardPairs(docsDf, $"doc_id", $"text",
+        shingleSize = 3, threshold = 0.5, shingler = T.wordShingles)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val valved = Dedup.ngramJaccardPairs(docsDf, $"doc_id", $"text",
+        shingleSize = 3, threshold = 0.5, maxDocFreq = 2,
+        shingler = T.wordShingles)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(valved.subsetOf(full),
+      s"valve emitted pairs the unvalved run did not: ${valved -- full}")
+  }
+
   test("embedding near-dup via SRP-LSH finds planted duplicates") {
     val base = (0 until 32).map(i => math.sin(i * 1.7).toFloat)
     val nearly = base.updated(0, base(0) + 0.001f)
