@@ -30,7 +30,7 @@ object LogReader {
       topic: String,
       partition: Int,
       fromOffset: Long,
-      max: Long): DataFrame = {
+      max: Long): DataFrame = retryOnceOnVanished {
     val to = fromOffset + max // exclusive
     // prune in-driver against the cached index — no Spark job; the poll
     // itself is then ONE job over just the intersecting files
@@ -42,10 +42,7 @@ object LogReader {
       // schema pinned (Schemas.record; `partition` resolves from the
       // directory) — a poll is a point read, it must not pay a footer
       // schema-inference pass per call
-      val slice = spark.read
-        .option("basePath", wh.logDir(topic))
-        .schema(graft.core.Schemas.record)
-        .parquet(hits.map(_.file).toIndexedSeq: _*)
+      val slice = segmentFiles(spark, wh, topic, hits.map(_.file).toIndexedSeq)
         .filter(col("offset") >= fromOffset && col("offset") < to)
       // a poll slice is bounded by `max` (and by the pruned files' record
       // count, known from the index): sort it in ONE task instead of a
@@ -86,14 +83,11 @@ object LogReader {
   /** All committed records of a topic from the given per-partition offsets
     * (exclusive lower bounds come from a group's committed offsets). The
     * returned frame is the topic "table" the query layer runs over. */
-  def scan(spark: SparkSession, wh: Warehouse, topic: String): DataFrame = {
+  def scan(spark: SparkSession, wh: Warehouse, topic: String): DataFrame =
+    retryOnceOnVanished {
     val files = IndexCache.entries(spark, wh, topic).filter(_.isData).map(_.file)
     if (files.isEmpty) emptyLog(spark, wh, topic)
-    else spark.read.option("basePath", wh.logDir(topic))
-      // pinned like `poll`: the query layer calls scan constantly and a
-      // footer schema-inference pass per call is pure fixed overhead
-      .schema(graft.core.Schemas.record)
-      .parquet(files.toIndexedSeq: _*)
+    else segmentFiles(spark, wh, topic, files.toIndexedSeq)
   }
 
   /** Incremental read: every record with `offset >= from(partition)` —
@@ -102,7 +96,7 @@ object LogReader {
       spark: SparkSession,
       wh: Warehouse,
       topic: String,
-      from: Map[Int, Long]): DataFrame = {
+      from: Map[Int, Long]): DataFrame = retryOnceOnVanished {
     val files = IndexCache.entries(spark, wh, topic)
       .filter(e => e.isData && e.endOffset >= from.getOrElse(e.partition, 0L))
       .map(_.file)
@@ -111,12 +105,53 @@ object LogReader {
       val lower = from.foldLeft(lit(0L)) { case (acc, (p, o)) =>
         when(col("partition") === p, lit(o)).otherwise(acc)
       }
-      spark.read.option("basePath", wh.logDir(topic))
-        .schema(graft.core.Schemas.record)
-        .parquet(files.toIndexedSeq: _*)
+      segmentFiles(spark, wh, topic, files.toIndexedSeq)
         .filter(col("offset") >= lower)
     }
   }
+
+  /** Frame over an explicit committed-segment file list, schema pinned
+    * (`Schemas.record`; `partition` resolves from the directory) — a read
+    * must not pay a footer schema-inference pass per call.
+    *
+    * '''Reads racing retention''': expiry is index-first — swap the index,
+    * THEN delete the dropped data files — so a reader that resolved its
+    * file list before a concurrent expiry's swap can hold references to
+    * files already gone when its tasks run. `ignoreMissingFiles` turns
+    * that into Kafka's observable fetch-racing-retention semantics:
+    * expiry only ever removes WHOLE files strictly below a partition
+    * watermark (a log PREFIX), so skipping a vanished file yields exactly
+    * the post-expiry log — the fetch returns what is still retained
+    * instead of crashing mid-scan (a genuinely lost file is
+    * indistinguishable here; the dense-offsets oracle above the retention
+    * watermark remains the detection surface). A file can also vanish in
+    * the window between the index read and THIS relation's creation,
+    * where Spark's existence check throws instead — that path re-reads
+    * the (now re-fingerprinted) index and resolves once more. */
+  private[graft] def segmentFiles(
+      spark: SparkSession,
+      wh: Warehouse,
+      topic: String,
+      files: Seq[String]): DataFrame =
+    spark.read.option("basePath", wh.logDir(topic))
+      .option("ignoreMissingFiles", "true")
+      .schema(graft.core.Schemas.record)
+      .parquet(files: _*)
+
+  /** Re-run `body` once when relation CREATION failed because an indexed
+    * file expired between the index read and the existence check — the
+    * retry re-reads the index (the fingerprint check picks up the swap)
+    * and prunes again. A second consecutive vanish propagates: expiry
+    * bursts are index-swap-then-delete, so the re-read sees the final
+    * state. */
+  private[graft] def retryOnceOnVanished[A](body: => A): A =
+    try body catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            (e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist")) =>
+        body
+    }
 
   private def emptyLog(spark: SparkSession, wh: Warehouse, topic: String): DataFrame =
     spark.createDataFrame(

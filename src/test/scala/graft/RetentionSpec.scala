@@ -36,6 +36,31 @@ class RetentionSpec extends SparkSpec {
     assert(r.ranges(0)._1 === 400L)
   }
 
+  test("a scan resolved BEFORE an expiry returns the post-expiry log, not a crash") {
+    // the retention race: expiry swaps the index then DELETES data files;
+    // a reader whose file list resolved pre-swap holds references to
+    // files that are gone by the time its tasks run. Kafka semantics:
+    // the fetch returns what is still retained (expiry is prefix-only,
+    // whole-file), it does not fail the reader.
+    val wh = Warehouse(tmpDir("graft-race"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    (0 until 4).foreach { i =>
+      LogWriter.append(spark, wh, "t",
+        recs(100, from = i * 100).withColumn("explicit_partition", lit(0)), "id")
+    }
+    // resolve BOTH read shapes against the pre-expiry file set
+    val staleScan = LogReader.scan(spark, wh, "t")
+    val stalePoll = LogReader.poll(spark, wh, "t", 0, 0, 400)
+    assert(LogRetention.expireBefore(spark, wh, "t", Map(0 -> 250L)).size === 2)
+    // executing the stale plans must skip the vanished prefix files and
+    // return exactly the retained suffix
+    assert(staleScan.count() === 200)
+    assert(staleScan.agg(min("offset")).head().getLong(0) === 200L)
+    assert(stalePoll.count() === 200)
+    // a FRESH read after expiry sees the same retained suffix
+    assert(LogReader.scan(spark, wh, "t").count() === 200)
+  }
+
   test("compaction keeps the latest record per key, preserves offsets") {
     val wh = Warehouse(tmpDir("graft-compact"))
     TopicCatalog.createTopic(spark, wh, "t", 2)
