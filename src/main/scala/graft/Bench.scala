@@ -78,7 +78,9 @@ object Bench {
     // classify measures 0.85-0.91 s solo at sf0.1 — band = solo + ~30%
     "dedup_simhash" -> 0.65, "text_stats" -> 0.4, "lang_id" -> 1.2,
     "ann_brute" -> 0.25, "ann_srp" -> 0.35, "pipeline_clean" -> 0.9,
-    "rep_ratio" -> 0.45, "dup_clusters" -> 3.0, "tfidf_topk" -> 0.9,
+    // dup_clusters 2.3: round 17's PPJoin prefix filters cut pair-gen
+    // 3× (official 1.8 s solo) — band = solo + ~30%
+    "rep_ratio" -> 0.45, "dup_clusters" -> 2.3, "tfidf_topk" -> 0.9,
     "chunk_docs" -> 0.6, "gopher_filters" -> 0.6,
     // round 15: the probe chain's verdict id sets now re-enter as codegen
     // reference objects (SetFunctions.inLongSet) instead of broadcast
@@ -86,7 +88,10 @@ object Bench {
     // curate_pipeline measures 4.5-5.2 s solo, curate_pipeline_full
     // 6.0-6.8 s, dedup_incremental 1.9-2.2 s (loadavg < 1); bands =
     // solo + ~20-30% headroom
-    "dedup_incremental" -> 2.6, "curate_pipeline" -> 6.0,
+    // round 17 officials: curate_pipeline 4.3 s, full 5.2 s — bands
+    // re-tightened to ~solo + 30% so a real composite regression still
+    // trips inside the 3× guard
+    "dedup_incremental" -> 2.6, "curate_pipeline" -> 5.5,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
     "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 1.8,
     "dsir_sample" -> 0.5,
@@ -95,7 +100,7 @@ object Bench {
     // round 13 additions (solo sf0.1 measurements + headroom)
     "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
     "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8,
-    "curate_pipeline_full" -> 8.0,
+    "curate_pipeline_full" -> 7.0,
     // round 13 sketch/filter additions (solo sf0.1 ~0.5-0.65 s + headroom)
     "q_distinct_sketch" -> 0.8, "q_bloom_semijoin" -> 1.0)
 
