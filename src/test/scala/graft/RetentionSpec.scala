@@ -61,6 +61,22 @@ class RetentionSpec extends SparkSpec {
     assert(LogReader.scan(spark, wh, "t").count() === 200)
   }
 
+  test("retryOnceOnVanished retries exactly once on a vanished path, propagates other errors") {
+    var calls = 0
+    val out = LogReader.retryOnceOnVanished {
+      calls += 1
+      if (calls == 1) // a real PATH_NOT_FOUND AnalysisException
+        spark.read.schema("x LONG").parquet(tmpDir("gone") + "/missing").count()
+      42L
+    }
+    assert(out === 42L && calls === 2)
+    var calls2 = 0
+    intercept[IllegalStateException] {
+      LogReader.retryOnceOnVanished { calls2 += 1; throw new IllegalStateException("boom") }
+    }
+    assert(calls2 === 1)
+  }
+
   test("compaction keeps the latest record per key, preserves offsets") {
     val wh = Warehouse(tmpDir("graft-compact"))
     TopicCatalog.createTopic(spark, wh, "t", 2)
