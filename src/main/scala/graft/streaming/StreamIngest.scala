@@ -199,12 +199,20 @@ private[streaming] object ConsumeState {
   }
 
   /** Index-pruned read of exactly `[start, end)` per partition — one job
-    * over just the intersecting committed files. */
+    * over just the intersecting committed files, through
+    * [[graft.core.log.LogReader.segmentFiles]] like every other segment
+    * read: schema pinned (a micro-batch loop must not pay a footer
+    * schema-inference pass per batch) and retention-race-safe (a LAGGING
+    * consumer whose range still references expired files gets the
+    * retained rows instead of a mid-batch crash — Kafka's
+    * out-of-range-falls-to-earliest shape; the skipped records ARE the
+    * expired ones). */
   def boundedScan(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       topic: String,
-      ranges: Map[Int, (Long, Long)]): org.apache.spark.sql.DataFrame = {
+      ranges: Map[Int, (Long, Long)]): org.apache.spark.sql.DataFrame =
+    graft.core.log.LogReader.retryOnceOnVanished {
     val files = IndexCache.entries(spark, wh, topic)
       .filter { e =>
         ranges.get(e.partition).exists { case (s, end) =>
@@ -222,8 +230,7 @@ private[streaming] object ConsumeState {
       val upper = ranges.foldLeft(lit(Long.MinValue)) { case (acc, (p, (_, e))) =>
         when(col("partition") === p, lit(e)).otherwise(acc)
       }
-      spark.read.option("basePath", wh.logDir(topic))
-        .parquet(files.toIndexedSeq: _*)
+      graft.core.log.LogReader.segmentFiles(spark, wh, topic, files.toIndexedSeq)
         .filter(col("offset") >= lower && col("offset") < upper)
     }
   }

@@ -82,4 +82,22 @@ class ConsumeStateSpec extends SparkSpec {
     val r2 = ConsumeState.rangesFor(spark, wh, "t", stateDir, 2L, 12L)
     assert(r2 === Map(0 -> (24L, 30L)), "saturates at the committed end")
   }
+
+  test("a lagging consumer's bounded scan across a live expiry returns the retained rows") {
+    // the streaming twin of RetentionSpec's stale-scan test: a consumer
+    // whose [start, end) range (and file list) resolved before an expiry
+    // must get the retained suffix of its range, not a mid-batch crash —
+    // Kafka's out-of-range-falls-to-earliest shape
+    val wh = Warehouse(tmpDir("graft-cstate-lag"))
+    TopicCatalog.createTopic(spark, wh, "t", 1)
+    (0 until 4).foreach { i =>
+      LogWriter.append(spark, wh, "t",
+        records(100, from = i * 100).withColumn("explicit_partition", lit(0)), "id")
+    }
+    val stale = ConsumeState.boundedScan(spark, wh, "t", Map(0 -> (0L, 400L)))
+    assert(graft.core.log.LogRetention
+      .expireBefore(spark, wh, "t", Map(0 -> 250L)).size === 2)
+    assert(stale.count() === 200)
+    assert(stale.agg(min("offset")).head().getLong(0) === 200L)
+  }
 }
