@@ -104,6 +104,14 @@ object Bench {
     // round 13 sketch/filter additions (solo sf0.1 ~0.5-0.65 s + headroom)
     "q_distinct_sketch" -> 0.8, "q_bloom_semijoin" -> 1.0)
 
+  /** Stable emission order for the StageTimers action split (both curate
+    * variants; a variant only emits the keys its config exercises —
+    * span_cut/srp_embed appear when the stage is wired). */
+  private val StageKeys = Seq("srp_embed", "span_cut", "front_plan",
+    "lsh_sign_shards", "lsh_candgen", "lsh_cand_shards", "lsh_verdict",
+    "lsh_selfgen", "lsh_append", "lsh_survgen", "lsh_survivors",
+    "sink_surv", "sink_collect")
+
   /** Queries whose band is multiple seconds wide — their retry guard
     * fires at 1.5x band (see the headline loop comment). */
   private val CompositeRetry: Set[String] = Set(
@@ -402,14 +410,30 @@ object Bench {
       val (w1, s1) = capturedSplit()
       val (w2, s2) = capturedSplit()
       val stages = if (w1 <= w2) s1 else s2
-      val actionSplit = Seq("front_plan", "lsh_sign_shards", "lsh_candgen",
-          "lsh_cand_shards", "lsh_verdict", "lsh_selfgen",
-          "lsh_append", "lsh_survgen", "lsh_survivors", "sink_surv",
-          "sink_collect")
+      val actionSplit = StageKeys
         .flatMap(k => stages.get(k).map(v => f""""$k":$v%.3f"""))
         .mkString(",")
       f""""curate_stages":{"front":$tFront%.3f,"probe":$tProbe%.3f""" +
         (if (actionSplit.nonEmpty) s",$actionSplit}" else "}")
+    }
+
+    // curate_pipeline_full per-stage breakdown (round 18): two consecutive
+    // driver artifacts sat above the official (6.07, 6.66 vs 5.2 s) at
+    // modest loadavg — the split attributes the delta to a stage (span
+    // cut / probe chain / sink) or, when every stage matches its official
+    // share, to the scheduler floor. Same capture discipline as
+    // curate_stages: best-of-2 solo invocations, keep the faster capture.
+    val curateFullStagesJson = {
+      def capturedSplit(): (Double, Map[String, Double]) = {
+        var t = 0.0
+        val (_, st) = graft.pipeline.StageTimers.capture {
+          t = time(materialize(Queries.curatePipelineFull(spark, sfDir)))
+        }
+        (t, st)
+      }
+      val (w1, s1) = capturedSplit()
+      val (w2, s2) = capturedSplit()
+      fullStagesJson(math.min(w1, w2), if (w1 <= w2) s1 else s2)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -421,24 +445,58 @@ object Bench {
     val total = results.values.sum
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"query_jobs":$jobsJson%s,$curateStagesJson%s"""
+    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"query_jobs":$jobsJson%s,$curateStagesJson%s,$curateFullStagesJson%s"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
-    // Full detail goes to BENCH.json (the always-machine-readable
-    // channel); the LAST stdout line is a COMPACT (<1 KB) summary —
-    // same contract fields (metric/value/unit/queries/sf) plus the
-    // floor stamps, with per-query times at 2 decimals and the verbose
-    // maps (loadavg, jobs, stage splits) left to the file. Rounds 13-16
-    // all recorded parsed:null downstream: 13-15 because sbt's epilogue
-    // followed the JSON (fixed in build.sbt), 16 because the full ~4 KB
-    // line overflowed the consumer's 2,000-char stdout tail window.
-    // Spark stops BEFORE the print (its shutdown chatter goes to stderr).
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
-    val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact%s,"sf":"$sfDir%s","job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"contended":$contendedJson%s}"""
+    val compact = compactLine(total, results, sfDir,
+      (ingestRate, bulkRate, parRate, pollRate),
+      jobP50Ms, queryJobs.values.sum, contendedJson, curateFullStagesJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json)
     try spark.stop() catch { case _: Throwable => () }
     println(compact)
+  }
+
+  /** `"curate_full_stages":{...}` fragment: best solo wall + the captured
+    * StageTimers action split in [[StageKeys]] order (round-18 drift
+    * attribution for the `_full` composite). */
+  private[graft] def fullStagesJson(
+      wall: Double, stages: Map[String, Double]): String = {
+    val split = StageKeys
+      .flatMap(k => stages.get(k).map(v => f""""$k":$v%.3f"""))
+      .mkString(",")
+    f""""curate_full_stages":{"wall":$wall%.3f""" +
+      (if (split.nonEmpty) s",$split}" else "}")
+  }
+
+  /** The LAST stdout line: a COMPACT summary with the same contract
+    * fields as BENCH.json (metric/value/unit/queries/sf) plus the floor
+    * stamps, the four records/s throughput rates (the ONLY metric
+    * BASELINE.md's 2x gate is denominated in — round 17's compact line
+    * dropped them and the archived artifact could no longer attest the
+    * baseline comparison), and the curate_pipeline_full stage split;
+    * per-query times at 2 decimals, the verbose maps (loadavg, jobs,
+    * plain curate split) left to the file. Rounds 13-16 all recorded
+    * parsed:null downstream: 13-15 because sbt's epilogue followed the
+    * JSON (fixed in build.sbt), 16 because the full ~4 KB line
+    * overflowed the consumer's 2,000-char stdout tail window — the
+    * line must STAY under that window (~1.5 KB with all 38 queries +
+    * the stage keys; size + field presence pinned by BenchEmitSpec).
+    * Spark stops BEFORE the print (its shutdown chatter goes to
+    * stderr). */
+  private[graft] def compactLine(
+      total: Double,
+      results: scala.collection.Map[String, Double],
+      sfDir: String,
+      rates: (Double, Double, Double, Double),
+      jobP50Ms: Double,
+      timedJobs: Int,
+      contendedJson: String,
+      curateFullStagesJson: String): String = {
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val (ingestRate, bulkRate, parRate, pollRate) = rates
+    val ratesCompact =
+      f""""ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact%s,"sf":"$sfDir%s",$ratesCompact%s,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":$timedJobs%d,"contended":$contendedJson%s,$curateFullStagesJson%s}"""
   }
 }

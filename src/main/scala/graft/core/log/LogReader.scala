@@ -146,12 +146,24 @@ object LogReader {
     * state. */
   private[graft] def retryOnceOnVanished[A](body: => A): A =
     try body catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage != null &&
-            (e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.toLowerCase.contains("path does not exist")) =>
+      case e: org.apache.spark.sql.AnalysisException if isVanishedPath(e) =>
         body
     }
+
+  /** Vanished-path classification for the retry. Spark 4 stamps the
+    * error class on `AnalysisException` (`SparkThrowable.getCondition`,
+    * `PATH_NOT_FOUND`) — match on THAT, not the message text, so a
+    * minor-version message rewording cannot silently disable the retry;
+    * the message check survives only as a fallback for classless
+    * exceptions (e.g. wrapped filesystem errors). */
+  private[graft] def isVanishedPath(
+      e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val cond = e.getCondition
+    if (cond != null && cond.nonEmpty) cond == "PATH_NOT_FOUND"
+    else e.getMessage != null &&
+      (e.getMessage.contains("PATH_NOT_FOUND") ||
+        e.getMessage.toLowerCase.contains("path does not exist"))
+  }
 
   private def emptyLog(spark: SparkSession, wh: Warehouse, topic: String): DataFrame =
     spark.createDataFrame(

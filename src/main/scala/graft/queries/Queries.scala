@@ -1123,7 +1123,8 @@ object Queries {
         .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
           col("n_tokens"), col("chunk_text"))
         .orderBy("chunk_uid")
-      val rows = out.collect()
+      graft.pipeline.StageTimers.timed("sink_surv") { survivors.count() }
+      val rows = graft.pipeline.StageTimers.timed("sink_collect") { out.collect() }
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), out.schema)
     }

@@ -178,18 +178,24 @@ object Curation {
       // before any text work) — the SRP twin of the chunk-level LSH stage
       val embedded = (cfg.srpIndexPath, cfg.embedding) match {
         case (Some(p), Some(_)) =>
-          val surv = SrpIndex.ingestBatch(spark, p, kept,
-            col("id"), col("__emb"), cfg.srpThreshold)
+          val surv = graft.pipeline.StageTimers.timed("srp_embed") {
+            SrpIndex.ingestBatch(spark, p, kept,
+              col("id"), col("__emb"), cfg.srpThreshold)
+          }
           toFree += surv
           surv.select(col("id"), col("text"))
         case _ => kept.select(col("id"), col("text"))
       }
       // span cut: remove every corpus-seen (or batch-repeated) k-gram
-      // span from the text BEFORE chunking
+      // span from the text BEFORE chunking. ingestBatch materializes
+      // internally (persist + count + gram append), so the stage timer
+      // records the stage's real wall, not lazy plan construction.
       val spanned = cfg.spanIndexPath match {
         case Some(p) =>
-          val cut = SpanIndex.ingestBatch(spark, p, embedded,
-            col("id"), col("text"), cfg.spanMinCount)
+          val cut = graft.pipeline.StageTimers.timed("span_cut") {
+            SpanIndex.ingestBatch(spark, p, embedded,
+              col("id"), col("text"), cfg.spanMinCount)
+          }
           toFree += cut
           cut.select(col("doc_id").as("id"), col("kept_text").as("text"))
         case None => embedded

@@ -77,6 +77,34 @@ class RetentionSpec extends SparkSpec {
     assert(calls2 === 1)
   }
 
+  test("isVanishedPath matches the error class; message text is only a classless fallback") {
+    // the real thing: Spark 4 stamps PATH_NOT_FOUND on the exception
+    val real = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.schema("x LONG").parquet(tmpDir("gone-cls") + "/missing").count()
+    }
+    assert(real.getCondition === "PATH_NOT_FOUND", "Spark stamps the class")
+    assert(LogReader.isVanishedPath(real))
+    // a DIFFERENT stamped class never classifies as vanished, even if a
+    // future message rewording happened to contain the magic words
+    val other = new org.apache.spark.sql.AnalysisException(
+      "[TABLE_OR_VIEW_NOT_FOUND] path does not exist (but class says table)",
+      None, None, None, Some("TABLE_OR_VIEW_NOT_FOUND"),
+      Map.empty[String, String], Array.empty[org.apache.spark.QueryContext])
+    assert(other.getCondition === "TABLE_OR_VIEW_NOT_FOUND")
+    assert(!LogReader.isVanishedPath(other))
+    // classless exception (e.g. a wrapped filesystem error): the message
+    // fallback still classifies
+    val classless = new org.apache.spark.sql.AnalysisException(
+      "Path does not exist: file:/gone", None, None, None, None,
+      Map.empty[String, String], Array.empty[org.apache.spark.QueryContext])
+    assert(classless.getCondition === null || classless.getCondition.isEmpty)
+    assert(LogReader.isVanishedPath(classless))
+    val unrelated = new org.apache.spark.sql.AnalysisException(
+      "something else broke", None, None, None, None,
+      Map.empty[String, String], Array.empty[org.apache.spark.QueryContext])
+    assert(!LogReader.isVanishedPath(unrelated))
+  }
+
   test("compaction keeps the latest record per key, preserves offsets") {
     val wh = Warehouse(tmpDir("graft-compact"))
     TopicCatalog.createTopic(spark, wh, "t", 2)
