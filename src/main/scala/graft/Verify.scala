@@ -47,6 +47,46 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // integrity epilogue: Admin.verifyTopic is the detection surface for
+    // the read path's ignoreMissingFiles tradeoff — exercise BOTH verdicts
+    // on a throwaway lifecycle (append x3, legal prefix expiry -> ok;
+    // out-of-band mid-log deletion -> caught) so every driver Verify run
+    // re-attests the detector itself, not just the queries. Failure is
+    // printed loudly but does not fail the dump: the 119 query artifacts
+    // above are independently oracle-checked, and IntegritySpec gates the
+    // same logic in `sbt test`.
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.core.catalog.{TopicCatalog, Warehouse}
+      import graft.core.log.{LogRetention, LogWriter}
+      import graft.core.admin.Admin
+      val wh = Warehouse(
+        java.nio.file.Files.createTempDirectory("graft-verify-integ").toString)
+      TopicCatalog.createTopic(spark, wh, "t", 1)
+      (0 until 3).foreach { i =>
+        LogWriter.append(spark, wh, "t",
+          spark.range(0, 50).select(
+            (col("id") + i * 50).as("id"),
+            lit(1700000000000L).as("ts"),
+            col("id").cast("string").as("key"),
+            col("id").cast("string").as("value"))
+            .withColumn("explicit_partition", lit(0)),
+          "id")
+      }
+      LogRetention.expireBefore(spark, wh, "t", Map(0 -> 50L))
+      val clean = Admin.verifyTopic(spark, wh, "t", deep = true)
+      val victim = graft.core.log.IndexCache.entries(spark, wh, "t")
+        .filter(e => e.isData && e.baseOffset == 50L).head
+      val vp = new org.apache.hadoop.fs.Path(victim.file)
+      vp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(vp, false)
+      val caught = Admin.verifyTopic(spark, wh, "t")
+      System.err.println(
+        s"[verify] integrity selftest: lifecycle_ok=${clean.ok} " +
+          s"detector_catches=${!caught.ok && caught.missingFiles.nonEmpty}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] integrity selftest FAILED: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

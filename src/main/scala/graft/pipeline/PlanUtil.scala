@@ -74,14 +74,26 @@ object PlanUtil {
       // old shared-session toggle never had. Diffing explicitly-set
       // entries is O(set conf keys) per ingest batch, noise next to the
       // batch's jobs. The two planner overrides stay pinned.
+      // Static SQL confs are skipped outright: getAll surfaces them, they
+      // can never legally diverge between parent and clone (one shared
+      // SharedState), and RuntimeConfig.set on one THROWS — an apparent
+      // divergence would fail the whole batch plan (r17 advice). NOT
+      // isModifiable: that also rejects unregistered custom keys, which
+      // users CAN set and which must keep propagating. The Try backstops
+      // the remaining throwable shape (core-Spark entries under
+      // setCommandRejectsSparkCoreConfs) — those never diverge either, so
+      // a swallowed set is a set of an already-equal value.
       val pc = spark.conf.getAll
       val cc = clone.conf.getAll
       pc.foreach { case (k, v) =>
-        if (!plannerOverrides(k) && !cc.get(k).contains(v))
-          clone.conf.set(k, v)
+        if (!plannerOverrides(k) && !cc.get(k).contains(v) &&
+            !org.apache.spark.sql.internal.SQLConf.isStaticConfigKey(k))
+          scala.util.Try(clone.conf.set(k, v))
       }
       (cc.keySet -- pc.keySet).foreach { k =>
-        if (!plannerOverrides(k)) clone.conf.unset(k)
+        if (!plannerOverrides(k) &&
+            !org.apache.spark.sql.internal.SQLConf.isStaticConfigKey(k))
+          scala.util.Try(clone.conf.unset(k))
       }
       clone.conf.set("spark.sql.adaptive.enabled", "false")
       clone.conf.set("spark.sql.shuffle.partitions",

@@ -183,16 +183,31 @@ object LockSoak {
     val readers = (0 until 2).map(r => r -> spawn("--reader", r, Nil))
     val procs = (0 until appenders).map(wid =>
       wid -> spawn("--worker", wid, Seq(rounds.toString)))
-    // the kill leg: as soon as the FIRST appender finishes (appends still
-    // live from the rest), SIGKILL reader 1 — whatever poll it is inside
-    // dies mid-flight; its last atomically-stamped counts must still be
-    // consistent and torn-free
+    // the kill leg: as soon as the FIRST of ALL appenders exits (appends
+    // still live from the rest), SIGKILL reader 1 — whatever poll it is
+    // inside dies mid-flight; its last atomically-stamped counts must
+    // still be consistent and torn-free. Keyed on anyOf over every
+    // appender's onExit, NOT on wid 0's sequential waitFor: if wid 0
+    // happened to finish LAST, the old trigger fired after all appends
+    // were done and the "killed while appends are live" premise silently
+    // lapsed (r17 advice). aliveAtKill stamps how many appenders were
+    // still running at the kill instant — the premise, made observable.
+    @volatile var aliveAtKill = -1
+    val killer = java.util.concurrent.CompletableFuture
+      .anyOf(procs.map(_._2.onExit()): _*)
+      .thenRun { () =>
+        aliveAtKill = procs.count(_._2.isAlive)
+        readers(1)._2.destroyForcibly()
+        ()
+      }
     val exits = procs.map { case (wid, p) =>
       val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) p.destroyForcibly()
-      if (wid == 0) readers(1)._2.destroyForcibly()
       wid -> (if (done) p.exitValue() else -1)
     }.toMap
+    // every appender has exited (or was destroyed) by now, so the anyOf
+    // stage has fired — join cannot block
+    killer.join()
     // appends done: stop the surviving reader and wait for a clean exit
     java.nio.file.Files.write(
       java.nio.file.Paths.get(stateDir, StopFile), Array.empty[Byte])
@@ -241,9 +256,14 @@ object LockSoak {
     val complete = perBatchCounts.length == expectedBatches &&
       perBatchCounts.forall(_.getLong(1) == PerBatch.toLong)
     scan.unpersist()
+    // end-state integrity audit (deep: on-disk per-file counts vs index)
+    val integrity = graft.core.admin.Admin.verifyTopic(
+      spark, wh, Topic, deep = true)
+    if (!integrity.ok) System.err.println(s"== integrity: ${integrity.summary}")
     val expectedTotal = appenders.toLong * rounds * PerBatch
     val ok = exits.values.forall(_ == 0) && total == expectedTotal &&
-      dense && complete && reader0Clean && readerPolls > 0 && tornReads == 0
+      dense && complete && reader0Clean && readerPolls > 0 &&
+      tornReads == 0 && integrity.ok
     val exitsJson = exits.toSeq.sortBy(_._1)
       .map { case (w, e) => s""""w$w":$e""" }.mkString("{", ",", "}")
     val json =
@@ -252,6 +272,8 @@ object LockSoak {
         s""""dense_gapless":$dense,"batches_complete":$complete,""" +
         s""""readers":2,"reader_polls":$readerPolls,"torn_reads":$tornReads,""" +
         s""""killed_reader_polls":$polls1,"reader0_clean":$reader0Clean,""" +
+        s""""appenders_live_at_kill":$aliveAtKill,""" +
+        s""""integrity_ok":${integrity.ok},""" +
         f""""wall_sec":$wallSec%.1f,"worker_exits":$exitsJson,"ok":$ok}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("LOCK_SOAK.json"),
       (json + "\n").getBytes("UTF-8"))

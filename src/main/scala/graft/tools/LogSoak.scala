@@ -133,6 +133,13 @@ object LogSoak {
     // by the key's last writing batch
     LogRetention.compact(spark, wh, Topic)
     LogRetention.vacuum(spark, wh, Topic)
+    // integrity audit of the whole lifecycle's end state (deep: per-file
+    // on-disk counts vs index) — the detection surface for the
+    // ignoreMissingFiles tradeoff, run where expiry/compaction/vacuum/
+    // crash-debris all interleaved
+    val integrity = graft.core.admin.Admin.verifyTopic(
+      spark, wh, Topic, deep = true)
+    if (!integrity.ok) System.err.println(s"== integrity: ${integrity.summary}")
     val gotRows = LogReader.scan(spark, wh, Topic)
       .select(col("key"), col("value")).collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -152,7 +159,7 @@ object LogSoak {
     val early = median(walls.take(third))
     val late = median(walls.takeRight(third))
     val bound = Parts * (RetentionBatches + ExpireEvery + 6)
-    val ok = oracleOk && maxFiles <= bound && vacuumedLive == 0 &&
+    val ok = oracleOk && integrity.ok && maxFiles <= bound && vacuumedLive == 0 &&
       late <= 1.5 * early &&
       // the restart leg must have collected BOTH planted debris items
       // (orphan segment + staging dir) on its first vacuum
@@ -162,7 +169,8 @@ object LogSoak {
         f""""early_median_sec":$early%.3f,"late_median_sec":$late%.3f,""" +
         s""""max_files":$maxFiles,"final_files":$finalFiles,"file_bound":$bound,""" +
         s""""rows":${got.size},"expected_rows":${expected.size},""" +
-        s""""oracle_ok":$oracleOk,"vacuumed_live":$vacuumedLive,""" +
+        s""""oracle_ok":$oracleOk,"integrity_ok":${integrity.ok},""" +
+        s""""vacuumed_live":$vacuumedLive,""" +
         s""""debris_removed":$debrisRemoved,"ok":$ok}"""
     if (startBatch == 0 && haltAt < 0)
       java.nio.file.Files.write(java.nio.file.Paths.get("LOG_SOAK.json"),

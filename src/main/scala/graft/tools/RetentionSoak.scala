@@ -188,8 +188,14 @@ object RetentionSoak {
     }
     val (polls0, torn0) = readerStats(0)
     val (polls1, torn1) = readerStats(1)
+    // end-state integrity audit (deep): distinguishes the soak's LEGAL
+    // prefix expiries (index rows gone with their files, chain dense
+    // above the watermark) from a hole ignoreMissingFiles would mask
+    val integrity = graft.core.admin.Admin.verifyTopic(
+      spark, wh, Topic, deep = true)
+    if (!integrity.ok) System.err.println(s"== integrity: ${integrity.summary}")
     val ok = windowOk && expiredSomething && reader0Clean &&
-      polls0 + polls1 > 0 && torn0 + torn1 == 0
+      polls0 + polls1 > 0 && torn0 + torn1 == 0 && integrity.ok
     val json =
       s"""{"metric":"retention_soak","batches":$batches,"per_batch":$PerBatch,""" +
         s""""keep_window":$KeepWindow,"expiries":$expiries,""" +
@@ -197,6 +203,7 @@ object RetentionSoak {
         s""""expired_something":$expiredSomething,"readers":2,""" +
         s""""reader_polls":${polls0 + polls1},"torn_reads":${torn0 + torn1},""" +
         s""""killed_reader_polls":$polls1,"reader0_clean":$reader0Clean,""" +
+        s""""integrity_ok":${integrity.ok},""" +
         f""""wall_sec":$wallSec%.1f,"ok":$ok}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("RETENTION_SOAK.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -31,6 +31,28 @@ class PlanUtilSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
   }
 
+  test("re-sync skips static keys instead of throwing; custom keys still propagate") {
+    // getAll surfaces static entries (warehouse dir) whose
+    // RuntimeConfig.set throws; the sync loops filter them on
+    // isStaticConfigKey so an apparent divergence can never fail the
+    // batch plan (r17 advice)
+    import org.apache.spark.sql.internal.SQLConf
+    assert(SQLConf.isStaticConfigKey("spark.sql.warehouse.dir"))
+    assert(spark.conf.getAll.keys.exists(SQLConf.isStaticConfigKey),
+      "precondition: getAll actually contains static keys")
+    // the sync runs over that getAll on every call — it must come back,
+    // and UNREGISTERED custom keys (isModifiable=false, yet settable)
+    // must keep propagating — the filter must be static-ness, not
+    // modifiability
+    spark.conf.set("graft.test.unregistered", "yes")
+    try {
+      assert(!spark.conf.isModifiable("graft.test.unregistered"))
+      val c = PlanUtil.batchLocalSession(spark)
+      assert(c.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(c.conf.get("graft.test.unregistered") == "yes")
+    } finally spark.conf.unset("graft.test.unregistered")
+  }
+
   test("a GC-collected clone is rebuilt transparently") {
     var c: org.apache.spark.sql.SparkSession = PlanUtil.batchLocalSession(spark)
     val probe = new java.lang.ref.WeakReference(c)
