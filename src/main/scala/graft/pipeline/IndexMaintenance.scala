@@ -93,13 +93,25 @@ object IndexMaintenance {
       spark: SparkSession, table: String): org.apache.spark.sql.types.StructType =
     schemaCache.computeIfAbsent(table, _ => spark.read.parquet(table).schema)
 
+  /** Delta-tail schema per table, inferred once and pinned: the tail is
+    * written by [[appendDelta]] with one stable schema per table, but
+    * re-inferring it costs a footer-read driver job on EVERY pruned read
+    * — per index stage per micro-batch. [[foldDelta]] doesn't invalidate:
+    * a post-fold tail comes from the same appender with the same schema;
+    * a build-time rewrite goes through [[invalidateSchema]]. */
+  private val tailSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** Drop pinned schemas for every table under `prefix`. Index `build`s
     * overwrite their sub-tables in place; without this, a rebuild with a
     * changed schema in the same JVM would keep serving the stale pinned
     * schema (pinned parquet reads silently null or drop changed columns).
     * Mirrors `LshIndex.metaCache`'s refresh-on-build. */
-  def invalidateSchema(prefix: String): Unit =
+  def invalidateSchema(prefix: String): Unit = {
     schemaCache.keySet.removeIf(_.startsWith(prefix))
+    tailSchemaCache.keySet.removeIf(_.startsWith(prefix))
+    ()
+  }
 
   /** Partition-pruned base ∪ delta tail, both filtered on `partCol`.
     *
@@ -148,12 +160,15 @@ object IndexMaintenance {
     deltaFiles(spark, table) match {
       case Seq() => base
       case files =>
-        // tail schema stays INFERRED: the partition column rides as a
-        // data column there and may carry a wider type than the
-        // directory-inferred one (e.g. a long bucket vs int dir values);
-        // the union coerces as it always has, and the tail is 1-2
-        // batch-scale files — inference costs nothing
-        base.unionByName(spark.read.parquet(files: _*)
+        // tail schema is INFERRED from the tail (the partition column
+        // rides as a data column there and may carry a wider type than
+        // the directory-inferred one — e.g. a long bucket vs int dir
+        // values; the union coerces as it always has) but only ONCE per
+        // table: per-read inference was a footer-read driver job per
+        // stage per micro-batch
+        val ts = tailSchemaCache.computeIfAbsent(table,
+          _ => spark.read.parquet(files: _*).schema)
+        base.unionByName(spark.read.schema(ts).parquet(files: _*)
           .filter(col(partCol).isInCollection(values)))
     }
   }

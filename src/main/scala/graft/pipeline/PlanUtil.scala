@@ -33,8 +33,8 @@ object PlanUtil {
     * memoized WEAKLY (rebuilt transparently if the GC claims it between
     * calls), and re-synced from the parent's explicitly-set SQL conf on
     * every call — a parent-side `session.timeZone`/ANSI change reaches
-    * the very next batch plan; only the two planner overrides stay
-    * pinned.
+    * the very next batch plan; only the three planner overrides (AQE,
+    * shuffle partitions, partition-discovery threshold) stay pinned.
     *
     * The incremental index chains execute ~6-10 actions per micro-batch
     * whose shuffles are BATCH-scale (band keys, candidate ids, verdict
@@ -73,7 +73,7 @@ object PlanUtil {
       // otherwise silently never reach batch planning — a divergence the
       // old shared-session toggle never had. Diffing explicitly-set
       // entries is O(set conf keys) per ingest batch, noise next to the
-      // batch's jobs. The two planner overrides stay pinned.
+      // batch's jobs. The three planner overrides stay pinned.
       // Static SQL confs are skipped outright: getAll surfaces them, they
       // can never legally diverge between parent and clone (one shared
       // SharedState), and RuntimeConfig.set on one THROWS — an apparent
@@ -98,11 +98,21 @@ object PlanUtil {
       clone.conf.set("spark.sql.adaptive.enabled", "false")
       clone.conf.set("spark.sql.shuffle.partitions",
         math.max(8, spark.sparkContext.defaultParallelism / 4).toString)
+      // batch-side index reads open a bounded set of shard DIRECTORIES
+      // (≤ numShards, 64 here); above the stock threshold of 32 Spark
+      // launches a distributed listing JOB for them — a whole driver
+      // round-trip per pruned read per micro-batch to list a few dozen
+      // directories a driver thread lists in microseconds. Raised only
+      // on this session: corpus-scale reads keep the stock threshold
+      // (thousands of partition dirs should list in parallel).
+      clone.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "512")
       clone
     }
 
   private val plannerOverrides =
-    Set("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    Set("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+      "spark.sql.sources.parallelPartitionDiscovery.threshold")
 
   /** Re-root `df`'s analyzed plan onto `session` (no-op when already
     * there), so the ingest chains can carry their caller's batch frame

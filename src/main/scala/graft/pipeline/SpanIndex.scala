@@ -78,6 +78,16 @@ object SpanIndex {
     occ.groupBy("g").agg(min(col("id")).as("owner"))
       .withColumn("shard", pmod(col("g"), lit(numShards.toLong)).cast("int"))
 
+  /** [[gramSet]] plus the within-batch occurrence count — ONE aggregation
+    * over the occurrences that feeds every per-batch consumer of the gram
+    * set: the shard hit list, the broadcast probe side, the within-batch
+    * repeat filter, and the index append ([[ingestBatch]] persists it).
+    * The separate-consumer shape re-shuffled `occ` once per use. */
+  private def gramStats(occ: DataFrame, numShards: Int): DataFrame =
+    occ.groupBy("g")
+      .agg(min(col("id")).as("owner"), count(lit(1)).as("cnt"))
+      .withColumn("shard", pmod(col("g"), lit(numShards.toLong)).cast("int"))
+
   /** `singleTask`: the APPEND shape — batch-scale gram sets write from
     * one task (no `repartition` exchange, same one-file-per-hit-shard
     * layout); [[build]] keeps the exchange (corpus-scale parallelism). */
@@ -104,14 +114,23 @@ object SpanIndex {
     import spark.implicits._
     Seq((k, numShards)).toDF("k", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    metaCache.put(path, (k, numShards))
     IndexMaintenance.invalidateSchema(path)
     writeGrams(occurrences(corpus, id, text, k), numShards, path, "overwrite")
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta").select("k", "num_shards").head()
-    (m.getInt(0), m.getInt(1))
-  }
+  /** (k, numShards) per index path — immutable after [[build]] (which
+    * refreshes the entry), so caching drops the meta-read driver jobs
+    * (schema + head) from every probe/append; [[LshIndex.metaCache]]'s
+    * shape. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) =
+    metaCache.computeIfAbsent(path, _ => {
+      val m = spark.read.parquet(s"$path/meta").select("k", "num_shards").head()
+      (m.getInt(0), m.getInt(1))
+    })
 
   /** Add a batch's distinct gram fingerprints — steady-state ingest. */
   def append(batch: DataFrame, id: Column, text: Column, path: String): Unit = {
@@ -140,42 +159,57 @@ object SpanIndex {
       minCount: Long = 2L): DataFrame = {
     val (k, numShards) = readMeta(spark, path)
     val base = baseOf(batch, id, text)
-    probeCore(spark, path, base, occOf(base, k), k, numShards, minCount)
+    probeCore(spark, path, base, occOf(base, k), None, k, numShards, minCount)
   }
 
   /** [[probe]] over a pre-tokenized frame and its occurrences — the
     * entry point [[ingestBatch]] uses so the batch is tokenized and
-    * fingerprinted exactly once across probe + append. */
+    * fingerprinted exactly once across probe + append.
+    *
+    * `gset`: a persisted [[gramStats]] of `occ`, when the caller computed
+    * one ([[ingestBatch]] shares it with the append) — the shard list,
+    * broadcast probe side and batch-repeat filter then scan that one
+    * cached batch-scale aggregate instead of re-shuffling `occ` each.
+    * `sort`: the public [[probe]] keeps the by-doc-id report order; the
+    * ingest path skips it (its consumer chunks per doc — a global sort
+    * is a boundary-sampling job plus a range exchange of pure waste). */
   private def probeCore(
       spark: SparkSession,
       path: String,
       base: DataFrame,
       occ: DataFrame,
+      gset: Option[DataFrame],
       k: Int,
       numShards: Int,
-      minCount: Long): DataFrame = {
+      minCount: Long,
+      sort: Boolean = true,
+      shards: Option[Seq[Int]] = None): DataFrame = {
     // batch gram-shard hit set: bounded by numShards, buys the prune
-    val gramShards = occ
-      .select(pmod(col("g"), lit(numShards.toLong)).cast("int").as("shard"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // (the ingest path collects it up front as its cache-filling action
+    // and passes it in — see `shards`)
+    val gramShards = shards.getOrElse(gset.getOrElse(occ
+        .withColumn("shard", pmod(col("g"), lit(numShards.toLong)).cast("int")))
+      .select("shard").distinct().collect().map(_.getInt(0)).toSeq)
     // corpus hits: gram seen before, by a different doc (replay guard) —
     // the batch's distinct grams broadcast onto the pruned corpus scan,
     // so the corpus side never shuffles
+    val batchG = gset.map(_.select("g")).getOrElse(occ.select("g").distinct())
     val corpusHit = prunedGrams(spark, path, gramShards)
-      .join(broadcast(occ.select("g").distinct()), Seq("g"))
+      .join(broadcast(batchG), Seq("g"))
       .select(col("g"), col("owner"))
     val fromCorpus = occ.join(corpusHit, Seq("g"))
       .filter(col("owner") =!= col("id"))
       .select("id", "pos")
     // within-batch repeats, exactly the one-shot operator's rule
-    val batchDup = occ.groupBy("g").count()
-      .filter(col("count") >= minCount).select("g")
+    val batchDup = gset.map(_.filter(col("cnt") >= minCount).select("g"))
+      .getOrElse(occ.groupBy("g").count()
+        .filter(col("count") >= minCount).select("g"))
     val fromBatch = occ.join(batchDup, Seq("g")).select("id", "pos")
     val starts = fromCorpus.union(fromBatch).distinct()
       .groupBy("id").agg(collect_list(col("pos")).as("starts"))
     // O(doc) reconstruction — the same sorted-interval merge expression
     // as the one-shot operator (graft.functions.SpanFunctions)
-    base.join(starts, Seq("id"), "left")
+    val out = base.join(starts, Seq("id"), "left")
       .withColumn("__sp", graft.functions.SpanFunctions.spanRemove(
         col("w"), coalesce(col("starts"), array().cast("array<int>")), k))
       .select(
@@ -183,7 +217,7 @@ object SpanIndex {
         size(col("w")).as("n_words"),
         col("__sp.removed_words").as("removed_words"),
         col("__sp.kept_text").as("kept_text"))
-      .orderBy(col("doc_id"))
+    if (sort) out.orderBy(col("doc_id")) else out
   }
 
   /** The steady-state ingest step as a `foreachBatch` body: cut every
@@ -221,15 +255,33 @@ object SpanIndex {
     // strand cached frames in a long-running streaming query.
     val base = baseOf(batch, id, text).persist()
     val occ = occOf(base, k).persist()
+    // ONE aggregation of the batch's gram set, shared by the probe's
+    // three consumers AND the append (see gramStats)
+    val gset = gramStats(occ, numShards).persist()
     try {
-      // lineage truncated at the stage boundary — see PlanUtil.truncateLineage
+      // first action: the shard hit list materializes all three caches
+      val gramShards =
+        gset.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+      // re-root the filled caches as leaf plans: the batch frame arrives
+      // carrying its caller's full lineage (in the curation pipeline, a
+      // scan under the whole gate conjunction — hundreds of expression
+      // nodes), and the probe plan embeds base/occ several times; without
+      // truncation every Catalyst pass re-walks that tree per embedding
+      // (the LshIndex.ingestCoreImpl bshT/keysT discipline)
+      val baseT = PlanUtil.truncateLineage(base)
+      val occT = PlanUtil.truncateLineage(occ)
+      val gsetT = PlanUtil.truncateLineage(gset)
       val cleaned = PlanUtil.truncateLineage(
-          probeCore(spark, path, base, occ, k, numShards, minCount))
+          probeCore(spark, path, baseT, occT, Some(gsetT), k, numShards,
+            minCount, sort = false, shards = Some(gramShards)))
         .persist()
-      writeGrams(occ, numShards, path, "append", singleTask = true)
+      // the append IS the cached gram set (count projected away) — no
+      // second aggregation over the occurrences
+      IndexMaintenance.appendDelta(
+        gsetT.select("g", "owner", "shard"), s"$path/grams")
       cleaned.count()
       cleaned
-    } finally { base.unpersist(); occ.unpersist(); () }
+    } finally { base.unpersist(); occ.unpersist(); gset.unpersist(); () }
   }
 
   /** Compact the gram table: rewrite multi-file shard directories into

@@ -85,16 +85,24 @@ object SrpIndex {
     import spark.implicits._
     Seq((nBits, numShards)).toDF("n_bits", "num_shards")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    metaCache.put(path, (nBits, numShards))
     IndexMaintenance.invalidateSchema(path)
     writeSignatures(signatures(corpus, id, vec, nBits), numShards, path,
       "overwrite")
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta")
-      .select("n_bits", "num_shards").head()
-    (m.getInt(0), m.getInt(1))
-  }
+  /** (nBits, numShards) per index path — immutable after [[build]]
+    * (which refreshes the entry); drops the meta-read driver jobs from
+    * every probe/append, [[LshIndex.metaCache]]'s shape. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) =
+    metaCache.computeIfAbsent(path, _ => {
+      val m = spark.read.parquet(s"$path/meta")
+        .select("n_bits", "num_shards").head()
+      (m.getInt(0), m.getInt(1))
+    })
 
   /** Add a batch to the index — the steady-state ingest step. */
   def append(batch: DataFrame, id: Column, vec: Column, path: String): Unit = {
@@ -140,28 +148,54 @@ object SrpIndex {
       vec: Column,
       threshold: Double,
       maxBucketSize: Long): DataFrame = {
-    val (nBits, _) = readMeta(spark, path)
-    // verdict id sets come back to the driver (batch-bounded) and re-enter
-    // as codegen reference objects — flat row-local filters instead of a
-    // broadcast anti-join per consumer (see LshIndex.ingestCore)
-    val dupIds = probe(spark, path, batch, id, vec, threshold, maxBucketSize)
-      .select(col("batch_id")).distinct()
-      .collect().map(_.getLong(0))
-    java.util.Arrays.sort(dupIds)
-    def without(df: DataFrame, ids: Array[Long]): DataFrame =
-      if (ids.isEmpty) df
-      else df.filter(!graft.functions.SetFunctions.inLongSet(
-        id.cast("long"), ids))
-    val clean = without(batch, dupIds)
-    val loserIds = Dedup.embeddingNearDupPairs(clean, id, vec, threshold, nBits)
-      .select(col("id_b")).distinct()
-      .collect().map(_.getLong(0))
-    java.util.Arrays.sort(loserIds)
-    // lineage truncated at the stage boundary — see PlanUtil.truncateLineage
-    val survivors = PlanUtil.truncateLineage(without(clean, loserIds))
-      .persist()
-    append(survivors, id, vec, path)
-    survivors
+    val (nBits, numShards) = readMeta(spark, path)
+    // sign ONCE (the LshIndex.ingestCore fused-signature discipline): the
+    // corpus probe, the within-batch self-join and the append all read
+    // this persisted frame — the old shape re-hashed the batch vectors
+    // three times and re-analyzed the caller's lineage per use
+    val bsig = signatures(batch, id, vec, nBits).persist()
+    try {
+      // first action: the bucket hit list materializes the cache
+      val hitBuckets = bsig.select("bucket")
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val bsigT = PlanUtil.truncateLineage(bsig)
+      // verdict id sets come back to the driver (batch-bounded) and
+      // re-enter as codegen reference objects — flat row-local filters
+      // instead of a broadcast anti-join per consumer
+      val dupIds = probeSigned(spark, path, bsigT, hitBuckets, numShards,
+          threshold, maxBucketSize)
+        .select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0))
+      java.util.Arrays.sort(dupIds)
+      def without(df: DataFrame, c: Column, ids: Array[Long]): DataFrame =
+        if (ids.isEmpty) df
+        else df.filter(!graft.functions.SetFunctions.inLongSet(c, ids))
+      // within-batch self-join over the SAME cached signatures — bucket
+      // collide then exact cosine, keep-lowest-id (embeddingNearDupPairs'
+      // rule, its signature pass already paid)
+      val cleanSig = without(bsigT, col("id"), dupIds)
+      val a = cleanSig.select(col("bucket"), col("id").as("id_a"),
+        col("v").as("va"))
+      val b = cleanSig.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("vb"))
+      val loserIds = a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(V.cosine(col("va"), col("vb")) >= threshold)
+        .select(col("id_b")).distinct()
+        .collect().map(_.getLong(0))
+      java.util.Arrays.sort(loserIds)
+      // append IS the cached signatures restricted to survivors — no
+      // re-hash of the survivor vectors
+      writeSignatures(without(cleanSig, col("id"), loserIds), numShards,
+        path, "append", singleTask = true)
+      val dropped = dupIds ++ loserIds
+      java.util.Arrays.sort(dropped)
+      // survivors derive from the caller's frame and id filters only —
+      // independent of the signature cache, so freeing it is safe even
+      // before the caller's first action
+      PlanUtil.truncateLineage(without(batch, id.cast("long"), dropped))
+        .persist()
+    } finally { bsig.unpersist(); () }
   }
 
   /** [[ingestBatch]] with the persist lifecycle owned internally
@@ -221,6 +255,21 @@ object SrpIndex {
     // shape, with SRP buckets as the cells)
     val hitBuckets = bsig.select("bucket")
       .distinct().collect().map(_.getInt(0)).toSeq
+    probeSigned(spark, path, bsig, hitBuckets, numShards, threshold,
+      maxBucketSize)
+  }
+
+  /** [[probe]] over a pre-signed batch frame (id, v, bucket) and its
+    * collected bucket hit list — the entry point [[ingestBatch]] uses so
+    * the batch is hashed exactly once across probe + self-join + append. */
+  private def probeSigned(
+      spark: SparkSession,
+      path: String,
+      bsig: DataFrame,
+      hitBuckets: Seq[Int],
+      numShards: Int,
+      threshold: Double,
+      maxBucketSize: Long): DataFrame = {
     val corpusKeys = prunedBuckets(spark, path, hitBuckets)
     val okBuckets = corpusKeys
       .join(broadcast(bsig.select("bucket").distinct()), Seq("bucket"))

@@ -66,5 +66,9 @@ class PlanUtilSpec extends SparkSpec {
     val again = PlanUtil.batchLocalSession(spark)
     assert(again.conf.get("spark.sql.adaptive.enabled") == "false")
     assert(again.conf.get("spark.sql.shuffle.partitions") == "8")
+    // the third pinned override: shard-directory reads (≤64 paths) must
+    // list driver-side, not via a distributed listing job per batch
+    assert(again.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold") == "512")
   }
 }
