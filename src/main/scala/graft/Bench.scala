@@ -88,10 +88,12 @@ object Bench {
     // curate_pipeline measures 4.5-5.2 s solo, curate_pipeline_full
     // 6.0-6.8 s, dedup_incremental 1.9-2.2 s (loadavg < 1); bands =
     // solo + ~20-30% headroom
-    // round 17 officials: curate_pipeline 4.3 s, full 5.2 s — bands
-    // re-tightened to ~solo + 30% so a real composite regression still
-    // trips inside the 3× guard
-    "dedup_incremental" -> 2.6, "curate_pipeline" -> 5.5,
+    // round 18 officials after the ingest-chain fixed-overhead cut:
+    // curate_pipeline 3.5 s / 19 jobs, full 5.1 s / 25 jobs,
+    // dedup_incremental 1.9 s / 12 jobs — bands re-tightened to
+    // ~solo + 30% so a real composite regression still trips inside
+    // the 3× guard
+    "dedup_incremental" -> 2.3, "curate_pipeline" -> 4.5,
     "bpe_tokenize" -> 1.3, "multimodal_decode_video" -> 0.35,
     "dedup_fingerprint" -> 0.4, "dedup_spans" -> 2.0, "dedup_semantic" -> 1.8,
     "dsir_sample" -> 0.5,
@@ -100,7 +102,7 @@ object Bench {
     // round 13 additions (solo sf0.1 measurements + headroom)
     "multimodal_resize_real" -> 0.8, "frame_sample" -> 0.5,
     "ann_pq" -> 1.0, "ann_ivfpq" -> 1.0, "qfilter_score" -> 0.8,
-    "curate_pipeline_full" -> 7.0,
+    "curate_pipeline_full" -> 6.0,
     // round 13 sketch/filter additions (solo sf0.1 ~0.5-0.65 s + headroom)
     "q_distinct_sketch" -> 0.8, "q_bloom_semijoin" -> 1.0)
 
