@@ -224,4 +224,33 @@ class CompactionSpec extends SparkSpec {
     assert(v2.filter($"extra".isNull).count() === 0L,
       "a stale pinned schema would silently null the new column")
   }
+
+  test("invalidateSchema also drops the pinned delta-TAIL schema") {
+    // the tail schema pins after the first read that sees a tail; a
+    // same-path rebuild that changes the schema must drop BOTH pins or
+    // the next tail read silently nulls the new column
+    val root = tmpDir("graft-rwd-tail-rebuild")
+    val table = s"$root/grams"
+    (0 until 10).map(i => (i.toLong, i % 2)).toDF("id", "shard")
+      .write.partitionBy("shard").parquet(table)
+    graft.pipeline.IndexMaintenance.appendDelta(
+      Seq((100L, 0)).toDF("id", "shard"), table)
+    // pin the v1 tail schema in the cache
+    val v1 = graft.pipeline.IndexMaintenance
+      .readWithDelta(spark, table, "shard", Seq(0, 1))
+    assert(v1.select("id").as[Long].collect().contains(100L))
+    // rebuild base AND tail with a WIDER schema
+    org.apache.spark.network.util.JavaUtils
+      .deleteRecursively(new java.io.File(s"${table}_delta"))
+    (0 until 10).map(i => (i.toLong, s"x$i", i % 2)).toDF("id", "extra", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(table)
+    graft.pipeline.IndexMaintenance.appendDelta(
+      Seq((200L, "x200", 0)).toDF("id", "extra", "shard"), table)
+    graft.pipeline.IndexMaintenance.invalidateSchema(root)
+    val v2 = graft.pipeline.IndexMaintenance
+      .readWithDelta(spark, table, "shard", Seq(0, 1))
+    assert(v2.columns.toSet === Set("id", "extra", "shard"))
+    assert(v2.filter($"id" === 200L && $"extra".isNull).count() === 0L,
+      "a stale pinned TAIL schema would silently null the tail's new column")
+  }
 }

@@ -70,5 +70,9 @@ class PlanUtilSpec extends SparkSpec {
     // list driver-side, not via a distributed listing job per batch
     assert(again.conf.get(
       "spark.sql.sources.parallelPartitionDiscovery.threshold") == "512")
+    // ...and it must NOT leak to the parent session: corpus-scale reads
+    // keep the stock threshold (parallel listing past 32 paths)
+    assert(spark.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold") != "512")
   }
 }
