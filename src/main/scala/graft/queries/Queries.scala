@@ -2263,8 +2263,11 @@ object Queries {
         explode(T.tokens(lower(col("text")))).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docFreq = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df = docs containing the term = tf's group count per term: deriving
+    // it FROM tf (instead of a second explode + distinct over the corpus)
+    // lets the two branches share one exchange (ReusedExchange) — the
+    // token stream is exploded and shuffled once, not twice (guide §2.4)
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(docFreq), Seq("term"))
       .withColumn("score", round(col("tf") * log(lit(total) / col("df")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
