@@ -19,7 +19,8 @@ import scala.collection.concurrent.TrieMap
 object IndexCache {
 
   final case class Entry(
-      partition: Int, file: String, baseOffset: Long, endOffset: Long, count: Long) {
+      partition: Int, file: String, baseOffset: Long, endOffset: Long,
+      count: Long, batchId: Option[Long] = None) {
     /** High-watermark tombstones ([[LogIndex.HwmFile]]) carry offsets but
       * reference no data file. */
     def isData: Boolean = count > 0
@@ -52,14 +53,31 @@ object IndexCache {
     cache.get(key) match {
       case Some(c) if c.fingerprint == fp => c.entries
       case _ =>
-        val loaded = LogIndex.forTopic(spark, wh, topic)
-          .select("partition", "file", "base_offset", "end_offset", "count")
-          .collect()
-          .map(r => Entry(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        // driver-side parquet read (IndexIO): the reload is metadata-scale
+        // and used to cost one Spark job per post-append read — a pure
+        // scheduler round-trip on the hot produce path
+        val loaded = IndexIO.readRows(wh.indexDir(topic)).map(r =>
+          Entry(r.partition, r.file, r.baseOffset, r.endOffset, r.count,
+            r.batchId))
         cache.put(key, Cached(fp, loaded))
         loaded
     }
   }
+
+  /** Whether `batchId` already landed rows, from the cache — the replay
+    * no-op check of batch-keyed appends ([[LogWriter.append]]), scoped to
+    * the declared partition set exactly like [[LogIndex.hasBatch]] (whose
+    * DataFrame form cost a Spark job per streaming micro-batch). */
+  def hasBatch(
+      spark: SparkSession,
+      wh: graft.core.catalog.Warehouse,
+      topic: String,
+      batchId: Long,
+      partitions: Option[Seq[Int]] = None): Boolean =
+    entries(spark, wh, topic).exists { e =>
+      e.batchId.contains(batchId) &&
+        partitions.forall(_.contains(e.partition))
+    }
 
   /** Committed next offset per partition, from the cache. */
   def nextOffsets(spark: SparkSession, wh: graft.core.catalog.Warehouse, topic: String): Map[Int, Long] =

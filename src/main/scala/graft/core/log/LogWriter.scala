@@ -210,7 +210,10 @@ object LogWriter {
     }
     val result = graft.core.Locks.withPartitionLocks(wh, topic, locked) {
       batchId.foreach { id =>
-        if (LogIndex.hasBatch(LogIndex.forTopic(spark, wh, topic), id, partitions))
+        // cache-based replay check (driver-side index read): the DataFrame
+        // form cost one Spark job per batch-keyed append — fixed scheduler
+        // overhead on every streaming micro-batch
+        if (IndexCache.hasBatch(spark, wh, topic, id, partitions))
           return AppendResult(topic, batchId, Map.empty, 0L)
       }
       val bases = IndexCache.nextOffsets(spark, wh, topic)
@@ -284,11 +287,11 @@ object LogWriter {
       }
       val ranges: Map[Int, (Long, Long)] = if (stats.isEmpty) Map.empty else {
         val indexRows = stats.map { s =>
-          org.apache.spark.sql.Row(
+          IndexIO.IndexRow(
             topic, s.partition, s.file, s.baseOffset, s.endOffset,
-            s.count, batchId.map(Long.box).orNull)
+            s.count, batchId)
         }
-        writeIndexDelta(spark, wh, topic, indexRows)
+        writeIndexDelta(wh, topic, indexRows)
         IndexCache.invalidate(wh, topic)
         // compaction rewrites EVERY partition's index rows, so it may only
         // run while holding every partition lock
@@ -386,25 +389,24 @@ object LogWriter {
     * staging private per append, deltas from concurrent disjoint-partition
     * appends land independently. */
   private def writeIndexDelta(
-      spark: SparkSession, wh: Warehouse, topic: String,
-      rows: Seq[org.apache.spark.sql.Row]): Unit = {
+      wh: Warehouse, topic: String, rows: Seq[IndexIO.IndexRow]): Unit = {
     // `=` separators: topic names cannot contain `=`, so vacuum's
     // prefix-match on `.delta=<topic>=` can never claim a DIFFERENT topic's
-    // in-flight delta (`.delta-a-...` would be a prefix of `.delta-a-b-...`)
+    // in-flight delta (`.delta-a-...` would be a prefix of `.delta-a-b-...`).
+    // The delta is metadata-scale (one row per new file) and is written
+    // DRIVER-SIDE (IndexIO) — the old `coalesce(1)` Spark write was one
+    // whole driver job of fixed overhead per append; the stage-then-rename
+    // crash protocol is unchanged.
     val uid = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"${wh.indexBase}/.delta=$topic=$uid"
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), Schemas.index)
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    val sp = new Path(staging)
-    val fs = sp.getFileSystem(new Configuration())
-    val parts = fs.listStatus(sp).map(_.getPath)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-    require(parts.length == 1, s"expected one staged delta file, got ${parts.length}")
+    val stagedFile = new Path(staging, s"delta-$uid.parquet")
+    val fs = stagedFile.getFileSystem(new Configuration())
+    IndexIO.writeFile(stagedFile, rows)
     val dest = new Path(wh.indexDir(topic), s"delta-$uid.parquet")
     fs.mkdirs(dest.getParent)
-    if (!fs.rename(parts.head, dest))
+    if (!fs.rename(stagedFile, dest))
       throw new IllegalStateException(s"failed to land index delta for '$topic'")
-    fs.delete(sp, true)
+    fs.delete(new Path(staging), true)
   }
 
   /** Move every staged data file into its live `partition=<p>` dir and drop

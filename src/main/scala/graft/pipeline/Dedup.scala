@@ -397,14 +397,26 @@ object Dedup {
       vec: Column,
       k: Int,
       iters: Int,
+      tau: Double): DataFrame =
+    semanticDedupWith(df, id, vec,
+      Clustering.kmeansCentroids(df, id, vec, k, iters), tau)
+
+  /** [[semanticDedup]] over PRE-FITTED centroids — for callers that hold
+    * the k-means model as standing state (the fit is one model per corpus,
+    * like the PQ/IVF-PQ codebooks; re-running Lloyd per query invocation
+    * re-paid `iters` + 1 corpus passes for identical centroids). */
+  def semanticDedupWith(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      cs: Seq[Seq[Double]],
       tau: Double): DataFrame = {
     val e = df.select(id.cast("long").as("vec_id"),
       transform(vec, x => round(x.cast("double"), 6)).as("v"))
-    // fit centroids, then fold the FINAL assignment into this projection
-    // as the codegen'd argmin — joining against kmeans' (vec_id, cluster)
-    // output would shuffle the corpus-scale embedding table a second time
-    // for data the scan already has in hand
-    val cs = Clustering.kmeansCentroids(df, id, vec, k, iters)
+    // the FINAL assignment folds into this projection as the codegen'd
+    // argmin — joining against kmeans' (vec_id, cluster) output would
+    // shuffle the corpus-scale embedding table a second time for data the
+    // scan already has in hand
     // the self-norm is pair-invariant: fold it ONCE per vector here (the
     // codegen'd sequential loop — bit-identical to the oracle's in-order
     // list_sum) instead of twice per pair inside the quadratic join

@@ -725,9 +725,19 @@ object Queries {
     * cosine ≥ 0.35 drops the higher id (0.35 is this synthetic corpus's
     * near-dup band — the same threshold `dedup_embedding` uses). Survivors
     * only. */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedup(t(spark, dir, "embeddings"),
-      col("vec_id"), col("embedding"), k = 10, iters = 2, tau = 0.35)
+  private val kmeansModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[Double]]]()
+
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    // centroids are a fitted model — standing state per corpus, memoized
+    // like the PQ/IVF-PQ/lang/qfilter fits (re-running Lloyd per query
+    // invocation re-paid iters+1 identical corpus passes + driver jobs)
+    val cs = kmeansModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.Clustering.kmeansCentroids(
+        emb, col("vec_id"), col("embedding"), k = 10, iters = 2))
+    Dedup.semanticDedupWith(emb, col("vec_id"), col("embedding"), cs, tau = 0.35)
+  }
 
   /** MinHash-LSH near-dup pairs. Oracle-exact since round 7: the DuckDB
     * side replays the full minhash chain (FNV shingle fingerprints in
@@ -1070,8 +1080,18 @@ object Queries {
 
   private val fullCurateIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  private val fullDsirModels = new java.util.concurrent.ConcurrentHashMap[
+  /** The DSIR importance model (target = `lang = 'en'`, 256 buckets),
+    * fitted once per input dir and shared by dsir_weights, dsir_sample
+    * and the full curation composite — the fit is one map-side-combined
+    * aggregation, but re-running it per query invocation re-paid that
+    * corpus pass for an identical lambda table. */
+  private val dsirModels = new java.util.concurrent.ConcurrentHashMap[
     String, graft.pipeline.Dsir.Model]()
+  private def dsirModel(
+      spark: SparkSession, dir: String): graft.pipeline.Dsir.Model =
+    dsirModels.computeIfAbsent(dir, _ =>
+      Dsir.fit(t(spark, dir, "documents"), col("text"),
+        col("lang") === "en", nBuckets = 256))
 
   /** THE FULL COMPOSITION — every model-driven stage in one streaming
     * body: batch docs pass gopher, then the `extraFilter` conjunction of
@@ -1103,14 +1123,12 @@ object Queries {
         col("doc_id"), col("text"), s"$root/span", k = 5)
       (s"$root/lsh", s"$root/span")
     })
-    val dsirModel = fullDsirModels.computeIfAbsent(dir, _ =>
-      graft.pipeline.Dsir.fit(docs, col("text"),
-        col("lang") === "en", nBuckets = 256))
+    val fullModel = dsirModel(spark, dir)
     val gate = contamGate(spark, dir)
     val qf = qfilterModel(spark, dir)
     val Q = graft.pipeline.QualityClassifier
     val allGates =
-      (round(Dsir.logWeight(dsirModel, col("text")), 6)
+      (round(Dsir.logWeight(fullModel, col("text")), 6)
         >= lit(CurateSql.DsirTau)) &&
       (graft.pipeline.Contamination.overlapCount(col("text"), gate) === 0) &&
       (Q.q(Q.score(Q.features(col("text")), qf), 6) >= lit(CurateSql.QfTau))
@@ -1315,6 +1333,21 @@ object Queries {
     t(spark, dir, "documents").select(
       col("doc_id"), T.subwordCount(col("text")).as("subwords"))
 
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.pipeline.Bpe.BpeModel]()
+
+  /** The corpus-trained BPE model, fitted once per input dir — standing
+    * state like every other fitted model here (qfilter, lang profiles,
+    * PQ/IVF-PQ codebooks, contam gate): five queries train on identical
+    * ([[BpeSql.NumMerges]], [[BpeSql.MaxWords]]) parameters, and each
+    * re-fit re-paid the word-count corpus pass + driver merge loop for a
+    * bit-identical merge table. */
+  private def bpeModel(
+      spark: SparkSession, dir: String): graft.pipeline.Bpe.BpeModel =
+    bpeModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.Bpe.train(t(spark, dir, "documents"), col("text"),
+        numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords))
+
   /** Corpus-trained BPE merge table (rank, lft, rgt): the published
     * frequency-ranked pair-merge loop over the top-256 word types, 32
     * merges — one word-count shuffle plus a bounded driver loop, and the
@@ -1322,8 +1355,7 @@ object Queries {
     * ([[graft.queries.BpeSql.bpeVocabSql]]). */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val m = graft.pipeline.Bpe.train(t(spark, dir, "documents"), col("text"),
-      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    val m = bpeModel(spark, dir)
     m.merges.zipWithIndex
       .map { case ((l, r), i) => (i, l, r) }
       .toDF("rank", "lft", "rgt")
@@ -1336,8 +1368,7 @@ object Queries {
     * whitespace-word and subword budgets. */
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val m = graft.pipeline.Bpe.train(docs, col("text"),
-      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    val m = bpeModel(spark, dir)
     docs.select(col("doc_id"),
       size(graft.pipeline.Bpe.words(col("text"))).as("n_words"),
       m.tokenCount(col("text")).as("n_bpe"))
@@ -1350,8 +1381,7 @@ object Queries {
     * context; this is the corrected pipeline. */
   def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val m = graft.pipeline.Bpe.train(docs, col("text"),
-      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    val m = bpeModel(spark, dir)
     graft.pipeline.Pack.packSequences(docs, col("doc_id"), col("text"),
       budget = 512, tokenCount = m.tokenCount)
   }
@@ -1363,8 +1393,7 @@ object Queries {
     * grouping exactly). */
   def chunkDocsBpe(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val m = graft.pipeline.Bpe.train(docs, col("text"),
-      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    val m = bpeModel(spark, dir)
     graft.pipeline.Chunking.chunkBpe(docs, col("doc_id"), col("text"), m,
         budget = BpeSql.ChunkBudget)
       .withColumnRenamed("id", "doc_id")
@@ -1402,8 +1431,7 @@ object Queries {
     * Output (shard, seq_id, n_docs, seq_tokens, seq_text). */
   def trainShards(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val m = graft.pipeline.Bpe.train(docs, col("text"),
-      numMerges = BpeSql.NumMerges, maxWords = BpeSql.MaxWords)
+    val m = bpeModel(spark, dir)
     graft.pipeline.TrainShards.sequences(docs, col("doc_id"), col("text"),
         budget = TrainShardsSql.Budget,
         numShards = TrainShardsSql.NumShards,
@@ -1998,7 +2026,7 @@ object Queries {
     * object — at 100 TB the weight pass is one scan, no shuffle. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val model = Dsir.fit(docs, col("text"), col("lang") === "en", nBuckets = 256)
+    val model = dsirModel(spark, dir)
     docs.select(col("doc_id"), col("lang"),
         round(Dsir.logWeight(model, col("text")), 6).as("logw"))
       .orderBy(col("doc_id"))
@@ -2010,7 +2038,7 @@ object Queries {
     * (FNV buckets, smoothed λ, Lehmer noise) in exact SQL. */
   def dsirSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val model = Dsir.fit(docs, col("text"), col("lang") === "en", nBuckets = 256)
+    val model = dsirModel(spark, dir)
     Dsir.resample(docs, col("doc_id"), col("text"), model, k = 50)
       .select(col("doc_id"), col("lang"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
