@@ -141,15 +141,18 @@ object Quality {
     * mean −ln S, DECIMAL(28,18)-summed then 6-dp rounded (the repo float
     * contract); docs with < n tokens score 0 with n_grams 0.
     *
-    * Scale shape: ONE tagged count aggregation over the corpus covering
-    * all n orders (one scan, one (k, g) shuffle — map-side combined; the
-    * pruned orders ≥ 2 are Zipf-truncated) and a scoring pass of
-    * 2(n−1)+1 left joins against per-order slices of that cached table.
-    * EAGER AT CONSTRUCTION: building the returned plan runs ONE Spark
-    * job up front (the combined table is persisted and a single stats
-    * aggregate measures every order's rows, gram bytes and — for order
-    * 1 — the corpus token total); callers that only wanted a lazy plan
-    * get that job anyway. A table joins
+    * Scale shape: n per-order count aggregations over the corpus (each
+    * map-side combined; the pruned tables of order ≥ 2 are Zipf-
+    * truncated) and a scoring pass of 2(n−1)+1 left joins. The
+    * aggregations stay PER-ORDER — one tagged (k, g) aggregation was
+    * measured and rejected: a single map-side agg hash table spanning
+    * every order's key space spills where the per-order maps fit — but
+    * they all materialize inside ONE Spark job: a union of n 1-row stats
+    * aggregates (rows, gram bytes for the broadcast gate, count sum —
+    * order 1's is the corpus token total) collects once, and its n
+    * independent cache-filling subtrees run concurrently. EAGER AT
+    * CONSTRUCTION: building the returned plan runs that one job up
+    * front; callers that only wanted a lazy plan get it anyway. A table joins
     * BROADCAST iff its estimated in-memory size (gram bytes + 24 B/row
     * overhead) is ≤ `maxBroadcastBytes` — a BYTE gate, because broadcast
     * memory is bounded in bytes, not rows; larger tables fall back to a
@@ -177,30 +180,34 @@ object Quality {
       maxBroadcastBytes: Long = 64L << 20): LmScore = {
     require(n >= 2, s"order must be >= 2: $n")
     val low = lower(text)
-    // ONE corpus pass for ALL n count tables: every order's gram stream is
-    // generated in a single projection (each gram tagged with its order k)
-    // and aggregated through a single (k, g) shuffle — the per-order form
-    // scanned the corpus n times and shuffled n separate gram streams for
-    // the same total bytes (guide §2.4: two aggregations keyed the same
-    // way share one exchange; here they share the scan too). Count
-    // pruning applies identically: order 1 keeps everything (the fallback
-    // must be total), orders ≥ 2 keep count ≥ minCount.
-    val tagged = df.select(explode(flatten(array((1 to n).map(k =>
-        transform(TextFunctions.wordNgrams(low, k),
-          g => struct(lit(k).as("k"), g.as("g")))): _*))).as("o"))
-      .select(col("o.k").as("k"), col("o.g").as("g"))
-    val counts = tagged.groupBy("k", "g").agg(count(lit(1)).as("c"))
-      .filter(col("k") === 1 || col("c") >= minCount)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE stats pass over the cached aggregate for every order: rows +
-    // gram text bytes (the broadcast gate's input) and the per-order
-    // count sum (order 1's is the corpus token total) — the per-order
-    // form paid n separate stats jobs. This collect doubles as the
-    // cache-filling action.
-    val statsByK = counts.groupBy("k").agg(
-        count(lit(1)).as("rows"),
-        coalesce(sum(octet_length(col("g"))), lit(0L)).as("gb"),
-        coalesce(sum(col("c")), lit(0L)).as("cs"))
+    def table(k: Int): DataFrame = {
+      val t = df.select(explode(TextFunctions.wordNgrams(low, k)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      if (k >= 2) t.filter(col("c") >= minCount) else t
+    }
+    // The n count tables stay PER-ORDER aggregations (a single tagged
+    // (k, g) aggregation was tried in r18 and REVERTED on 32× evidence:
+    // one map-side agg hash table spanning every order's key space spills
+    // where the per-order maps did not — 13.7 → 46.7 s at 32×), but they
+    // materialize in ONE job: each table's stats row (rows + gram bytes —
+    // the broadcast gate's input — and the count sum, order 1's being the
+    // corpus token total) is a 1-row aggregate over the persisted table,
+    // and the UNION of those n rows collects once. The n cache-filling
+    // chains are independent subtrees of that one action, so Spark runs
+    // them CONCURRENTLY (guide §2.6) — the per-table form paid n + n
+    // sequential jobs (persist-fill + stats each); this pays 1.
+    val persisted = (1 to n).map { k =>
+      k -> table(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.toMap
+    val statsByK = persisted.toSeq.sortBy(_._1)
+      .map { case (k, t) =>
+        t.agg(count(lit(1)).as("rows"),
+            coalesce(sum(octet_length(col("g"))), lit(0L)).as("gb"),
+            coalesce(sum(col("c")), lit(0L)).as("cs"))
+          .select(lit(k).as("k"), col("rows"), col("gb"), col("cs"))
+      }
+      .reduce(_ unionAll _)
       .collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
@@ -208,7 +215,7 @@ object Quality {
       val (rows, gramBytes, countSum) = statsByK.getOrElse(k, (0L, 0L, 0L))
       // raw row = gram bytes + 8 B count + 24 B UnsafeRow overhead; ×4
       // for the BroadcastHashRelation's in-memory expansion
-      k -> (counts.filter(col("k") === k).select("g", "c"),
+      k -> (persisted(k),
         LmTableStat(rows, (gramBytes + 32L * rows) * 4L), countSum)
     }.toMap
     // broadcast-iff-small IN BYTES: an unconditional hint would OOM the
@@ -267,6 +274,6 @@ object Quality {
         coalesce(col("nll"), lit(0.0)).as("nll"))
     LmScore(out,
       tables.map { case (k, (_, stat, _)) => k -> stat },
-      Seq(counts))
+      persisted.values.toSeq)
   }
 }

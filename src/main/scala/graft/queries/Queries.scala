@@ -2291,11 +2291,16 @@ object Queries {
         explode(T.tokens(lower(col("text")))).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df = docs containing the term = tf's group count per term: deriving
-    // it FROM tf (instead of a second explode + distinct over the corpus)
-    // lets the two branches share one exchange (ReusedExchange) — the
-    // token stream is exploded and shuffled once, not twice (guide §2.4)
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // NOTE (r18): df-from-tf (`tf.groupBy("term").count()`) was tried —
+    // it shares tf's exchange via stage reuse and halves the CPU — but
+    // REVERTED on 32× evidence: the broadcast side then DEPENDS on tf's
+    // exchange, serializing the critical path that the two independent
+    // branches previously overlapped on idle cores (measured growth
+    // 7.8 → 16-27 at 32×). Redundant parallel compute is the right trade
+    // here; the shuffled volume is the distinct (doc_id, term) pairs
+    // either way.
+    val docFreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(docFreq), Seq("term"))
       .withColumn("score", round(col("tf") * log(lit(total) / col("df")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
