@@ -220,7 +220,31 @@ object Dedup {
     *     required overlap ⌈t/(1+t)(n_s+n_l)⌉ are dropped PER ROW — a
     *     qualifying pair always survives through its first-gram row
     *     (later rows only ever have smaller bounds), and survivors
-    *     verify exactly anyway. */
+    *     verify exactly anyway.
+    *
+    * NOTE (r19, both tried and REVERTED on measurement — do not re-try
+    * without new evidence): the scaffolding double-evaluation here (the
+    * shingle table feeds the inverted index and both verify joins; the
+    * ranked prefix table feeds the idx and probe join sides) was attacked
+    * two ways and BOTH lost to this lazy shape at sf0.1:
+    *   1. Graphs-style eager pin/release (persist unsafe rows of sh +
+    *      ranked + result, release scaffolds after materializing):
+    *      dup_clusters 16→20 jobs / 182→192 tasks and min-of-3 executor
+    *      CPU 6.1→9.2 s — the InternalRow copy + deserialized block
+    *      store/read and the lost whole-stage fusion cost more than the
+    *      recompute they saved (the recompute is all codegen'd
+    *      scan+sort+window over a few MB).
+    *   2. Shared-exchange reuse (one repartition above each scaffold,
+    *      both consumers reading the reused AQE stage; the probe prefix
+    *      is a subset of the index prefix, so one g-keyed exchange of
+    *      the index-prefix rows can serve both join sides): defeated by
+    *      filter pushdown, exactly as the r18 analysis predicted — the
+    *      inner join pushes isnotnull/key constraints below ONE copy of
+    *      the exchange and not the other, the subtrees stop
+    *      canonicalizing equal, and the executed plan shows zero reuse
+    *      plus the extra exchange.
+    * The remaining declarative fixes all lose a PPJoin bound or AQE skew
+    * safety (r18 analysis, above). This shape stands. */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,
@@ -333,6 +357,16 @@ object Dedup {
     * family alone starts birthday-colliding (false dup marks) past ~10⁹
     * distinct grams. Single-family here keeps the oracle SQL one
     * list_reduce instead of two.
+    *
+    * NOTE (r19, tried and REVERTED on measurement — see the
+    * [[ngramJaccardPairs]] NOTE for the two mechanisms): pin/release of
+    * base+occ+result measured 10→13 jobs / 73→112 tasks and min-of-3
+    * executor CPU 6.6→8.9 s at sf0.1; the shared-exchange variant split
+    * on pushed isnotnull constraints (executed plan kept all 3 scans and
+    * gained an exchange). The occ double-evaluation is cheaper than any
+    * materialization of occ at this scale; the g-keyed alternatives stay
+    * rejected for skew (map-side combine on the counting side is the
+    * scale-correct shape).
     */
   def repeatedSpanRemoval(
       df: DataFrame,

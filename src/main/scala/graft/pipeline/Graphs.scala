@@ -109,12 +109,9 @@ object Graphs {
     // Persist a frame's unsafe rows and wrap them back as a
     // lineage-truncated DataFrame (LogicalRDD). Lazy: the blocks fill the
     // first time a job computes them (round 1 materializes edges + init
-    // labels + its own step in one job).
-    def pin(df: DataFrame): (RDD[InternalRow], DataFrame) = {
-      val rdd = df.queryExecution.toRdd.map(_.copy())
-      rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (rdd, GraftInternal.internalCreateDataFrame(spark, rdd, df.schema))
-    }
+    // labels + its own step in one job). Shared primitive since round 19
+    // (the PPJoin pair generator pins the same way).
+    def pin(df: DataFrame): (RDD[InternalRow], DataFrame) = PlanUtil.pin(df)
 
     // Pin the DIRECTED pairs, then build the symmetric view from the
     // cache: a union of two projections of the raw pair-gen plan would

@@ -1,9 +1,61 @@
 package graft.pipeline
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftInternal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.storage.StorageLevel
 
 /** Plan-shape utilities shared by the pipeline stages. */
 object PlanUtil {
+
+  /** Persist a frame's unsafe rows and wrap them back as a
+    * lineage-truncated DataFrame (LogicalRDD over the persisted
+    * InternalRow RDD). Lazy: the blocks fill the first time a job
+    * computes them. This is [[Graphs.connectedComponents]]'s pin, shared
+    * so every eager pin/release operator (the PPJoin pair generator, the
+    * one-shot span remover) uses one audited lifecycle primitive.
+    *
+    * Lifecycle contract (the Graphs phase discipline — the round-16
+    * block-pin leak class is exactly what it prevents): the caller MUST
+    * `unpersist` the returned RDD once a DOWNSTREAM pin has materialized
+    * over it, and the one pin that survives the call must be the returned
+    * result itself, whose blocks Spark's ContextCleaner frees when the
+    * caller drops the frame. */
+  private[pipeline] def pin(df: DataFrame): (RDD[InternalRow], DataFrame) = {
+    if (recordPins)
+      pinnedPlans.add(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (rdd,
+      GraftInternal.internalCreateDataFrame(df.sparkSession, rdd, df.schema))
+  }
+
+  // Opt-in pin-plan recorder (StageTimers' capture shape): a pinned
+  // frame's internal plan is invisible to downstream explain()/SQL
+  // listeners — the fill happens inside RDD compute under a count over
+  // the LogicalRDD leaf — so plan-shape specs and the PlanDump evidence
+  // tool capture the plans AS they are pinned. Disabled by default (the
+  // hot path must not stringify plans); not thread-safe across concurrent
+  // captures, like StageTimers.
+  @volatile private var recordPins = false
+  private val pinnedPlans =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Enable pin recording, run `body`, return (result, pinned plans in
+    * pin order), disable. */
+  private[graft] def capturePinnedPlans[T](body: => T): (T, Seq[String]) = {
+    pinnedPlans.clear()
+    recordPins = true
+    try {
+      val r = body
+      (r, scala.jdk.CollectionConverters
+        .IteratorHasAsScala(pinnedPlans.iterator).asScala.toSeq)
+    } finally {
+      recordPins = false
+      pinnedPlans.clear()
+    }
+  }
 
   /** Re-root `df` as a single-node logical plan (LogicalRDD over its
     * physical output), cutting the logical lineage.

@@ -196,6 +196,23 @@ object Quality {
     // chains are independent subtrees of that one action, so Spark runs
     // them CONCURRENTLY (guide §2.6) — the per-table form paid n + n
     // sequential jobs (persist-fill + stats each); this pays 1.
+    //
+    // NOTE (r19, tried and REVERTED — do not re-try without new evidence):
+    // PREFIX-FUSED context counts. The order-k scoring position's context
+    // is the (k−1)-word prefix of its numerator gram, so attaching
+    // c(prefix) to each order-k table row (a table-scale join against
+    // table k−1 at construction) collapses the scoring chain from
+    // 2(n−1)+1 to n joins. Measured at sf0.1: 20 → 28 driver jobs and
+    // 392 → 648 executed tasks per steady pass — the n−1 table-table
+    // prefix joins cost ~8 extra AQE shuffle stages (the fills chain
+    // through persisted table k−1, and neither exchange nor broadcast
+    // reuse deduplicates them), which outweighs the n−1 saved broadcast
+    // builds in the ≤gate regime the bench (and any pruned-table corpus)
+    // runs in. The fusion only pays when the tables EXCEED the broadcast
+    // gate — there it cuts corpus-stream shuffles 2(n−1)+1 → n — but that
+    // regime starts at vocabularies past maxBroadcastBytes/≈40 B rows,
+    // and the unconditional construction cost is the wrong trade for
+    // every corpus below it.
     val persisted = (1 to n).map { k =>
       k -> table(k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -32,11 +32,20 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     names.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+      // capture pinned internal plans too: the eager pin/release
+      // operators (ngramJaccardPairs, repeatedSpanRemoval, connected
+      // components) return a LogicalRDD leaf whose internals explain()
+      // cannot see — the plans recorded AT pin time are the evidence
+      val (plan, pinned) = graft.pipeline.PlanUtil.capturePinnedPlans {
+        SparkEntry.queries(name)(spark, dir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+      }
+      val full = plan + pinned.zipWithIndex.map { case (p, i) =>
+        s"\n\n== Pinned internal plan ${i + 1} (recorded at pin time) ==\n$p"
+      }.mkString
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$out/${name}_$suffix.txt"), plan)
+        java.nio.file.Paths.get(s"$out/${name}_$suffix.txt"), full)
       System.err.println(s"[plan] $name -> $out/${name}_$suffix.txt")
     }
     spark.stop()

@@ -29,6 +29,14 @@ object TimeQuery {
     // driver round-trips out of a composed chain
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
     val tasks = new java.util.concurrent.atomic.AtomicInteger()
+    // summed executor-side metrics (TaskEnd): run time = occupied
+    // core-time, cpu = on-CPU ns, gc = JVM GC ms — the metrics that SHOW
+    // a cache-vs-recompute win (job/task counts stay flat when the same
+    // stages run cheaper) and that attribute the 8-vs-32-core inversion
+    // (GC share, per-task time inflation)
+    val runMs = new java.util.concurrent.atomic.AtomicLong()
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val gcMs = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -42,6 +50,13 @@ object TimeQuery {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           tasks.incrementAndGet()
+          val m = te.taskMetrics
+          if (m != null) {
+            runMs.addAndGet(m.executorRunTime)
+            cpuNs.addAndGet(m.executorCpuTime)
+            gcMs.addAndGet(m.jvmGCTime)
+            ()
+          }
           ()
         }
       })
@@ -49,7 +64,7 @@ object TimeQuery {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       org.apache.spark.GraftScheduler.drainListeners(spark.sparkContext)
-      jobs.set(0); tasks.set(0)
+      jobs.set(0); tasks.set(0); runMs.set(0); cpuNs.set(0); gcMs.set(0)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -57,8 +72,11 @@ object TimeQuery {
       // load and misattribute them to the next query)
       org.apache.spark.GraftScheduler.drainListeners(spark.sparkContext)
       val (nj, nt) = (jobs.get(), tasks.get())
+      val (rm, cn, gm) = (runMs.get(), cpuNs.get(), gcMs.get())
       val rows = fn(spark, dir).count()
-      println(f"== $name%-24s $sec%8.3f sec  $rows%d rows  $nj%d jobs  $nt%d tasks")
+      println(f"== $name%-24s $sec%8.3f sec  $rows%d rows  $nj%d jobs  " +
+        f"$nt%d tasks  taskrun ${rm / 1e3}%.2fs  cpu ${cn / 1e9}%.2fs  " +
+        f"gc ${gm / 1e3}%.2fs")
     }
     spark.stop()
   }
