@@ -112,11 +112,15 @@ object Bench {
 
   /** Stable emission order for the StageTimers action split (both curate
     * variants; a variant only emits the keys its config exercises —
-    * span_cut/srp_embed appear when the stage is wired). */
+    * span_cut/srp_embed appear when the stage is wired). Round 19:
+    * `sink_mat` (one persisted-materialization count) replaces the
+    * removed `sink_surv` instrumentation count and the driver-side
+    * `sink_collect` — those keys stay listed so an older StageTimers
+    * capture still emits them, but the current sink never records them. */
   private val StageKeys = Seq("srp_embed", "span_cut", "front_plan",
     "lsh_sign_shards", "lsh_candgen", "lsh_cand_shards", "lsh_verdict",
     "lsh_selfgen", "lsh_append", "lsh_survgen", "lsh_survivors",
-    "sink_surv", "sink_collect")
+    "sink_surv", "sink_collect", "sink_mat")
 
   /** Queries whose band is multiple seconds wide — their retry guard
     * fires at 1.5x band (see the headline loop comment). */
@@ -330,6 +334,16 @@ object Bench {
       // round 13: mergeable HLL distinct sketch + bloom-pruned semi join
       "q_distinct_sketch" -> (Queries.qDistinctSketch _),
       "q_bloom_semijoin" -> (Queries.qBloomSemijoin _))
+    // Cold-fit honesty (round 19): the fitted models are memoized per
+    // corpus dir, so the untimed warm-up pass absorbs every fit and the
+    // timed passes measure steady-state apply-only. Time each fit ONCE,
+    // up front, so the artifact says what steady-state excludes. This is
+    // reporting only — the fits were already paid on the warm-up pass
+    // before this existed; nothing moves in or out of the timed region.
+    val coldFitJson = Queries.coldFits(spark, sfDir)
+      .map { case (n, fit) => "\"" + n + "\":" + f"${time(fit())}%.3f" }
+      .mkString("{", ",", "}")
+
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     headline.foreach { case (name, fn) =>
       materialize(fn(spark, sfDir)) // untimed warm-up pass
@@ -451,7 +465,7 @@ object Bench {
     val total = results.values.sum
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val extra = f""""ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"query_jobs":$jobsJson%s,$curateStagesJson%s,$curateFullStagesJson%s"""
+    val extra = f""""cold_fit_sec":$coldFitJson%s,"ingest_records":$ingestRecords,"ingest_records_per_sec":$ingestRate%.0f,"ingest_bulk_records":$bulkRecords,"ingest_bulk_records_per_sec":$bulkRate%.0f,"ingest_parallel_records_per_sec":$parRate%.0f,"poll_records_per_sec":$pollRate%.0f,"cores":$cpus,"contended":$contendedJson,"loadavg_start":$loadAtStart%.2f,"loadavg_end":$loadAvg%.2f,"query_loadavg":$loads%s,"max_heap_mb":$maxHeapMb,"job_p50_ms":$jobP50Ms%.1f,"timed_jobs":${queryJobs.values.sum}%d,"query_jobs":$jobsJson%s,$curateStagesJson%s,$curateFullStagesJson%s"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",$extra%s}"""
     val compact = compactLine(total, results, sfDir,

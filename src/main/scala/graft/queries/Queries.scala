@@ -728,15 +728,19 @@ object Queries {
   private val kmeansModels = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Seq[Double]]]()
 
+  // centroids are a fitted model — standing state per corpus, memoized
+  // like the PQ/IVF-PQ/lang/qfilter fits (re-running Lloyd per query
+  // invocation re-paid iters+1 identical corpus passes + driver jobs)
+  private def kmeansModel(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    kmeansModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.Clustering.kmeansCentroids(
+        t(spark, dir, "embeddings"), col("vec_id"), col("embedding"),
+        k = 10, iters = 2))
+
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    // centroids are a fitted model — standing state per corpus, memoized
-    // like the PQ/IVF-PQ/lang/qfilter fits (re-running Lloyd per query
-    // invocation re-paid iters+1 identical corpus passes + driver jobs)
-    val cs = kmeansModels.computeIfAbsent(dir, _ =>
-      graft.pipeline.Clustering.kmeansCentroids(
-        emb, col("vec_id"), col("embedding"), k = 10, iters = 2))
-    Dedup.semanticDedupWith(emb, col("vec_id"), col("embedding"), cs, tau = 0.35)
+    Dedup.semanticDedupWith(emb, col("vec_id"), col("embedding"),
+      kmeansModel(spark, dir), tau = 0.35)
   }
 
   /** MinHash-LSH near-dup pairs. Oracle-exact since round 7: the DuckDB
@@ -865,18 +869,34 @@ object Queries {
     graft.streaming.Curation.curateBatch(spark, path,
       docs.filter(col("doc_id") % 4 === 0),
       col("doc_id"), col("text"), curateCfg) { survivors =>
-      // materialize while still persisted: the survivors are OUTPUT-scale
-      // (curated chunks of one batch), and collecting here keeps every
-      // downstream action from re-running the probe + dedup chain on the
-      // unpersisted frame curateBatch hands back after its unpersist
-      val out = survivors
-        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
-          col("n_tokens"), col("chunk_text"))
-        .orderBy("chunk_uid")
-      graft.pipeline.StageTimers.timed("sink_surv") { survivors.count() }
-      val rows = graft.pipeline.StageTimers.timed("sink_collect") { out.collect() }
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
+      curateSink(spark, "curate_pipeline", survivors)
+    }
+  }
+
+  /** The curate query wrappers' shared sink: project + order the
+    * surviving chunks, persist, and materialize with ONE count — the
+    * sink's first action, which runs while curateBatch still has the
+    * probe intermediates cached (the curateInto contract), so downstream
+    * actions never re-trigger the probe chain. Round 19 replaced the old
+    * `collect()` + `createDataFrame` sink: collecting every survivor to
+    * the driver is O(batch output) DRIVER memory — the guide-§5 100 TB
+    * scale-killer — where the persisted frame stays distributed in the
+    * block manager (and recomputes deterministically from the dropped-id
+    * literals if evicted). Snapshot lifecycle per query name, previous
+    * occupant released on swap ([[swapSnapshot]], the lmScore5gram
+    * shape), so repeated bench invocations hold one table each. */
+  private def curateSink(
+      spark: SparkSession, key: String, survivors: DataFrame): DataFrame = {
+    val out = survivors
+      .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
+        col("n_tokens"), col("chunk_text"))
+      .orderBy("chunk_uid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.pipeline.StageTimers.timed("sink_mat") { out.count() }
+      swapSnapshot(key, out)
+    } catch {
+      case e: Throwable => out.unpersist(false); throw e
     }
   }
 
@@ -915,13 +935,7 @@ object Queries {
       curateCfg.copy(extraFilter = Some(
         round(Dsir.logWeight(model, col("text")), 6)
           >= lit(CurateSql.DsirTau)))) { survivors =>
-      val out = survivors
-        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
-          col("n_tokens"), col("chunk_text"))
-        .orderBy("chunk_uid")
-      val rows = out.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
+      curateSink(spark, "curate_pipeline_dsir", survivors)
     }
   }
 
@@ -979,14 +993,7 @@ object Queries {
       col("doc_id"), col("text"),
       curateCfg.copy(extraFilter = Some(
         graft.pipeline.Contamination.overlapCount(col("text"), gate) === 0))) {
-      survivors =>
-        val out = survivors
-          .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
-            col("n_tokens"), col("chunk_text"))
-          .orderBy("chunk_uid")
-        val rows = out.collect()
-        spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), out.schema)
+      survivors => curateSink(spark, "curate_pipeline_decontam", survivors)
     }
   }
 
@@ -1026,13 +1033,7 @@ object Queries {
       curateCfg.copy(extraFilter = Some(
         Q.q(Q.score(Q.features(col("text")), m), 6)
           >= lit(CurateSql.QfTau)))) { survivors =>
-      val out = survivors
-        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
-          col("n_tokens"), col("chunk_text"))
-        .orderBy("chunk_uid")
-      val rows = out.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
+      curateSink(spark, "curate_pipeline_qfilter", survivors)
     }
   }
 
@@ -1068,13 +1069,7 @@ object Queries {
       docs.filter(col("doc_id") % 4 === 0),
       col("doc_id"), col("text"),
       curateCfg.copy(spanIndexPath = Some(spanPath))) { survivors =>
-      val out = survivors
-        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
-          col("n_tokens"), col("chunk_text"))
-        .orderBy("chunk_uid")
-      val rows = out.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
+      curateSink(spark, "curate_pipeline_spans", survivors)
     }
   }
 
@@ -1092,6 +1087,25 @@ object Queries {
     dsirModels.computeIfAbsent(dir, _ =>
       Dsir.fit(t(spark, dir, "documents"), col("text"),
         col("lang") === "en", nBuckets = 256))
+
+  /** Named cold-fit triggers for the memoized per-corpus MODELS the
+    * bench's untimed warm-up pass otherwise absorbs silently: each thunk
+    * forces the corresponding fit (first call per dir pays it; later
+    * calls are the memo hit). [[graft.Bench]] runs and times these
+    * BEFORE any query so BENCH.json can report what steady-state
+    * excludes (`cold_fit_sec`) — bench honesty, not a timed-path change.
+    * Index builds (LSH/span/SRP standing state) are not listed: their
+    * cold cost is already visible as the composites' first-pass wall. */
+  private[graft] def coldFits(
+      spark: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "bpe" -> (() => { bpeModel(spark, dir); () }),
+    "kmeans" -> (() => { kmeansModel(spark, dir); () }),
+    "dsir" -> (() => { dsirModel(spark, dir); () }),
+    "pq" -> (() => { pqModel(spark, dir); () }),
+    "ivfpq" -> (() => { ivfPqModel(spark, dir); () }),
+    "qfilter" -> (() => { qfilterModel(spark, dir); () }),
+    "lang" -> (() => { langModel(spark, dir); () }),
+    "contam_gate" -> (() => { contamGate(spark, dir); () }))
 
   /** THE FULL COMPOSITION — every model-driven stage in one streaming
     * body: batch docs pass gopher, then the `extraFilter` conjunction of
@@ -1137,14 +1151,7 @@ object Queries {
       col("doc_id"), col("text"),
       curateCfg.copy(extraFilter = Some(allGates),
         spanIndexPath = Some(spanPath))) { survivors =>
-      val out = survivors
-        .select(col("chunk_uid"), col("id").as("doc_id"), col("chunk_id"),
-          col("n_tokens"), col("chunk_text"))
-        .orderBy("chunk_uid")
-      graft.pipeline.StageTimers.timed("sink_surv") { survivors.count() }
-      val rows = graft.pipeline.StageTimers.timed("sink_collect") { out.collect() }
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
+      curateSink(spark, "curate_pipeline_full", survivors)
     }
   }
 
@@ -1251,10 +1258,15 @@ object Queries {
     * replays fit + classify in one statement. ([[T.langId]], the
     * stopword heuristic this replaced, remains the cheap signal inside
     * [[pipelineClean]].) */
+  private def langModel(
+      spark: SparkSession, dir: String): graft.functions.LangModel =
+    langModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.LangProfile.fit(
+        t(spark, dir, "documents"), col("text"), col("lang")))
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val model = langModels.computeIfAbsent(dir, _ =>
-      graft.pipeline.LangProfile.fit(docs, col("text"), col("lang")))
+    val model = langModel(spark, dir)
     docs.select(col("doc_id"),
       graft.pipeline.LangProfile.classify(model, col("text")).as("lang_pred"))
   }
@@ -1521,11 +1533,15 @@ object Queries {
     * object — the scan reads codes, never vectors). Fully oracled:
     * [[PqSql.annPqSql]] replays fit + encode + LUT + ADC in one
     * statement. */
+  private def pqModel(spark: SparkSession, dir: String): graft.pipeline.Pq.Model =
+    pqModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.Pq.fit(t(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"),
+        dim = 64, m = PqSql.M, ksub = PqSql.Ksub, iters = 2))
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val model = pqModels.computeIfAbsent(dir, _ =>
-      graft.pipeline.Pq.fit(emb, col("vec_id"), col("embedding"),
-        dim = 64, m = PqSql.M, ksub = PqSql.Ksub, iters = 2))
+    val model = pqModel(spark, dir)
     val codes = graft.pipeline.Pq.encode(
       emb, col("vec_id"), col("embedding"), model)
     graft.pipeline.Pq.adcTopK(
@@ -1544,12 +1560,17 @@ object Queries {
     * are cell-partitioned). Fully oracled: [[IvfPqSql.annIvfPqSql]]
     * replays coarse fit + residuals + subspace fit + probe + LUT + ADC
     * in one statement. */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val model = ivfPqModels.computeIfAbsent(dir, _ =>
-      graft.pipeline.IvfPq.fit(emb, col("vec_id"), col("embedding"),
+  private def ivfPqModel(
+      spark: SparkSession, dir: String): graft.pipeline.IvfPq.Model =
+    ivfPqModels.computeIfAbsent(dir, _ =>
+      graft.pipeline.IvfPq.fit(t(spark, dir, "embeddings"),
+        col("vec_id"), col("embedding"),
         dim = IvfPqSql.Dim, nCells = IvfPqSql.NCells, m = IvfPqSql.M,
         ksub = IvfPqSql.Ksub, iters = 2))
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val model = ivfPqModel(spark, dir)
     val codes = graft.pipeline.IvfPq.encode(
       emb, col("vec_id"), col("embedding"), model)
     graft.pipeline.IvfPq.adcTopK(
@@ -1565,10 +1586,7 @@ object Queries {
     * arithmetic is the driver path's exactly. */
   def annIvfPqDist(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val model = ivfPqModels.computeIfAbsent(dir, _ =>
-      graft.pipeline.IvfPq.fit(emb, col("vec_id"), col("embedding"),
-        dim = IvfPqSql.Dim, nCells = IvfPqSql.NCells, m = IvfPqSql.M,
-        ksub = IvfPqSql.Ksub, iters = 2))
+    val model = ivfPqModel(spark, dir)
     val codes = graft.pipeline.IvfPq.encode(
       emb, col("vec_id"), col("embedding"), model)
     graft.pipeline.IvfPq.adcTopKDistributed(

@@ -32,7 +32,7 @@ class BenchEmitSpec extends AnyFunSuite {
   private val stageKeys = Seq("srp_embed", "span_cut", "front_plan",
     "lsh_sign_shards", "lsh_candgen", "lsh_cand_shards", "lsh_verdict",
     "lsh_selfgen", "lsh_append", "lsh_survgen", "lsh_survivors",
-    "sink_surv", "sink_collect")
+    "sink_surv", "sink_collect", "sink_mat")
 
   private def line(contended: Seq[String] = Nil): String = {
     val results = scala.collection.mutable.LinkedHashMap(
@@ -81,6 +81,17 @@ class BenchEmitSpec extends AnyFunSuite {
     val l = line(contended = Seq("curate_pipeline_full", "lm_score_5gram"))
     assert(l.length < 1900, s"compact line ${l.length} chars")
     assert(!l.contains("\n"))
+  }
+
+  test("cold-fit registry names every memoized model family") {
+    // the BENCH.json honesty field (`cold_fit_sec`, round 19) must keep
+    // covering the fits the warm-up pass absorbs — a fit added without a
+    // registry entry would silently vanish from the artifact again
+    val names = graft.queries.Queries
+      .coldFits(null, "/nonexistent").map(_._1).toSet
+    for (f <- Seq("bpe", "kmeans", "dsir", "pq", "ivfpq", "qfilter",
+        "lang", "contam_gate"))
+      assert(names.contains(f), s"cold-fit registry missing $f")
   }
 
   test("stage json omits absent keys instead of emitting nulls") {
