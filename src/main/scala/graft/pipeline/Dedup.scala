@@ -71,7 +71,7 @@ object Dedup {
     // spread BEFORE the shingle pass so signature compute runs on all cores
     // sorted once per doc: minhash is order-independent and the final pair
     // verification gets the merge-intersect jaccard (see ngramJaccardPairs)
-    val sh = spread(df.select(id.cast("long").as("id"), text.as("__text")))
+    val sh0 = spread(df.select(id.cast("long").as("id"), text.as("__text")))
       .select(col("id"),
         array_sort(T.charShingles(col("__text"), shingleSize)).as("shingles"))
     // Fused signature + band fold (one expression) — projection collapse
@@ -79,12 +79,25 @@ object Dedup {
     // the 8-byte ids through the join + dedup — the shingle arrays re-attach
     // after candidate pairs are distinct, so the shuffle volume is
     // O(pairs × 16B), not O(pairs × document size).
-    val banded = sh.select(
+    //
+    // NOTE (r19, tried and REVERTED on measurement): the lazy plan re-runs
+    // the k-hash minhash fold 4x and the shingle pass 6x (pushdown
+    // asymmetry de-canonicalizes the subtrees, so exchange reuse never
+    // fires), and the signed frames are tiny — the most favorable
+    // pin-economics in the suite. Graphs-style pins of sh + banded +
+    // result STILL lost in an interleaved same-window A/B at sf0.1:
+    // lazy 0.88-1.38 s / 8 jobs / 102 tasks / ~5-7 s CPU vs pinned
+    // 1.17-1.65 s / 13 jobs / 122 tasks / ~7-11 s CPU. Recompute through
+    // whole-stage codegen over page-cached parquet beats ANY
+    // materialization machinery at this scale; see the
+    // ngramJaccardPairs/repeatedSpanRemoval NOTEs for the two heavier
+    // cases. Do not re-try pins on the one-shot dedup operators.
+    val banded = sh0.select(
       col("id"),
       posexplode(T.minhashBands(col("shingles"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    minhashPairsSigned(sh, banded, threshold, maxBucketSize)
+    minhashPairsSigned(sh0, banded, threshold, maxBucketSize)
   }
 
   /** [[minhashPairs]] over a PRE-SIGNED frame: `sh` is (id, shingles —
