@@ -35,14 +35,24 @@ object IndexCache {
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p)) ""
     else fs.listStatus(p)
-      .filterNot(s => s.getPath.getName.startsWith("_"))
+      // same visibility rule as IndexIO.readRows: dot-prefixed files
+      // (staging temp/CRC debris) are never read, so they must not churn
+      // the fingerprint into spurious full reloads (r18 advice)
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
       .map(s => s"${s.getPath.getName}:${s.getLen}")
       .sorted.mkString(",")
   }
 
   /** Entries of one topic, reloaded only when the topic's index dir changed
     * (per-topic dir: the listing is a handful of files, bounded by the
-    * writer's auto-compaction). */
+    * writer's auto-compaction).
+    *
+    * `spark` is unused since the reload became a driver-side IndexIO read
+    * (r18) — kept across entries/hasBatch/nextOffsets for call-site
+    * stability and because a non-local warehouse FS would need the
+    * session's Hadoop conf threaded back through here (see the IndexIO
+    * local-FS note). */
   def entries(
       spark: SparkSession,
       wh: graft.core.catalog.Warehouse,

@@ -25,6 +25,13 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   * interchangeable in one index dir: both carry the
   * [[graft.core.Schemas.index]] columns, and every Spark read of the dir
   * pins that schema explicitly ([[LogIndex.forTopic]]).
+  *
+  * LOCAL-FS ASSUMPTION (r18 advice, documented): these paths build a bare
+  * `new Configuration()` — consistent with the rest of the repo's
+  * driver-side FS access — so a warehouse on a filesystem configured via
+  * `spark.hadoop.*` session settings would need the session's
+  * `hadoopConfiguration` threaded through here (and through
+  * [[IndexCache]]) first.
   */
 private[graft] object IndexIO {
 

@@ -18,7 +18,8 @@ import graft.core.log.LogWriter
   * accumulator/drain machinery becomes the micro-batch itself, and the
   * ack/retry protocol (FluxProducer.java:191-239) becomes exactly-once
   * delivery via (checkpoint + batchId-keyed skip in the index table) — a
-  * replayed micro-batch after a crash hits `LogIndex.hasBatch` and no-ops.
+  * replayed micro-batch after a crash hits `IndexCache.hasBatch` (the
+  * driver-side cached index read) and no-ops.
   */
 object StreamIngest {
 
